@@ -1,0 +1,76 @@
+"""IngestPipeline — corpus Parquet -> nodes / edges / degrees / CSR shards
+(SURVEY.md section 3.3; operators M1-M8, H1, A7).
+
+Every stage is a streaming ``map_batches`` over Arrow batches; the only
+all-to-all exchanges are the nodes sort (id assignment), the edge-dedup
+groupby, and the CSR-build groupby — exactly the shuffles the design
+calls for (SURVEY 4.2).  Nothing materializes the corpus.
+"""
+
+from __future__ import annotations
+
+import ray
+
+from ..stages.degrees import compute_degrees
+from ..stages.edges import dedup_edges, resolve_to_ids, symmetrize
+from ..stages.extract import extract_batch
+from ..stages.ids import assign_node_ids
+from ..stages.resolve import resolve_batch
+from ..stages.verify import Sha256Verifier
+
+
+def read_corpus(path: str, columns=None) -> "ray.data.Dataset":
+    """S1 — corpus reader (column-pruned parquet read)."""
+    return ray.data.read_parquet(path, columns=columns)
+
+
+def build_graph_tables(
+    corpus_ds,
+    manifest_ref=None,
+    langs: list[str] | None = None,
+    join_strategy: str = "auto",
+    num_partitions: int = 32,
+    verify_concurrency: int = 4,
+):
+    """Run M1..M7: returns dict with nodes/edges/edges_undirected/degrees
+    Datasets plus n_nodes.  All lazy except nodes (id assignment sorts and
+    pins the metadata-sized nodes table).
+    """
+    ds = corpus_ds
+    if langs:
+        lset = set(langs)
+        ds = ds.map_batches(
+            lambda t, ls=lset: t.filter(
+                [v in ls for v in t["lang"].to_pylist()]  # M8 lang filter
+            ),
+            batch_format="pyarrow",
+        )
+    if manifest_ref is not None:
+        ds = ds.map_batches(
+            Sha256Verifier,
+            fn_constructor_kwargs={"manifest_ref": manifest_ref},
+            batch_format="pyarrow",
+            concurrency=verify_concurrency,
+        ).map_batches(lambda t: t.filter(t["ok"]), batch_format="pyarrow")
+
+    nodes, n = assign_node_ids(ds)
+
+    refs = ds.map_batches(extract_batch, batch_format="pyarrow")  # M2
+    cands = refs.map_batches(resolve_batch, batch_format="pyarrow")  # M3
+    raw_edges = resolve_to_ids(  # M4 + id apply
+        cands, nodes, n, strategy=join_strategy, num_partitions=num_partitions
+    )
+    edges = dedup_edges(raw_edges)  # M6
+    degrees = compute_degrees(edges, nodes)  # M7
+    return {
+        "nodes": nodes,
+        "edges": edges,
+        "edges_undirected": symmetrize(edges),  # A7 (for CC/LPA/triangles)
+        "degrees": degrees,
+        "n_nodes": n,
+    }
+
+
+def ingest_fixture(fix_dir: str, **kw):
+    """Convenience: run ingest over a fixture directory's corpus."""
+    return build_graph_tables(read_corpus(f"{fix_dir}/corpus"), **kw)

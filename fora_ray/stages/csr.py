@@ -1,0 +1,82 @@
+"""H1 — partitioned CSR shard construction (SURVEY.md section 2.3 H1).
+
+Vertex partition function: ``part(v) = v % P`` with local index
+``v // P`` — computable everywhere without a lookup table, which is what
+lets frontier messages be routed with two vectorized integer ops at any
+scale.  (Degree-balanced overrides for pathological hubs are a planned
+refinement; Zipf-skewed fixtures are handled fine by mod partitioning
+because consecutive ids spread hubs across parts.)
+
+Shard layout (one Arrow row per partition):
+  part_id:int32, indptr:large_list<int64> (len n_local+1),
+  indices:large_list<int64> (global dst ids, grouped by local src)
+
+Built with one hash shuffle: edges -> add part_id -> groupby(part_id)
+-> map_groups(build).  Persisted as Parquet for resumable graph loads.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+
+
+def n_local_of(n: int, P: int, p: int) -> int:
+    return (n - p + P - 1) // P if p < n else 0
+
+
+def _large_list(values: np.ndarray) -> pa.LargeListArray:
+    return pa.LargeListArray.from_arrays(
+        pa.array([0, len(values)], pa.int64()), pa.array(values, pa.int64())
+    )
+
+
+def build_csr_table(src: np.ndarray, dst: np.ndarray, n: int, P: int, p: int) -> pa.Table:
+    """CSR for one partition from its (src, dst) edge arrays."""
+    n_local = n_local_of(n, P, p)
+    loc = src // P
+    order = np.lexsort((dst, loc))
+    loc_s, dst_s = loc[order], dst[order]
+    counts = np.bincount(loc_s, minlength=n_local)
+    indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    return pa.table(
+        {
+            "part_id": pa.array([p], pa.int32()),
+            "indptr": _large_list(indptr),
+            "indices": _large_list(dst_s.astype(np.int64)),
+        }
+    )
+
+
+def build_csr_shards(edges_ds, n: int, P: int):
+    """edges Dataset -> Dataset of P CSR shard rows (one groupby shuffle)."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        return batch.append_column("part_id", pa.array((src % P).astype(np.int32)))
+
+    def build(group: pa.Table) -> pa.Table:
+        src = group["src"].to_numpy(zero_copy_only=False)
+        dst = group["dst"].to_numpy(zero_copy_only=False)
+        return build_csr_table(src, dst, n, P, int(src[0] % P))
+
+    return (
+        edges_ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part_id")
+        .map_groups(build, batch_format="pyarrow")
+    )
+
+
+def save_shards(shards_ds, out_dir: str, n: int, m: int, P: int) -> str:
+    """Persist shard rows + meta.json (resumable graph load, SURVEY 4.3)."""
+    os.makedirs(out_dir, exist_ok=True)
+    shards_ds.write_parquet(os.path.join(out_dir, "shards"))
+    meta = {"n": n, "m": m, "P": P, "version": 1}
+    tmp = os.path.join(out_dir, ".meta.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(out_dir, "meta.json"))
+    return out_dir
