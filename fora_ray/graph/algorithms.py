@@ -1,0 +1,175 @@
+"""Driver-side graph algorithms over a GraphHandle
+(SURVEY.md section 2.4: G1-G4, G9, G10, G12; parameters section 1.4).
+
+All functions return Ray Datasets assembled zero-copy from per-shard
+Arrow tables; nothing row-sized ever crosses the driver.
+
+Modes (SURVEY 1.4 determinism note):
+- mode="exact": forward push to convergence (full sweeps == power
+  iteration) — deterministic, allclose 1e-6 vs the numpy oracle.
+- mode="fora": two-phase FORA — thresholded push at rmax, then a
+  seeded Monte-Carlo walk phase with counter-based RNG; reproducible
+  bit-for-bit at any parallelism for a fixed seed, and statistically
+  within the paper's (eps, delta, pfail) guarantee.
+"""
+
+from __future__ import annotations
+
+import math
+
+from ..state.checkpoint import checkpoint_step, latest_step, restore_step
+
+
+def fora_params(n: int, m: int, eps: float = 0.5, delta: float | None = None,
+                pfail: float | None = None, rmax_scale: float = 1.0) -> dict:
+    """rmax / omega per the FORA paper (SURVEY 1.4, paper Thm 3.3/3.4).
+
+    omega here is the per-unit-residual walk multiplier: a vertex with
+    residual r spawns ceil(r * omega) walks.
+    """
+    delta = delta if delta is not None else 1.0 / n
+    pfail = pfail if pfail is not None else 1.0 / n
+    log_term = math.log(2.0 / pfail)
+    omega = (2.0 * eps / 3.0 + 2.0) * log_term / (eps * eps * delta)
+    rmax = eps * math.sqrt(delta / (3.0 * max(m, 1) * log_term)) * rmax_scale
+    return {"eps": eps, "delta": delta, "pfail": pfail, "rmax": rmax, "omega": omega}
+
+
+def _push_loop(handle, source, rmax: float, sweep_all: bool, tol: float = 1e-12,
+               max_rounds: int = 10_000, ckpt_dir: str | None = None,
+               ckpt_every: int = 1, start_round: int = 0) -> dict:
+    """Synchronous forward-push supersteps until convergence (G1/H2/A1)."""
+    rounds = start_round
+    stats = {"rounds": 0, "rsum": None}
+    while rounds < max_rounds:
+        metas, rsums = handle._exchange("push_round", "apply_residual", rmax, sweep_all)
+        dang = sum(m["dangling"] for m in metas)
+        active = sum(m["active"] for m in metas)
+        if dang > 0:
+            if source is None:
+                handle.call_all("add_uniform_residual", dang)
+            else:
+                handle.call_all("add_source_residual", source, dang)
+        rsum = sum(rsums) + dang
+        rounds += 1
+        if ckpt_dir is not None and rounds % ckpt_every == 0:
+            checkpoint_step(
+                handle, ckpt_dir, rounds, ("reserve", "residual"),
+                extra={"rsum": rsum, "active": active, "source": source, "rmax": rmax},
+            )
+        if active == 0 or (sweep_all and rsum < tol):
+            stats.update(rounds=rounds, rsum=rsum)
+            break
+    else:
+        stats.update(rounds=rounds, rsum=rsum)
+    return stats
+
+
+def _walk_loop(handle, omega: float, seed: int, source) -> dict:
+    """Monte-Carlo walk phase (G2): message rounds until no walker alive.
+    Expected O(1/alpha) rounds; each walker's RNG stream is a pure
+    function of (seed, origin, walk index, hop)."""
+    total = sum(handle.call_all("walk_init", omega, seed))
+    hop, alive = 0, total
+    while alive > 0:
+        metas, _ = handle._exchange("walk_round", "apply_walkers", hop, source)
+        alive = sum(m["alive"] for m in metas)
+        hop += 1
+    handle.call_all("walk_fold")
+    return {"walks": total, "hops": hop}
+
+
+def personalized_pagerank(handle, source: int, mode: str = "exact",
+                          eps: float = 0.5, delta: float | None = None,
+                          pfail: float | None = None, rmax_scale: float = 1.0,
+                          seed: int = 42, tol: float = 1e-12,
+                          ckpt_dir: str | None = None, ckpt_every: int = 1,
+                          resume: bool = False):
+    """Single-source PPR (reference entry point 'query', SURVEY 3.1).
+
+    Returns (scores Dataset (node_id, ppr), stats dict).
+    """
+    start = 0
+    if resume and ckpt_dir is not None:
+        k = latest_step(ckpt_dir, handle.P)
+        if k is not None:
+            restore_step(handle, ckpt_dir, k, ("reserve", "residual"))
+            start = k
+        else:
+            handle.call_all("ppr_init", source)
+    else:
+        handle.call_all("ppr_init", source)
+    if mode == "exact":
+        stats = _push_loop(handle, source, rmax=0.0, sweep_all=True, tol=tol,
+                           ckpt_dir=ckpt_dir, ckpt_every=ckpt_every, start_round=start)
+    elif mode in ("fora", "fwdpush"):
+        p = fora_params(handle.n, handle.m, eps, delta, pfail, rmax_scale)
+        stats = _push_loop(handle, source, rmax=p["rmax"], sweep_all=False,
+                           ckpt_dir=ckpt_dir, ckpt_every=ckpt_every, start_round=start)
+        if mode == "fora":
+            wstats = _walk_loop(handle, p["omega"], seed ^ (source * 0x9E3779B9), source)
+            stats.update(wstats)
+        stats.update(p)
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    stats["counters"] = handle.counters()
+    return handle.scores_dataset(), stats
+
+
+def monte_carlo_ppr(handle, source: int, eps: float = 0.5,
+                    delta: float | None = None, pfail: float | None = None,
+                    seed: int = 42):
+    """G3 — pure Monte-Carlo baseline: omega walks from the source, no
+    push phase (residual == e_s)."""
+    handle.call_all("ppr_init", source)
+    p = fora_params(handle.n, handle.m, eps, delta, pfail)
+    wstats = _walk_loop(handle, p["omega"], seed ^ (source * 0x9E3779B9), source)
+    return handle.scores_dataset(), {**p, **wstats}
+
+
+def pagerank(handle, mode: str = "exact", tol: float = 1e-12,
+             ckpt_dir: str | None = None, ckpt_every: int = 5,
+             resume: bool = False):
+    """G12 — global PageRank = PPR with uniform source (alpha teleport,
+    dangling mass redistributed uniformly)."""
+    start = 0
+    if resume and ckpt_dir is not None:
+        k = latest_step(ckpt_dir, handle.P)
+        if k is not None:
+            restore_step(handle, ckpt_dir, k, ("reserve", "residual"))
+            start = k
+        else:
+            handle.call_all("ppr_init", None)
+    else:
+        handle.call_all("ppr_init", None)
+    stats = _push_loop(handle, None, rmax=0.0, sweep_all=True, tol=tol,
+                       ckpt_dir=ckpt_dir, ckpt_every=ckpt_every, start_round=start)
+    stats["counters"] = handle.counters()
+    return handle.scores_dataset(), stats
+
+
+def connected_components(handle, max_rounds: int = 10_000):
+    """G9 — hash-min label propagation on the symmetrized graph.
+    Deterministic; label = min node id of the component."""
+    handle.call_all("cc_init")
+    rounds = 0
+    while rounds < max_rounds:
+        metas, changed = handle._exchange("cc_round", "cc_apply")
+        rounds += 1
+        if sum(changed) == 0 and sum(m["sent"] for m in metas) == 0:
+            break
+    return handle.labels_dataset(), {"rounds": rounds}
+
+
+def label_propagation(handle, max_rounds: int = 20):
+    """G10 — synchronous LPA, most-frequent neighbor label, smallest-label
+    tie-break (matches fora_ray.oracle.lpa_oracle exactly)."""
+    handle.call_all("lpa_init")
+    rounds = 0
+    while rounds < max_rounds:
+        handle._exchange("lpa_round", "lpa_vote")
+        changed = sum(handle.call_all("lpa_commit"))
+        rounds += 1
+        if changed == 0:
+            break
+    return handle.labels_dataset(), {"rounds": rounds}

@@ -1,0 +1,534 @@
+"""Superstep runtime: named CSR shard actors + driver-orchestrated
+frontier exchange (SURVEY.md section 3.3; operators G1/G2/G9/G10/G12,
+H2 frontier shuffle, section 4.3 checkpointing).
+
+Design (why not plain ``map_batches``): frontier routing must target
+the actor *owning* part(dst); an anonymous actor-pool ``map_batches``
+cannot guarantee that affinity, so the runtime uses P explicit
+``@ray.remote`` ShardWorker actors.  Dataset ops still do the
+shuffle-heavy, stateless work (CSR build, result assembly).
+
+Message protocol: every ``*_round`` actor method is invoked with
+``num_returns=P+1`` — return slot 0 is a small metadata dict (the only
+thing the driver ever ray.get()s), slots 1..P are per-destination
+payloads that the driver passes BY REFERENCE to the owning actor's
+apply method (Ray auto-dereferences top-level args), so frontier data
+moves actor-to-actor through the object store and never lands on the
+driver.  Payloads are pre-aggregated per destination vertex inside the
+sender (the combiner of SURVEY 4.2) and sent sparse (ids, vals) or
+dense depending on touched fraction.
+
+Partitioning: part(v) = v % P, local(v) = v // P (see stages/csr.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+from ..functions.hashing import mix64, rng_uniform
+from ..stages.csr import n_local_of
+
+_DENSE_CUTOFF = 0.25  # send dense vector when >25% of dest shard touched
+
+
+def _sparsify(acc: np.ndarray):
+    """Dense accumulator -> ('dense', arr) or ('sparse', ids, vals)."""
+    nz = np.nonzero(acc)[0]
+    if nz.size > _DENSE_CUTOFF * acc.size:
+        return ("dense", acc)
+    return ("sparse", nz.astype(np.int64), acc[nz])
+
+
+class ShardWorkerImpl:
+    """One graph partition: CSR + per-query numpy state, alive across
+    supersteps.  Wrapped in ray.remote by GraphHandle."""
+
+    def __init__(self, part: int, P: int, n: int, shard: pa.Table | None = None,
+                 shard_file: str | None = None, alpha: float = 0.2):
+        self.part, self.P, self.n, self.alpha = part, P, n, alpha
+        self.n_local = n_local_of(n, P, part)
+        self.global_ids = np.arange(part, n, P, dtype=np.int64)
+        indptr = indices = None
+        if shard is None and shard_file is not None:
+            shard = pq.read_table(shard_file, filters=[("part_id", "=", part)])
+        if shard is not None and shard.num_rows:
+            rows = shard.filter(pa.compute.equal(shard["part_id"], part))
+            if rows.num_rows:
+                indptr = np.asarray(rows["indptr"][0].as_py(), dtype=np.int64)
+                indices = np.asarray(rows["indices"][0].as_py(), dtype=np.int64)
+        if indptr is None:
+            indptr = np.zeros(self.n_local + 1, dtype=np.int64)
+            indices = np.empty(0, dtype=np.int64)
+        self.indptr, self.indices = indptr, indices
+        self.out_deg = np.diff(indptr)
+        self.reserve = self.residual = self.acc = self.labels = None
+        self._pending = None  # in-flight walkers
+        self.counters = {"pushes": 0, "walks": 0, "walk_hops": 0, "msgs_out": 0}
+
+    # ---- generic helpers -------------------------------------------------
+    def _gather_edges(self, idx: np.ndarray):
+        """Fully vectorized ragged gather of out-edges for source rows idx.
+        Returns (dsts, edge_to_row) where edge_to_row maps each edge back
+        to its position in idx."""
+        counts = self.out_deg[idx]
+        total = int(counts.sum())
+        if total == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        starts = self.indptr[idx]
+        cum = np.concatenate([[0], np.cumsum(counts[:-1])])
+        pos = np.arange(total, dtype=np.int64)
+        row = np.repeat(np.arange(idx.size, dtype=np.int64), counts)
+        eidx = np.repeat(starts, counts) + (pos - np.repeat(cum, counts))
+        return self.indices[eidx], row
+
+    def _route_add(self, dst: np.ndarray, vals: np.ndarray, apply_local):
+        """Sum-aggregate (dst, vals) per destination partition; apply own
+        slice locally; return P payload slots."""
+        payloads = [None] * self.P
+        owner = (dst % self.P).astype(np.int64)
+        for p in np.unique(owner):
+            m = owner == p
+            nl = n_local_of(self.n, self.P, int(p))
+            acc = np.bincount(dst[m] // self.P, weights=vals[m], minlength=nl)
+            if p == self.part:
+                apply_local(acc)
+            else:
+                payloads[int(p)] = _sparsify(acc)
+                self.counters["msgs_out"] += 1
+        return payloads
+
+    def _add_payload(self, target: np.ndarray, payload):
+        if payload is None:
+            return
+        if payload[0] == "dense":
+            target += payload[1]
+        else:
+            np.add.at(target, payload[1], payload[2])
+
+    def rsum(self) -> float:
+        return float(self.residual.sum()) if self.residual is not None else 0.0
+
+    def get_counters(self):
+        return dict(self.counters)
+
+    # ---- PPR / PageRank: init -------------------------------------------
+    def ppr_init(self, source: int | None):
+        """source=None -> uniform (PageRank); else single-source e_s."""
+        self.reserve = np.zeros(self.n_local)
+        self.residual = np.zeros(self.n_local)
+        self.acc = np.zeros(self.n_local)
+        if source is None:
+            self.residual[:] = 1.0 / self.n
+        elif source % self.P == self.part:
+            self.residual[source // self.P] = 1.0
+        self.counters = {k: 0 for k in self.counters}
+        return True
+
+    def add_uniform_residual(self, mass_total: float):
+        """Uniform redistribution of dangling mass (PageRank mode)."""
+        self.residual += mass_total / self.n
+        return True
+
+    def add_source_residual(self, source: int, mass: float):
+        if source % self.P == self.part:
+            self.residual[source // self.P] += mass
+        return True
+
+    # ---- G1 Forward Push -------------------------------------------------
+    def push_round(self, rmax: float, sweep_all: bool):
+        """One synchronous push superstep (SURVEY G1, paper Alg.1).
+
+        active: r(v) > rmax * out_deg(v) (dangling: r(v) > rmax); or all
+        nonzero when sweep_all (exact/convergence mode == power iteration).
+        Returns (meta, payload_0..payload_{P-1}).
+        """
+        r = self.residual
+        if sweep_all:
+            idx = np.nonzero(r)[0]
+        else:
+            idx = np.nonzero(r > rmax * np.maximum(self.out_deg, 1))[0]
+        meta = {"active": int(idx.size), "dangling": 0.0, "drained": 0.0}
+        if idx.size == 0:
+            return tuple([meta] + [None] * self.P)
+        ra = r[idx].copy()
+        self.reserve[idx] += self.alpha * ra
+        r[idx] = 0.0
+        outflow = (1.0 - self.alpha) * ra
+        d = self.out_deg[idx]
+        dang = float(outflow[d == 0].sum())
+        meta["dangling"] = dang
+        meta["drained"] = float(ra.sum())
+        self.counters["pushes"] += int(idx.size)
+        has = np.nonzero(d > 0)[0]
+        payloads = [None] * self.P
+        if has.size:
+            dsts, row = self._gather_edges(idx[has])
+            per_edge = (outflow[has] / d[has])[row]
+            payloads = self._route_add(
+                dsts, per_edge, lambda acc: self.residual.__iadd__(acc)
+            )
+        return tuple([meta] + payloads)
+
+    def apply_residual(self, *payloads):
+        for pl in payloads:
+            self._add_payload(self.residual, pl)
+        return float(self.residual.sum())
+
+    # ---- G2 Monte-Carlo walk phase ----------------------------------------
+    def walk_init(self, omega: float, seed: int, from_reserve_clear: bool = False):
+        """Spawn ceil(residual[v] * omega) walkers per residual vertex, each
+        carrying weight residual[v]/omega_v (paper Alg.3).  Residuals are
+        consumed.  Counter-based RNG: key = mix64(seed, v, k) — identical
+        results at any parallelism."""
+        r = self.residual
+        idx = np.nonzero(r > 0)[0]
+        if idx.size == 0:
+            self._pending = None
+            return 0
+        omega_v = np.ceil(r[idx] * omega).astype(np.int64)
+        wt = np.repeat(r[idx] / omega_v, omega_v)
+        cur = np.repeat(self.global_ids[idx], omega_v)
+        total = int(omega_v.sum())
+        cum = np.concatenate([[0], np.cumsum(omega_v[:-1])])
+        k_in_origin = np.arange(total, dtype=np.int64) - np.repeat(cum, omega_v)
+        wkey = mix64(np.uint64(seed), mix64(cur.astype(np.uint64), k_in_origin.astype(np.uint64)))
+        self._pending = (cur, wt, wkey)
+        r[idx] = 0.0
+        self.counters["walks"] += total
+        return total
+
+    def walk_round(self, hop: int, source: int | None):
+        """Advance all pending walkers one hop.  Terminating walkers add
+        their weight to the local accumulator; survivors are routed to
+        the owner of their next node.  Walk payloads are (cur, wt, key)
+        triples (not aggregatable — each walker has its own RNG stream)."""
+        meta = {"alive": 0}
+        if self._pending is None:
+            return tuple([meta] + [None] * self.P)
+        cur, wt, wkey = self._pending
+        self._pending = None
+        loc = cur // self.P
+        h = np.uint64(2 * hop)
+        stop = rng_uniform(mix64(wkey, np.full(len(wkey), h, np.uint64))) < self.alpha
+        if stop.any():
+            np.add.at(self.acc, loc[stop], wt[stop])
+        alive = ~stop
+        cur, wt, wkey, loc = cur[alive], wt[alive], wkey[alive], loc[alive]
+        self.counters["walk_hops"] += int(alive.sum())
+        if cur.size == 0:
+            return tuple([meta] + [None] * self.P)
+        d = self.out_deg[loc]
+        dang = d == 0
+        nxt = np.empty_like(cur)
+        if dang.any():
+            # dangling: walk restarts at the source (SURVEY 2.4 convention);
+            # PageRank mode (source=None): teleport to a uniform random node.
+            if source is not None:
+                nxt[dang] = source
+            else:
+                u = rng_uniform(mix64(wkey[dang], np.full(int(dang.sum()), np.uint64(2 * hop + 1), np.uint64)))
+                nxt[dang] = np.minimum((u * self.n).astype(np.int64), self.n - 1)
+        ok = ~dang
+        if ok.any():
+            u2 = rng_uniform(mix64(wkey[ok], np.full(int(ok.sum()), np.uint64(2 * hop + 1), np.uint64)))
+            choice = np.minimum((u2 * d[ok]).astype(np.int64), d[ok] - 1)
+            nxt[ok] = self.indices[self.indptr[loc[ok]] + choice]
+        meta["alive"] = int(cur.size)
+        # route walkers by owner of next node
+        payloads = [None] * self.P
+        owner = nxt % self.P
+        for p in np.unique(owner):
+            m = owner == p
+            pl = (nxt[m], wt[m], wkey[m])
+            if p == self.part:
+                self._append_walkers(pl)
+            else:
+                payloads[int(p)] = pl
+        return tuple([meta] + payloads)
+
+    def _append_walkers(self, pl):
+        if pl is None:
+            return
+        if self._pending is None:
+            self._pending = pl
+        else:
+            self._pending = tuple(np.concatenate([a, b]) for a, b in zip(self._pending, pl))
+
+    def apply_walkers(self, *payloads):
+        for pl in payloads:
+            self._append_walkers(pl)
+        return True
+
+    def walk_fold(self):
+        """Fold walk accumulator into reserve -> final estimate."""
+        self.reserve += self.acc
+        self.acc[:] = 0.0
+        return True
+
+    # ---- result extraction ------------------------------------------------
+    def get_scores(self, nonzero_only: bool = True) -> pa.Table:
+        vals = self.reserve
+        if nonzero_only:
+            nz = np.nonzero(vals)[0]
+            return pa.table(
+                {"node_id": pa.array(self.global_ids[nz]), "ppr": pa.array(vals[nz])}
+            )
+        return pa.table({"node_id": pa.array(self.global_ids), "ppr": pa.array(vals)})
+
+    def get_labels(self) -> pa.Table:
+        return pa.table(
+            {"node_id": pa.array(self.global_ids), "label": pa.array(self.labels)}
+        )
+
+    # ---- G9 connected components (hash-min) -------------------------------
+    def cc_init(self):
+        self.labels = self.global_ids.copy()
+        self._changed = np.ones(self.n_local, dtype=bool)
+        return True
+
+    def cc_round(self):
+        idx = np.nonzero(self._changed)[0]
+        self._changed[:] = False
+        meta = {"sent": int(idx.size)}
+        if idx.size == 0:
+            return tuple([meta] + [None] * self.P)
+        dsts, row = self._gather_edges(idx)
+        if dsts.size == 0:
+            return tuple([meta] + [None] * self.P)
+        lab = self.labels[idx][row].astype(np.float64)
+        # min-aggregate per destination partition
+        payloads = [None] * self.P
+        owner = dsts % self.P
+        for p in np.unique(owner):
+            m = owner == p
+            nl = n_local_of(self.n, self.P, int(p))
+            acc = np.full(nl, np.inf)
+            np.minimum.at(acc, dsts[m] // self.P, lab[m])
+            nz = np.nonzero(np.isfinite(acc))[0]
+            pl = (nz.astype(np.int64), acc[nz].astype(np.int64))
+            if p == self.part:
+                self.cc_apply(pl)
+            else:
+                payloads[int(p)] = pl
+        return tuple([meta] + payloads)
+
+    def cc_apply(self, *payloads):
+        changed = 0
+        for pl in payloads:
+            if pl is None:
+                continue
+            ids, vals = pl
+            better = vals < self.labels[ids]
+            if better.any():
+                self.labels[ids[better]] = vals[better]
+                self._changed[ids[better]] = True
+                changed += int(better.sum())
+        return changed
+
+    # ---- G10 label propagation --------------------------------------------
+    def lpa_init(self):
+        self.labels = self.global_ids.copy()
+        self._votes = None
+        return True
+
+    def lpa_round(self):
+        """Emit (dst, my_label) votes along all out-edges (symmetrized
+        graph), pre-counted per (dst, label) pair inside the sender."""
+        idx = np.arange(self.n_local)
+        dsts, row = self._gather_edges(idx)
+        meta = {"votes": int(dsts.size)}
+        payloads = [None] * self.P
+        if dsts.size == 0:
+            self._votes = None
+            return tuple([meta] + [None] * self.P)
+        lab = self.labels[row]  # row indexes into idx == local index
+        packed = (dsts.astype(np.uint64) << np.uint64(32)) | lab.astype(np.uint64)
+        owner = dsts % self.P
+        self._votes = None
+        for p in np.unique(owner):
+            m = owner == p
+            keys, counts = np.unique(packed[m], return_counts=True)
+            pl = (keys, counts.astype(np.int64))
+            if p == self.part:
+                self.lpa_vote(pl)
+            else:
+                payloads[int(p)] = pl
+        return tuple([meta] + payloads)
+
+    def lpa_vote(self, *payloads):
+        for pl in payloads:
+            if pl is None:
+                continue
+            if self._votes is None:
+                self._votes = pl
+            else:
+                self._votes = (
+                    np.concatenate([self._votes[0], pl[0]]),
+                    np.concatenate([self._votes[1], pl[1]]),
+                )
+        return True
+
+    def lpa_commit(self):
+        """Merge votes, per-dst argmax with smallest-label tie-break."""
+        if self._votes is None:
+            return 0
+        keys, counts = self._votes
+        ukeys, inv = np.unique(keys, return_inverse=True)
+        tot = np.zeros(len(ukeys), dtype=np.int64)
+        np.add.at(tot, inv, counts)
+        dst_loc = (ukeys >> np.uint64(32)).astype(np.int64) // self.P
+        lab = (ukeys & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        # order by (dst, -count, label); first row per dst wins
+        order = np.lexsort((lab, -tot, dst_loc))
+        dst_o = dst_loc[order]
+        first = np.concatenate([[True], dst_o[1:] != dst_o[:-1]])
+        win_dst, win_lab = dst_o[first], lab[order][first]
+        changed = int((self.labels[win_dst] != win_lab).sum())
+        self.labels[win_dst] = win_lab
+        self._votes = None
+        return changed
+
+    # ---- checkpoint / restore (SURVEY 4.3) --------------------------------
+    def checkpoint(self, path: str, fields=("reserve", "residual")) -> dict:
+        arrays = {"node_id": self.global_ids}
+        for f in fields:
+            arrays[f] = getattr(self, f if f != "labels" else "labels")
+        tmp = path + ".tmp"
+        pq.write_table(pa.table({k: pa.array(v) for k, v in arrays.items()}), tmp)
+        os.replace(tmp, path)
+        return dict(self.counters)
+
+    def restore(self, path: str, fields=("reserve", "residual")) -> bool:
+        t = pq.read_table(path)
+        for f in fields:
+            arr = t[f].to_numpy(zero_copy_only=False).copy()
+            setattr(self, f, arr)
+        if self.acc is None and "reserve" in fields:
+            self.acc = np.zeros(self.n_local)
+        if "labels" in fields:
+            self._changed = np.ones(self.n_local, dtype=bool)
+        return True
+
+
+# num_cpus=0 by default: supersteps are barrier-synchronized, so shard
+# actors and Dataset tasks never compute at the same time — reserving a
+# CPU per actor would deadlock a session whose CPU budget equals P
+# (actors starve the Dataset stages).  On a production cluster pass
+# worker_num_cpus=1 to GraphHandle.from_edges to give each shard a
+# dedicated core.
+ShardWorker = ray.remote(num_cpus=0)(ShardWorkerImpl)
+
+
+@ray.remote
+def _block_parts(tbl: pa.Table) -> list[int]:
+    return tbl["part_id"].to_pylist()
+
+
+class GraphHandle:
+    """Shard manifest + live actor pool for one graph (SURVEY 3.3)."""
+
+    def __init__(self, workers, n: int, m: int, P: int, alpha: float = 0.2):
+        self.workers, self.n, self.m, self.P, self.alpha = workers, n, m, P, alpha
+
+    @classmethod
+    def from_edges(cls, edges_ds, n: int, P: int = 8, alpha: float = 0.2,
+                   m: int | None = None, worker_num_cpus: float = 0):
+        """Build CSR shards with one groupby shuffle, hand each actor a
+        zero-copy ref to the block holding its partition."""
+        from ..stages.csr import build_csr_shards
+
+        shards = build_csr_shards(edges_ds, n, P).materialize()
+        refs = shards.to_arrow_refs()
+        parts_per_block = ray.get([_block_parts.remote(r) for r in refs])
+        ref_of_part = {}
+        for ref, parts in zip(refs, parts_per_block):
+            for p in parts:
+                ref_of_part[p] = ref
+        worker_cls = (
+            ShardWorker if worker_num_cpus == 0
+            else ray.remote(num_cpus=worker_num_cpus)(ShardWorkerImpl)
+        )
+        workers = [
+            worker_cls.remote(p, P, n, shard=ref_of_part.get(p), alpha=alpha)
+            for p in range(P)
+        ]
+        if m is None:
+            m = edges_ds.count()
+        return cls(workers, n, m, P, alpha)
+
+    def close(self):
+        """Kill shard actors and release their state."""
+        for w in self.workers:
+            ray.kill(w, no_restart=True)
+        self.workers = []
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+    @classmethod
+    def from_dir(cls, shard_dir: str, alpha: float = 0.2):
+        with open(os.path.join(shard_dir, "meta.json")) as f:
+            meta = json.load(f)
+        n, m, P = meta["n"], meta["m"], meta["P"]
+        files = [
+            os.path.join(shard_dir, "shards", f)
+            for f in sorted(os.listdir(os.path.join(shard_dir, "shards")))
+            if f.endswith(".parquet")
+        ]
+        # map part -> file via parquet metadata only
+        part_file = {}
+        for fp in files:
+            t = pq.read_table(fp, columns=["part_id"])
+            for p in t["part_id"].to_pylist():
+                part_file[p] = fp
+        workers = [
+            ShardWorker.remote(p, P, n, shard_file=part_file.get(p), alpha=alpha)
+            for p in range(P)
+        ]
+        return cls(workers, n, m, P, alpha)
+
+    # ---- driver-side superstep helpers -----------------------------------
+    def _exchange(self, round_method: str, apply_method: str, *args) -> list[dict]:
+        """One superstep: invoke round on all workers (num_returns=P+1),
+        route payload refs to owners' apply, barrier, return metas."""
+        P = self.P
+        outs = [
+            getattr(w, round_method).options(num_returns=P + 1).remote(*args)
+            for w in self.workers
+        ]
+        metas = ray.get([o[0] for o in outs])
+        applies = []
+        for p, w in enumerate(self.workers):
+            payloads = [outs[q][p + 1] for q in range(P) if q != p]
+            applies.append(getattr(w, apply_method).remote(*payloads))
+        apply_results = ray.get(applies)
+        return metas, apply_results
+
+    def call_all(self, method: str, *args):
+        return ray.get([getattr(w, method).remote(*args) for w in self.workers])
+
+    def scores_dataset(self, nonzero_only: bool = True):
+        refs = [w.get_scores.remote(nonzero_only) for w in self.workers]
+        return ray.data.from_arrow_refs(refs)
+
+    def labels_dataset(self):
+        refs = [w.get_labels.remote() for w in self.workers]
+        return ray.data.from_arrow_refs(refs)
+
+    def counters(self) -> dict:
+        per = self.call_all("get_counters")
+        tot: dict = {}
+        for c in per:
+            for k, v in c.items():
+                tot[k] = tot.get(k, 0) + v
+        return tot

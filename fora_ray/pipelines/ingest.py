@@ -50,7 +50,7 @@ def build_graph_tables(
             Sha256Verifier,
             fn_constructor_kwargs={"manifest_ref": manifest_ref},
             batch_format="pyarrow",
-            concurrency=verify_concurrency,
+            concurrency=(1, verify_concurrency) if isinstance(verify_concurrency, int) else verify_concurrency,
         ).map_batches(lambda t: t.filter(t["ok"]), batch_format="pyarrow")
 
     nodes, n = assign_node_ids(ds)

@@ -77,7 +77,7 @@ def resolve_to_ids(candidates_ds, nodes_ds, n_nodes: int, strategy: str = "auto"
             _NodeLookup,
             fn_constructor_kwargs={"nodes_ref": nodes_ref},
             batch_format="pyarrow",
-            concurrency=concurrency,
+            concurrency=(1, concurrency) if isinstance(concurrency, int) else concurrency,
         )
     # scale path: two hash joins on (repo, path)
     dst_joined = candidates_ds.join(

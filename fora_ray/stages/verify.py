@@ -61,7 +61,7 @@ def quarantine_split(ds, manifest_ref, concurrency=4):
         Sha256Verifier,
         fn_constructor_kwargs={"manifest_ref": manifest_ref},
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=(1, concurrency) if isinstance(concurrency, int) else concurrency,
     )
     clean = verified.map_batches(
         lambda t: t.filter(t["ok"]).drop_columns(["ok"]), batch_format="pyarrow"

@@ -1,0 +1,78 @@
+"""Per-superstep checkpointing with per-partition lineage
+(SURVEY.md section 4.3; north_rule "resumable from checkpoint with
+per-partition lineage + metrics").
+
+Layout:  {run_dir}/step={k:06d}/part={p:04d}.parquet  (+ manifest.json)
+
+A step is committed only once all P part files exist AND manifest.json
+is in place; both are written via temp-file + os.replace, so a killed
+job can never observe a half-written step.  Resume scans for the max
+committed step and reloads every actor's slice.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import ray
+
+
+def step_dir(run_dir: str, step: int) -> str:
+    return os.path.join(run_dir, f"step={step:06d}")
+
+
+def checkpoint_step(handle, run_dir: str, step: int, fields, extra: dict | None = None) -> dict:
+    """Write every partition's state + the step manifest.  Returns the
+    aggregated counters recorded in the manifest (lineage metrics)."""
+    d = step_dir(run_dir, step)
+    os.makedirs(d, exist_ok=True)
+    paths = [os.path.join(d, f"part={p:04d}.parquet") for p in range(handle.P)]
+    counters = ray.get(
+        [w.checkpoint.remote(p, fields) for w, p in zip(handle.workers, paths)]
+    )
+    manifest = {
+        "step": step,
+        "parts": handle.P,
+        "n": handle.n,
+        "fields": list(fields),
+        "per_part_counters": counters,
+        **(extra or {}),
+    }
+    tmp = os.path.join(d, ".manifest.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(d, "manifest.json"))
+    return manifest
+
+
+def latest_step(run_dir: str, P: int) -> int | None:
+    """Max committed step (all part files + manifest present), else None."""
+    if not os.path.isdir(run_dir):
+        return None
+    best = None
+    for name in os.listdir(run_dir):
+        if not name.startswith("step="):
+            continue
+        d = os.path.join(run_dir, name)
+        if not os.path.exists(os.path.join(d, "manifest.json")):
+            continue
+        if all(
+            os.path.exists(os.path.join(d, f"part={p:04d}.parquet")) for p in range(P)
+        ):
+            k = int(name.split("=")[1])
+            best = k if best is None else max(best, k)
+    return best
+
+
+def restore_step(handle, run_dir: str, step: int, fields) -> dict:
+    d = step_dir(run_dir, step)
+    with open(os.path.join(d, "manifest.json")) as f:
+        manifest = json.load(f)
+    ray.get(
+        [
+            w.restore.remote(os.path.join(d, f"part={p:04d}.parquet"), fields)
+            for p, w in enumerate(handle.workers)
+        ]
+    )
+    return manifest

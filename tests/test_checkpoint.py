@@ -1,0 +1,53 @@
+"""Checkpoint / resume (SURVEY 4.3): kill mid-query, resume from the last
+committed step, final scores identical; partial steps are never resumed."""
+
+import os
+import shutil
+
+import numpy as np
+
+from fora_ray.graph import algorithms as alg
+from fora_ray.graph.algorithms import _push_loop
+from fora_ray.graph.runtime import GraphHandle
+from fora_ray.state.checkpoint import latest_step
+
+from .graphs import to_dataset
+
+
+def test_resume_matches_uninterrupted(graph600, tmp_path):
+    edges, n = graph600
+    ck = str(tmp_path / "ck")
+
+    with GraphHandle.from_edges(to_dataset(edges), n, P=4) as h:
+        scores, _ = alg.pagerank(h)
+        full = scores.to_pandas().sort_values("node_id").reset_index(drop=True)
+
+    # run 7 rounds with per-round checkpoints, then kill the actors
+    h = GraphHandle.from_edges(to_dataset(edges), n, P=4)
+    h.call_all("ppr_init", None)
+    _push_loop(h, None, rmax=0.0, sweep_all=True, ckpt_dir=ck, ckpt_every=1, max_rounds=7)
+    h.close()
+    assert latest_step(ck, 4) == 7
+    assert os.path.exists(f"{ck}/step=000007/manifest.json")
+
+    # fresh actors resume from step 7 and must reproduce the full run
+    with GraphHandle.from_edges(to_dataset(edges), n, P=4) as h:
+        scores, stats = alg.pagerank(h, ckpt_dir=ck, resume=True, ckpt_every=1000)
+        resumed = scores.to_pandas().sort_values("node_id").reset_index(drop=True)
+    assert stats["rounds"] > 7
+    assert np.allclose(full["ppr"].to_numpy(), resumed["ppr"].to_numpy(), atol=1e-15)
+
+
+def test_partial_step_not_committed(graph600, tmp_path):
+    edges, n = graph600
+    ck = str(tmp_path / "ck2")
+    h = GraphHandle.from_edges(to_dataset(edges), n, P=4)
+    h.call_all("ppr_init", None)
+    _push_loop(h, None, rmax=0.0, sweep_all=True, ckpt_dir=ck, ckpt_every=1, max_rounds=3)
+    h.close()
+    assert latest_step(ck, 4) == 3
+    # simulate a crash mid-write of step 3: one part file missing
+    os.remove(f"{ck}/step=000003/part=0002.parquet")
+    assert latest_step(ck, 4) == 2
+    shutil.rmtree(f"{ck}/step=000002")
+    assert latest_step(ck, 4) == 1

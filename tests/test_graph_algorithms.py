@@ -1,0 +1,141 @@
+"""Distributed graph algorithms vs single-process oracles (SURVEY 5.2.2-3).
+
+mode="exact" results must be allclose 1e-6 (we assert 1e-9) vs numpy
+power iteration; CC/LPA exact; FORA mode deterministic per seed and
+inside the paper's epsilon bound.
+"""
+
+import numpy as np
+import pytest
+import ray
+
+from fora_ray import oracle
+from fora_ray.graph import algorithms as alg
+from fora_ray.graph.runtime import GraphHandle
+
+from .graphs import ALL, BRIDGE8, DANGLE3, symmetrized, to_dataset
+
+
+def _scores_to_dense(scores_ds, n):
+    sp = scores_ds.to_pandas()
+    out = np.zeros(n)
+    out[sp["node_id"]] = sp["ppr"]
+    return out
+
+
+@pytest.mark.parametrize("name", list(ALL))
+def test_ppr_exact_micro(name):
+    edges, n = ALL[name]
+    with GraphHandle.from_edges(to_dataset(edges), n, P=2) as h:
+        scores, stats = alg.personalized_pagerank(h, 0, mode="exact")
+        got = _scores_to_dense(scores, n)
+    want = oracle.ppr_power_iteration(edges, n, source=0)
+    assert np.allclose(got, want, atol=1e-9)
+    assert abs(got.sum() - 1.0) < 1e-9  # alpha-mass conservation
+
+
+def test_ppr_exact_fixture(graph600):
+    edges, n = graph600
+    with GraphHandle.from_edges(to_dataset(edges), n, P=4) as h:
+        for src in (17, int(edges[0, 0])):
+            scores, _ = alg.personalized_pagerank(h, src, mode="exact")
+            got = _scores_to_dense(scores, n)
+            want = oracle.ppr_power_iteration(edges, n, source=src)
+            assert np.allclose(got, want, atol=1e-9)
+
+
+def test_pagerank_fixture(graph600):
+    edges, n = graph600
+    with GraphHandle.from_edges(to_dataset(edges), n, P=4) as h:
+        scores, _ = alg.pagerank(h)
+        got = _scores_to_dense(scores, n)
+    want = oracle.ppr_power_iteration(edges, n, source=None)
+    assert np.allclose(got, want, atol=1e-9)
+
+
+def test_dangling_mass_returns_to_source():
+    """DANGLE3: node 2 has no out-edges; its mass must restart at source 0
+    (SURVEY 2.4 G1 convention)."""
+    n = 3
+    with GraphHandle.from_edges(to_dataset(DANGLE3), n, P=2) as h:
+        scores, _ = alg.personalized_pagerank(h, 0, mode="exact")
+        got = _scores_to_dense(scores, n)
+    want = oracle.ppr_power_iteration(DANGLE3, n, source=0)
+    assert np.allclose(got, want, atol=1e-12)
+    assert abs(got.sum() - 1.0) < 1e-12
+
+
+def test_fora_mode_deterministic_and_bounded(graph600):
+    edges, n = graph600
+    src = int(edges[0, 0])
+
+    def run(P, seed):
+        with GraphHandle.from_edges(to_dataset(edges), n, P=P) as h:
+            scores, stats = alg.personalized_pagerank(h, src, mode="fora", seed=seed)
+            return _scores_to_dense(scores, n), stats
+
+    g2, st = run(2, seed=7)
+    g2b, _ = run(2, seed=7)
+    assert np.array_equal(g2, g2b)  # bit-identical at fixed P
+    g4, _ = run(4, seed=7)
+    assert np.allclose(g2, g4, atol=1e-15)  # float-sum order only across P
+    g_other, _ = run(2, seed=8)
+    assert not np.array_equal(g2, g_other)  # MC is actually randomized
+    # paper guarantee: relative error <= eps for all pi > delta
+    want = oracle.ppr_power_iteration(edges, n, source=src)
+    mask = want > 1.0 / n
+    relerr = np.abs(g2[mask] - want[mask]) / want[mask]
+    assert (relerr <= 0.5).all()
+    assert abs(g2.sum() - 1.0) < 1e-9
+
+
+def test_monte_carlo_baseline(graph600):
+    edges, n = graph600
+    src = int(edges[0, 0])
+    with GraphHandle.from_edges(to_dataset(edges), n, P=2) as h:
+        scores, stats = alg.monte_carlo_ppr(h, src, seed=3)
+        got = _scores_to_dense(scores, n)
+    want = oracle.ppr_power_iteration(edges, n, source=src)
+    mask = want > 1.0 / n
+    relerr = np.abs(got[mask] - want[mask]) / want[mask]
+    assert (relerr <= 0.5).all()
+
+
+def test_cc_and_lpa(graph600):
+    edges, n = graph600
+    sym = symmetrized(edges)
+    with GraphHandle.from_edges(to_dataset(sym), n, P=4) as h:
+        labels, _ = alg.connected_components(h)
+        got = labels.to_pandas().sort_values("node_id")["label"].to_numpy()
+        assert np.array_equal(got, oracle.cc_oracle(sym, n))
+        labels, _ = alg.label_propagation(h, max_rounds=20)
+        got = labels.to_pandas().sort_values("node_id")["label"].to_numpy()
+        assert np.array_equal(got, oracle.lpa_oracle(sym, n, max_rounds=20))
+
+
+def test_cc_bridge8():
+    sym = symmetrized(BRIDGE8)
+    with GraphHandle.from_edges(to_dataset(sym), 8, P=2) as h:
+        labels, _ = alg.connected_components(h)
+        got = labels.to_pandas().sort_values("node_id")["label"].to_numpy()
+    assert np.array_equal(got, np.zeros(8))  # one component, min id 0
+
+
+def test_mass_conservation_each_round(graph600):
+    """After every push superstep Σreserve + Σresidual == 1 (SURVEY 5.2.1)."""
+    edges, n = graph600
+    from fora_ray.graph.algorithms import _push_loop
+
+    with GraphHandle.from_edges(to_dataset(edges), n, P=2) as h:
+        h.call_all("ppr_init", 17)
+        for _ in range(5):
+            metas, rsums = h._exchange("push_round", "apply_residual", 0.0, True)
+            dang = sum(m["dangling"] for m in metas)
+            if dang > 0:
+                h.call_all("add_source_residual", 17, dang)
+            rsum = sum(rsums) + dang
+            tables = ray.get([w.get_scores.remote(True) for w in h.workers])
+            reserve_sum = sum(
+                t["ppr"].to_numpy().sum() for t in tables if t.num_rows
+            )
+            assert abs(reserve_sum + rsum - 1.0) < 1e-12
