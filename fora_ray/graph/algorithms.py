@@ -148,6 +148,104 @@ def pagerank(handle, mode: str = "exact", tol: float = 1e-12,
     return handle.scores_dataset(), stats
 
 
+def build_walk_index(handle, eps: float = 0.5, delta: float | None = None,
+                     pfail: float | None = None, rmax_scale: float = 1.0,
+                     seed: int = 42, save_dir: str | None = None) -> dict:
+    """G8 — FORA+ walk index: precompute ceil(rmax*omega*out_deg(v)) walk
+    endpoints per vertex (paper TODS section 5).  One-time job; makes the
+    query-time MC phase a deterministic index lookup.  Walks that hit a
+    dangling vertex are stored as -1 (restart marker) and re-run live
+    from the query source at query time."""
+    import os as _os
+
+    p = fora_params(handle.n, handle.m, eps, delta, pfail, rmax_scale)
+    walks_per_deg = p["rmax"] * p["omega"]
+    total = sum(handle.call_all("index_init", walks_per_deg, seed))
+    hop, alive = 0, total
+    while alive > 0:
+        metas, _ = handle._exchange("index_walk_round", "apply_index_walkers", hop)
+        alive = sum(m["alive"] for m in metas)
+        hop += 1
+    handle._exchange("index_endpoint_exchange", "apply_endpoints")
+    sizes = handle.call_all("index_build")
+    if save_dir is not None:
+        _os.makedirs(save_dir, exist_ok=True)
+        import ray as _ray
+
+        _ray.get([
+            w.index_save.remote(_os.path.join(save_dir, f"part={q:04d}.parquet"))
+            for q, w in enumerate(handle.workers)
+        ])
+    return {**p, "walks_per_deg": walks_per_deg, "index_walks": total,
+            "index_size": sum(sizes), "hops": hop}
+
+
+def load_walk_index(handle, save_dir: str) -> None:
+    import os as _os
+
+    import ray as _ray
+
+    _ray.get([
+        w.index_load.remote(_os.path.join(save_dir, f"part={q:04d}.parquet"))
+        for q, w in enumerate(handle.workers)
+    ])
+
+
+def fora_ssppr_indexed(handle, source: int, eps: float = 0.5,
+                       delta: float | None = None, pfail: float | None = None,
+                       rmax_scale: float = 1.0, seed: int = 42):
+    """FORA+ query: push at rmax, then MC phase from the stored index
+    (no RNG except for restart-marker walks re-run from the source)."""
+    handle.call_all("ppr_init", source)
+    p = fora_params(handle.n, handle.m, eps, delta, pfail, rmax_scale)
+    stats = _push_loop(handle, source, rmax=p["rmax"], sweep_all=False)
+    metas, _ = handle._exchange("walk_from_index", "apply_acc", p["omega"])
+    restart_mass = sum(m["restart"] for m in metas)
+    if restart_mass > 0:
+        count = max(int(math.ceil(restart_mass * p["omega"])), 1)
+        handle.call_all("spawn_live_walks", source, restart_mass, count,
+                        seed ^ (source * 0x9E3779B9))
+        hop, alive = 0, count
+        while alive > 0:
+            ms, _ = handle._exchange("walk_round", "apply_walkers", hop, source)
+            alive = sum(m["alive"] for m in ms)
+            hop += 1
+    handle.call_all("walk_fold")
+    stats.update(p)
+    stats["restart_mass"] = restart_mass
+    return handle.scores_dataset(), stats
+
+
+def topk_ppr(handle, source: int, k: int, eps: float = 0.5, seed: int = 42,
+             pfail: float | None = None, max_iters: int = 6,
+             use_index: bool = False):
+    """G7 — top-k SSPPR with iterative tightening (paper section 4 Alg.4/5
+    shape): start at the coarse guarantee level delta=1/k and halve
+    delta until the top-k id set is stable across two consecutive
+    iterations (or delta reaches 1/n).  Returns (topk Dataset
+    (node_id, ppr) sorted desc, stats)."""
+    prev_ids: tuple | None = None
+    delta = max(1.0 / max(k, 1), 1.0 / handle.n)
+    stats: dict = {"iters": 0}
+    scores = None
+    for i in range(max_iters):
+        if use_index:
+            scores, st = fora_ssppr_indexed(handle, source, eps=eps, delta=delta,
+                                            pfail=pfail, seed=seed + i)
+        else:
+            scores, st = personalized_pagerank(handle, source, mode="fora", eps=eps,
+                                               delta=delta, pfail=pfail, seed=seed + i)
+        stats["iters"] = i + 1
+        stats["delta"] = delta
+        top = scores.sort("ppr", descending=True).limit(k).to_pandas()
+        ids = tuple(sorted(top["node_id"].tolist()))
+        if (len(top) >= k and ids == prev_ids) or delta <= 1.0 / handle.n:
+            break
+        prev_ids = ids
+        delta = max(delta / 4.0, 1.0 / handle.n)
+    return scores.sort("ppr", descending=True).limit(k), stats
+
+
 def connected_components(handle, max_rounds: int = 10_000):
     """G9 — hash-min label propagation on the symmetrized graph.
     Deterministic; label = min node id of the component."""

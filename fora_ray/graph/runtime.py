@@ -271,6 +271,204 @@ class ShardWorkerImpl:
         self.acc[:] = 0.0
         return True
 
+    # ---- G8 FORA+ walk index (SURVEY 2.4 G8, paper TODS section 5) --------
+    def index_init(self, walks_per_deg: float, seed: int):
+        """Spawn ceil(walks_per_deg * max(out_deg,1)) index walks per local
+        vertex (walks_per_deg = rmax * omega, the paper's per-degree walk
+        budget).  Payloads carry (cur, origin, kidx, key); endpoints are
+        recorded at termination and shipped back to the origin's owner."""
+        K = np.ceil(walks_per_deg * np.maximum(self.out_deg, 1)).astype(np.int64)
+        total = int(K.sum())
+        self._endpoint_buf = []
+        if total == 0:
+            self._ipending = None
+            return 0
+        origin = np.repeat(self.global_ids, K)
+        cum = np.concatenate([[0], np.cumsum(K[:-1])])
+        kidx = np.arange(total, dtype=np.int64) - np.repeat(cum, K)
+        wkey = mix64(np.uint64(seed) ^ np.uint64(0xF0F0), mix64(origin.astype(np.uint64), kidx.astype(np.uint64)))
+        self._ipending = (origin.copy(), origin, kidx, wkey)  # (cur, origin, kidx, key)
+        return total
+
+    def index_walk_round(self, hop: int):
+        """Advance index walkers one hop.  Dangling nodes are recorded as
+        endpoint -1 (restart marker): the query re-runs those walks live
+        from its source, keeping semantics identical to mode='fora'."""
+        meta = {"alive": 0}
+        if self._ipending is None:
+            return tuple([meta] + [None] * self.P)
+        cur, origin, kidx, wkey = self._ipending
+        self._ipending = None
+        loc = cur // self.P
+        stop = rng_uniform(mix64(wkey, np.full(len(wkey), np.uint64(2 * hop), np.uint64))) < self.alpha
+        d = self.out_deg[loc]
+        dang = (~stop) & (d == 0)
+        done = stop | dang
+        if done.any():
+            ep = np.where(stop, cur, -1)[done]
+            self._endpoint_buf.append((origin[done], kidx[done], ep))
+        alive = ~done
+        cur, origin, kidx, wkey, loc, d = (
+            cur[alive], origin[alive], kidx[alive], wkey[alive], loc[alive], d[alive]
+        )
+        payloads = [None] * self.P
+        if cur.size:
+            u2 = rng_uniform(mix64(wkey, np.full(len(wkey), np.uint64(2 * hop + 1), np.uint64)))
+            choice = np.minimum((u2 * d).astype(np.int64), d - 1)
+            nxt = self.indices[self.indptr[loc] + choice]
+            owner = nxt % self.P
+            for p in np.unique(owner):
+                m = owner == p
+                pl = (nxt[m], origin[m], kidx[m], wkey[m])
+                if p == self.part:
+                    self._iappend(pl)
+                else:
+                    payloads[int(p)] = pl
+        meta["alive"] = int(cur.size)
+        return tuple([meta] + payloads)
+
+    def _iappend(self, pl):
+        if pl is None:
+            return
+        if self._ipending is None:
+            self._ipending = pl
+        else:
+            self._ipending = tuple(np.concatenate([a, b]) for a, b in zip(self._ipending, pl))
+
+    def apply_index_walkers(self, *payloads):
+        for pl in payloads:
+            self._iappend(pl)
+        return True
+
+    def index_endpoint_exchange(self):
+        """Route recorded (origin, kidx, endpoint) triples to origin owners."""
+        if self._endpoint_buf:
+            origin = np.concatenate([b[0] for b in self._endpoint_buf])
+            kidx = np.concatenate([b[1] for b in self._endpoint_buf])
+            ep = np.concatenate([b[2] for b in self._endpoint_buf])
+        else:
+            origin = kidx = ep = np.empty(0, np.int64)
+        self._endpoint_buf = []
+        payloads = [None] * self.P
+        owner = origin % self.P if origin.size else origin
+        for p in (np.unique(owner) if origin.size else []):
+            m = owner == p
+            pl = (origin[m], kidx[m], ep[m])
+            if p == self.part:
+                self.apply_endpoints(pl)
+            else:
+                payloads[int(p)] = pl
+        return tuple([{"n": int(origin.size)}] + payloads)
+
+    def apply_endpoints(self, *payloads):
+        if not hasattr(self, "_ep_in") or self._ep_in is None:
+            self._ep_in = []
+        for pl in payloads:
+            if pl is not None:
+                self._ep_in.append(pl)
+        return True
+
+    def index_build(self):
+        """Assemble the per-vertex endpoint index (CSR layout, walks in
+        kidx order so the first omega_v endpoints are a deterministic
+        prefix)."""
+        if getattr(self, "_ep_in", None):
+            origin = np.concatenate([p[0] for p in self._ep_in])
+            kidx = np.concatenate([p[1] for p in self._ep_in])
+            ep = np.concatenate([p[2] for p in self._ep_in])
+        else:
+            origin = kidx = ep = np.empty(0, np.int64)
+        self._ep_in = None
+        loc = origin // self.P
+        counts = np.bincount(loc, minlength=self.n_local) if loc.size else np.zeros(self.n_local, np.int64)
+        order = np.lexsort((kidx, loc)) if loc.size else np.empty(0, np.int64)
+        self.idx_indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        self.idx_endpoints = ep[order]
+        return int(ep.size)
+
+    def index_save(self, path: str):
+        from ..stages.csr import _large_list
+
+        tmp = path + ".tmp"
+        pq.write_table(
+            pa.table({
+                "indptr": _large_list(self.idx_indptr),
+                "endpoints": _large_list(self.idx_endpoints),
+            }),
+            tmp,
+        )
+        os.replace(tmp, path)
+        return True
+
+    def index_load(self, path: str):
+        t = pq.read_table(path)
+        self.idx_indptr = np.asarray(t["indptr"][0].as_py(), dtype=np.int64)
+        self.idx_endpoints = np.asarray(t["endpoints"][0].as_py(), dtype=np.int64)
+        return True
+
+    def walk_from_index(self, omega: float):
+        """Query-time MC phase via index lookup (no RNG): for each local v
+        with residual r, take the first ceil(r*omega) stored endpoints,
+        each contributing r/omega_v.  Returns additive payloads for real
+        endpoints; -1 (restart) endpoints come back as (weights) to be
+        re-run live from the query source."""
+        r = self.residual
+        idx = np.nonzero(r > 0)[0]
+        meta = {"restart": 0.0, "used": 0}
+        if idx.size == 0:
+            return tuple([meta] + [None] * self.P)
+        omega_v = np.ceil(r[idx] * omega).astype(np.int64)
+        stored = self.idx_indptr[idx + 1] - self.idx_indptr[idx]
+        take = np.minimum(omega_v, stored)
+        # gather first `take` endpoints of each vertex
+        total = int(take.sum())
+        wt_per = r[idx] / omega_v
+        if total:
+            cum = np.concatenate([[0], np.cumsum(take[:-1])])
+            pos = np.arange(total, dtype=np.int64)
+            rows = np.repeat(np.arange(idx.size), take)
+            eidx = np.repeat(self.idx_indptr[idx], take) + (pos - np.repeat(cum, take))
+            eps_ = self.idx_endpoints[eidx]
+            wts = wt_per[rows]
+            live = eps_ < 0  # restart markers -> rerun from source
+            meta["restart"] += float(wts[live].sum())
+            meta["used"] = total
+            real, wts_r = eps_[~live], wts[~live]
+            self.counters["walks"] += total
+        else:
+            real = np.empty(0, np.int64)
+            wts_r = np.empty(0, np.float64)
+        # shortfall (omega_v > stored) also re-run live from residual vertex;
+        # cannot happen when walks_per_deg >= rmax*omega and push ran with
+        # the same rmax, but guard anyway:
+        short = omega_v - take
+        if short.sum():
+            meta["short"] = int(short.sum())
+            meta["restart"] += float((wt_per * short).sum())
+        r[idx] = 0.0
+        payloads = [None] * self.P
+        if real.size:
+            payloads = self._route_add(real, wts_r, lambda acc: self.acc.__iadd__(acc))
+        return tuple([meta] + payloads)
+
+    def apply_acc(self, *payloads):
+        for pl in payloads:
+            self._add_payload(self.acc, pl)
+        return True
+
+    def spawn_live_walks(self, source: int, mass: float, count_hint: int, seed: int):
+        """Re-inject restart/shortfall mass as live walks from the query
+        source (each walk weight mass/count)."""
+        if source % self.P != self.part or mass <= 0:
+            return 0
+        k = max(int(count_hint), 1)
+        wt = np.full(k, mass / k)
+        cur = np.full(k, source, dtype=np.int64)
+        kidx = np.arange(k, dtype=np.int64)
+        wkey = mix64(np.uint64(seed) ^ np.uint64(0xABCD), mix64(cur.astype(np.uint64), kidx.astype(np.uint64)))
+        self._append_walkers((cur, wt, wkey))
+        return k
+
     # ---- result extraction ------------------------------------------------
     def get_scores(self, nonzero_only: bool = True) -> pa.Table:
         vals = self.reserve
