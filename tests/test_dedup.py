@@ -1,0 +1,92 @@
+"""Dedup pipelines vs DuckDB / brute-force oracles."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import ray
+
+from fora_ray.pipelines.dedup import (
+    dup_clusters,
+    embedding_dups,
+    exact_dedup,
+    minhash_lsh_dups,
+    ngram_jaccard,
+    simhash_dups,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs():
+    return ray.data.read_parquet(f"{SF}/documents.parquet")
+
+
+def test_exact_dedup_matches_duckdb():
+    got = exact_dedup(_docs()).to_pandas()["doc_id"].tolist()
+    want = (
+        duckdb.sql(
+            f"SELECT min(doc_id) AS doc_id FROM read_parquet('{SF}/documents.parquet') "
+            "GROUP BY text ORDER BY 1"
+        )
+        .df()["doc_id"]
+        .tolist()
+    )
+    assert got == want
+
+
+def _dup_corpus():
+    """Tiny corpus with planted near-dups."""
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base.replace("lazy", "sleepy", 1)
+    far = "completely different content about graphs and pagerank " * 6
+    rows = {
+        "doc_id": [0, 1, 2, 3],
+        "text": [base, near, far, base],
+    }
+    return ray.data.from_arrow(pa.table(rows))
+
+
+def test_minhash_lsh_finds_planted_dups():
+    pairs = minhash_lsh_dups(_dup_corpus(), threshold=0.5).to_pandas()
+    got = set(map(tuple, pairs[["a", "b"]].to_numpy()))
+    assert (0, 3) in got  # identical
+    assert (0, 1) in got  # near-dup
+    assert all((2 not in p) for p in got)  # unrelated doc never matched
+    # jaccard column is the exact verification value
+    row = pairs[(pairs.a == 0) & (pairs.b == 1)].iloc[0]
+    assert abs(row["jaccard"] - ngram_jaccard(
+        _dup_corpus().take(2)[0]["text"], _dup_corpus().take(2)[1]["text"]
+    )) < 1e-12
+
+
+def test_simhash_finds_planted_dups():
+    pairs = simhash_dups(_dup_corpus(), hamming_thresh=6).to_pandas()
+    got = set(map(tuple, pairs[["a", "b"]].to_numpy()))
+    assert (0, 3) in got
+    assert all((2 not in p) for p in got)
+
+
+def test_dup_clusters():
+    pairs = minhash_lsh_dups(_dup_corpus(), threshold=0.5)
+    clusters = dup_clusters(pairs, _dup_corpus()).to_pandas()
+    c = dict(zip(clusters["doc_id"], clusters["cluster"]))
+    assert c[0] == c[1] == c[3] == 0
+    assert c[2] == 2
+
+
+def test_embedding_dups():
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal(32)
+    rows = {
+        "vec_id": [0, 1, 2],
+        "embedding": [
+            base.tolist(),
+            (base + 0.01 * rng.standard_normal(32)).tolist(),
+            rng.standard_normal(32).tolist(),
+        ],
+    }
+    ds = ray.data.from_arrow(pa.table(rows))
+    pairs = embedding_dups(ds, threshold=0.95, n_planes=8).to_pandas()
+    got = set(map(tuple, pairs[["a", "b"]].to_numpy()))
+    assert (0, 1) in got
+    assert all((2 not in p) for p in got)

@@ -1,0 +1,117 @@
+"""Text analysis + ANN pipelines."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import ray
+
+from fora_ray.pipelines.ann import brute_force_topk, ivf_topk
+from fora_ray.pipelines.text import (
+    fingerprints,
+    language_id,
+    quality_scores,
+    token_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_token_counts_match_duckdb():
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet")
+    got = token_counts(docs).to_pandas()
+    want = duckdb.sql(
+        f"SELECT doc_id, length(regexp_extract_all(text, '\\w+')) AS n_tokens "
+        f"FROM read_parquet('{SF}/documents.parquet') ORDER BY doc_id"
+    ).df()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["n_tokens"].tolist() == want["n_tokens"].tolist()
+
+
+def test_language_id():
+    rows = {
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "the cat is in the house and it is warm",
+            "der Hund ist nicht in der Stadt und das ist gut",
+            "le chat est dans la maison et il est pour les amis",
+            "",
+        ],
+    }
+    out = language_id(ray.data.from_arrow(pa.table(rows))).to_pandas()
+    assert out["lang_pred"].tolist() == ["en", "de", "fr", "unknown"]
+
+
+def test_quality_scores_deterministic():
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet")
+    a = quality_scores(docs).to_pandas()
+    b = quality_scores(docs).to_pandas()
+    assert a.equals(b)
+    assert ((a["quality"] >= 0) & (a["quality"] <= 1)).all()
+    # n_chars must agree with the table's own n_chars column
+    raw = docs.to_pandas().sort_values("doc_id")
+    assert a["n_chars"].tolist() == raw["n_chars"].tolist()
+
+
+def test_fingerprints_stable_under_whitespace():
+    rows = {
+        "doc_id": [0, 1],
+        "text": ["alpha beta gamma delta " * 4, "alpha  beta\n gamma   delta " * 4],
+    }
+    out = fingerprints(ray.data.from_arrow(pa.table(rows))).to_pandas()
+    assert out["fingerprint"][0] == out["fingerprint"][1]
+
+
+def _emb():
+    return ray.data.read_parquet(f"{SF}/embeddings.parquet")
+
+
+def test_brute_force_topk_matches_numpy():
+    emb = _emb().to_pandas()
+    M = np.stack(emb["embedding"].to_numpy())
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    queries = M[:3]
+    got = brute_force_topk(_emb(), queries, k=5).to_pandas()
+    for qi in range(3):
+        S = M @ queries[qi]
+        order = np.lexsort((emb["vec_id"].to_numpy(), -S))
+        want_ids = emb["vec_id"].to_numpy()[order[:5]].tolist()
+        got_ids = got[got.query_id == qi].sort_values("rank")["vec_id"].tolist()
+        assert got_ids == want_ids
+
+
+def test_ivf_recall():
+    emb = _emb().to_pandas()
+    M = np.stack(emb["embedding"].to_numpy())
+    queries = M[:4]
+    exact = brute_force_topk(_emb(), queries, k=10).to_pandas()
+    approx = ivf_topk(_emb(), queries, k=10, nlist=8, nprobe=3).to_pandas()
+    recalls = []
+    for qi in range(4):
+        e = set(exact[exact.query_id == qi]["vec_id"])
+        a = set(approx[approx.query_id == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6  # nprobe=3/8 lists
+
+
+def test_multimodal_stub_plumbing():
+    from fora_ray.pipelines.multimodal import (
+        ImageDecoder,
+        decode_images,
+        sample_frames,
+        synthesize_media_table,
+    )
+
+    media = ray.data.from_arrow(synthesize_media_table(30))
+    feats = decode_images(media, fake=True).to_pandas()
+    assert len(feats) == 10  # a third are images
+    assert all(len(f) == 16 for f in feats["features"])
+    # deterministic: same payload -> same features
+    feats2 = decode_images(media, fake=True).to_pandas()
+    assert feats["media_id"].tolist() == feats2["media_id"].tolist()
+    frames = sample_frames(media, fps=2.0, fake=True).to_pandas()
+    assert (frames["frame_idx"] >= 0).all() and len(frames) > 10
+    # real decoder is an explicit stub
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        ImageDecoder(fake=False)
