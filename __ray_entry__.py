@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (corpus ingest -> PageRank) on a
+deterministic sf0.001-scale corpus fixture.  ``queries()`` exposes one
+callable per implemented operator from SURVEY.md section 2 plus the
+training-data-pipeline operators; ``oracle_sql()`` gives the DuckDB
+equivalent for every SQL-expressible one (the driver compares them at
+sf=0.01; rows-only checks for the rest — their real correctness gates
+live in tests/ against numpy/networkx-style oracles).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +17,363 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+
+# fixture scale per testdata sf directory (FIXTURES.md: sf-unit /
+# sf-correctness / sf-bench)
+_SF_FILES = {"0.001": 600, "0.01": 2000, "0.1": 20000}
+_GRAPH_CACHE: dict[str, dict] = {}
+
+
+def _sf_of(sf_dir: str) -> str:
+    name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return name[2:] if name.startswith("sf") else "0.01"
+
+
+def _fixture_for(sf_dir: str) -> str:
+    from fora_ray.fixtures import fixture_dir
+
+    return fixture_dir(_SF_FILES.get(_sf_of(sf_dir), 2000))
+
+
+def _graph(sf_dir: str) -> dict:
+    """Ingest the corpus fixture for this sf once; cache tables + handles."""
+    import ray
+
+    from fora_ray.graph.runtime import GraphHandle
+    from fora_ray.pipelines.ingest import ingest_fixture
+
+    fix = _fixture_for(sf_dir)
+    if fix in _GRAPH_CACHE:
+        return _GRAPH_CACHE[fix]
+    t = ingest_fixture(fix)
+    edges = t["edges"].materialize()
+    sym = t["edges_undirected"].materialize()
+    n = t["n_nodes"]
+    entry = {
+        "fix": fix,
+        "n": n,
+        "nodes": t["nodes"],
+        "edges": edges,
+        "sym": sym,
+        "degrees": t["degrees"],
+        "handle": GraphHandle.from_edges(edges, n, P=4),
+        "handle_sym": GraphHandle.from_edges(sym, n, P=4),
+    }
+    _GRAPH_CACHE[fix] = entry
+    return entry
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: sf0.001 corpus -> ingest -> PageRank scores."""
+    from fora_ray.graph import algorithms as alg
+
+    g = _graph("/root/testdata/sf0.001")
+    scores, _ = alg.pagerank(g["handle"])
+    return scores.to_pandas().sort_values("node_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _docs(sf_dir):
+    import ray
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(sf_dir):
+    import ray
+
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _queries_relational():
+    import pyarrow as pa
+    import ray
+    from ray.data.aggregate import Count
+
+    from fora_ray.pipelines.dedup import add_text_sha256
+    from fora_ray.stages.edges import dedup_edges
+
+    def degrees_out(sf_dir):
+        orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+        return (
+            orders.groupby("o_custkey")
+            .aggregate(Count(alias_name="out_deg"))
+            .rename_columns({"o_custkey": "node_id"})
+            .sort("node_id")
+        )
+
+    def _lineitem_edges(sf_dir):
+        li = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+        )
+        return dedup_edges(
+            li.map_batches(
+                lambda t: pa.table({"src": t["l_orderkey"], "dst": t["l_partkey"]}),
+                batch_format="pyarrow",
+            )
+        )
+
+    def edge_dedup(sf_dir):
+        return _lineitem_edges(sf_dir)
+
+    def top_hubs(sf_dir):
+        return (
+            _lineitem_edges(sf_dir)
+            .groupby("src")
+            .aggregate(Count(alias_name="cnt"))
+            .sort(["cnt", "src"], descending=[True, False])
+            .limit(20)
+        )
+
+    def join_resolve(sf_dir):
+        orders = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+        )
+        cust = ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+        )
+        return orders.join(
+            cust, join_type="inner", num_partitions=8,
+            on=("o_custkey",), right_on=("c_custkey",),
+        ).select_columns(["o_orderkey", "o_custkey", "o_totalprice", "c_name"]).sort("o_orderkey")
+
+    def sha256_rows(sf_dir):
+        return (
+            _docs(sf_dir)
+            .map_batches(
+                lambda t: add_text_sha256(t).select(["doc_id", "text_sha256"]),
+                batch_format="pyarrow",
+            )
+            .sort("doc_id")
+        )
+
+    return {
+        "degrees_out": degrees_out,
+        "edge_dedup": edge_dedup,
+        "top_hubs": top_hubs,
+        "join_resolve": join_resolve,
+        "sha256_rows": sha256_rows,
+    }
+
+
+def _queries_documents():
+    from fora_ray.pipelines.ann import brute_force_topk, ivf_topk
+    from fora_ray.pipelines.dedup import (
+        exact_dedup,
+        minhash_lsh_dups,
+        simhash_dups,
+    )
+    from fora_ray.pipelines.text import (
+        fingerprints,
+        language_id,
+        quality_scores,
+        token_counts,
+    )
+
+    def _queries_matrix(sf_dir, nq=8):
+        t = _emb(sf_dir).to_pandas().sort_values("vec_id").head(nq)
+        return np.stack(t["embedding"].to_numpy())
+
+    def ann_topk(sf_dir):
+        out = brute_force_topk(_emb(sf_dir), _queries_matrix(sf_dir), k=10)
+        return out.select_columns(["query_id", "rank", "vec_id"])  # scores float-compared in tests
+
+    def ann_ivf(sf_dir):
+        return ivf_topk(_emb(sf_dir), _queries_matrix(sf_dir), k=10, nlist=16, nprobe=4)
+
+    return {
+        "docs_exact_dedup": lambda sf: exact_dedup(_docs(sf)),
+        "token_counts": lambda sf: token_counts(_docs(sf)),
+        "doc_quality": lambda sf: quality_scores(_docs(sf)).select_columns(
+            ["doc_id", "n_chars", "n_tokens"]
+        ),
+        "langid": lambda sf: language_id(_docs(sf)),
+        "doc_fingerprints": lambda sf: fingerprints(_docs(sf)),
+        "minhash_dups": lambda sf: minhash_lsh_dups(_docs(sf), threshold=0.6).select_columns(["a", "b"]),
+        "simhash_dups": lambda sf: simhash_dups(_docs(sf), hamming_thresh=3).select_columns(["a", "b"]),
+        "ann_topk": ann_topk,
+        "ann_ivf": ann_ivf,
+    }
+
+
+def _queries_graph():
+    from fora_ray.graph import algorithms as alg
+    from fora_ray.graph.triangles import triangle_count
+
+    def ingest_nodes(sf_dir):
+        return _graph(sf_dir)["nodes"].to_pandas().sort_values("node_id").reset_index(drop=True)
+
+    def ingest_edges(sf_dir):
+        return _graph(sf_dir)["edges"].to_pandas().reset_index(drop=True)
+
+    def ingest_degrees(sf_dir):
+        return _graph(sf_dir)["degrees"].to_pandas().reset_index(drop=True)
+
+    def pagerank_q(sf_dir):
+        g = _graph(sf_dir)
+        scores, _ = alg.pagerank(g["handle"])
+        return scores.to_pandas().sort_values("node_id").reset_index(drop=True)
+
+    def ppr_exact(sf_dir):
+        g = _graph(sf_dir)
+        scores, _ = alg.personalized_pagerank(g["handle"], source=0, mode="exact")
+        return scores.to_pandas().sort_values("node_id").reset_index(drop=True)
+
+    def fora_ppr(sf_dir):
+        g = _graph(sf_dir)
+        scores, _ = alg.personalized_pagerank(g["handle"], source=0, mode="fora", seed=42)
+        return scores.to_pandas().sort_values("node_id").reset_index(drop=True)
+
+    def topk_ppr_q(sf_dir):
+        g = _graph(sf_dir)
+        top, _ = alg.topk_ppr(g["handle"], source=0, k=10, seed=42)
+        return top.to_pandas().reset_index(drop=True)
+
+    def cc_q(sf_dir):
+        g = _graph(sf_dir)
+        labels, _ = alg.connected_components(g["handle_sym"])
+        return labels.to_pandas().sort_values("node_id").reset_index(drop=True)
+
+    def lpa_q(sf_dir):
+        g = _graph(sf_dir)
+        labels, _ = alg.label_propagation(g["handle_sym"], max_rounds=20)
+        return labels.to_pandas().sort_values("node_id").reset_index(drop=True)
+
+    def triangles_q(sf_dir):
+        g = _graph(sf_dir)
+        per, _total = triangle_count(g["sym"], g["n"])
+        return per.to_pandas().reset_index(drop=True)
+
+    return {
+        "ingest_nodes": ingest_nodes,
+        "ingest_edges": ingest_edges,
+        "ingest_degrees": ingest_degrees,
+        "pagerank": pagerank_q,
+        "ppr_exact": ppr_exact,
+        "fora_ppr": fora_ppr,
+        "topk_ppr": topk_ppr_q,
+        "cc": cc_q,
+        "lpa": lpa_q,
+        "triangles": triangles_q,
+    }
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    out: dict[str, Callable[[str], Any]] = {}
+    out.update(_queries_relational())
+    out.update(_queries_documents())
+    out.update(_queries_graph())
+    return out
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB; views region nation customer supplier part orders
+# lineitem events documents embeddings are pre-registered)
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    # the driver compares at sf0.01 -> embed that fixture's path (and make
+    # sure it exists before DuckDB reads it)
+    fix = _fixture_for("/root/testdata/sf0.01")
+    corpus = f"{fix}/corpus/*.parquet"
+    golden_edges = f"{fix}/edges.parquet"
+
+    nodes_sql = (
+        "SELECT CAST(row_number() OVER (ORDER BY repo, path) - 1 AS BIGINT) AS node_id, "
+        f"repo, path FROM read_parquet('{corpus}')"
+    )
+    degrees_sql = f"""
+        WITH e AS (SELECT src, dst FROM read_parquet('{golden_edges}')),
+             n AS ({nodes_sql})
+        SELECT n.node_id,
+               CAST(coalesce(o.c, 0) AS BIGINT) AS out_deg,
+               CAST(coalesce(i.c, 0) AS BIGINT) AS in_deg
+        FROM n
+        LEFT JOIN (SELECT src, count(*) AS c FROM e GROUP BY src) o ON n.node_id = o.src
+        LEFT JOIN (SELECT dst, count(*) AS c FROM e GROUP BY dst) i ON n.node_id = i.dst
+        ORDER BY n.node_id
     """
-    return {}
+    triangles_sql = f"""
+        WITH e AS (SELECT src, dst FROM read_parquet('{golden_edges}')),
+             und AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
+             canon AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM und WHERE u <> v),
+             tri AS (
+               SELECT e1.a AS x, e1.b AS y, e2.b AS z
+               FROM canon e1
+               JOIN canon e2 ON e1.b = e2.a
+               JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b
+             ),
+             members AS (
+               SELECT x AS node_id FROM tri
+               UNION ALL SELECT y FROM tri
+               UNION ALL SELECT z FROM tri
+             ),
+             n AS ({nodes_sql})
+        SELECT n.node_id, CAST(coalesce(m.c, 0) AS BIGINT) AS triangles
+        FROM n LEFT JOIN (SELECT node_id, count(*) AS c FROM members GROUP BY 1) m
+          ON n.node_id = m.node_id
+        ORDER BY n.node_id
+    """
+    ann_sql = """
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding FROM embeddings
+          ORDER BY vec_id LIMIT 8
+        ),
+        scored AS (
+          SELECT q.query_id, e.vec_id,
+                 list_cosine_similarity(e.embedding, q.embedding) AS score
+          FROM embeddings e CROSS JOIN q
+        ),
+        ranked AS (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id
+        FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+    """
+    return {
+        "degrees_out": (
+            "SELECT o_custkey AS node_id, CAST(count(*) AS BIGINT) AS out_deg "
+            "FROM orders GROUP BY o_custkey ORDER BY node_id"
+        ),
+        "edge_dedup": (
+            "SELECT DISTINCT l_orderkey AS src, l_partkey AS dst FROM lineitem "
+            "ORDER BY src, dst"
+        ),
+        "top_hubs": (
+            "WITH e AS (SELECT DISTINCT l_orderkey AS src, l_partkey AS dst FROM lineitem) "
+            "SELECT src, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY src "
+            "ORDER BY cnt DESC, src LIMIT 20"
+        ),
+        "join_resolve": (
+            "SELECT o_orderkey, o_custkey, o_totalprice, c_name "
+            "FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey"
+        ),
+        "sha256_rows": "SELECT doc_id, sha256(text) AS text_sha256 FROM documents ORDER BY doc_id",
+        "docs_exact_dedup": (
+            "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id"
+        ),
+        "token_counts": (
+            "SELECT doc_id, CAST(length(regexp_extract_all(text, '\\w+')) AS BIGINT) AS n_tokens "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "doc_quality": (
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+            "CAST(length(regexp_extract_all(text, '\\w+')) AS BIGINT) AS n_tokens "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "ann_topk": ann_sql,
+        "ingest_nodes": nodes_sql + " ORDER BY node_id",
+        "ingest_edges": f"SELECT src, dst FROM read_parquet('{golden_edges}') ORDER BY src, dst",
+        "ingest_degrees": degrees_sql,
+        "triangles": triangles_sql,
+        # pagerank / ppr_exact / fora_ppr / topk_ppr / cc / lpa / langid /
+        # doc_fingerprints / minhash_dups / simhash_dups / ann_ivf:
+        # not SQL-expressible -> rows-only driver check; exact/statistical
+        # assertions live in tests/ against numpy oracles.
+    }

@@ -625,6 +625,8 @@ ShardWorker = ray.remote(num_cpus=0)(ShardWorkerImpl)
 
 @ray.remote
 def _block_parts(tbl: pa.Table) -> list[int]:
+    if tbl.num_rows == 0 or "part_id" not in tbl.schema.names:
+        return []
     return tbl["part_id"].to_pylist()
 
 
