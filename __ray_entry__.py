@@ -21,7 +21,7 @@ import numpy as np
 
 # fixture scale per testdata sf directory (FIXTURES.md: sf-unit /
 # sf-correctness / sf-bench)
-_SF_FILES = {"0.001": 600, "0.01": 2000, "0.1": 20000}
+_SF_FILES = {"0.001": 600, "0.01": 2000, "0.1": 200000}
 _GRAPH_CACHE: dict[str, dict] = {}
 
 
@@ -208,7 +208,10 @@ def _queries_graph():
         return _graph(sf_dir)["nodes"].to_pandas().sort_values("node_id").reset_index(drop=True)
 
     def ingest_edges(sf_dir):
-        return _graph(sf_dir)["edges"].to_pandas().reset_index(drop=True)
+        return (
+            _graph(sf_dir)["edges"].to_pandas()
+            .sort_values(["src", "dst"]).reset_index(drop=True)
+        )
 
     def ingest_degrees(sf_dir):
         return _graph(sf_dir)["degrees"].to_pandas().reset_index(drop=True)

@@ -1,0 +1,207 @@
+"""Benchmark runner (task contract + BASELINE.md protocol).
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) with ray.init(num_cpus=$RAY_GRAFT_CPUS, default
+32) and print ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-stage sec...}, "sf": ..., "num_cpus": N,
+   "throughput": {...}}
+
+--scaling: run the same job in two fresh processes at 8 and 32 CPUs on
+the same input and report both plus efficiency (the sandbox substitute
+for the N vs 4N cluster criterion, BASELINE.md section "Local
+measurement protocol").
+
+Headline stages:
+  ingest      corpus fixture (sf-scaled) -> nodes/edges/degrees/shards
+              (edge-scan GB/s = corpus bytes / ingest seconds)
+  ppr_batch   64 single-source FORA queries, replica-sharded
+              (queries/s — the BASELINE.json metric; one engine
+              replica per ~8 CPUs)
+  pagerank    exact-mode global PageRank to 1e-10
+  triangles   per-vertex triangle count
+  dedup       exact + MinHash-LSH over documents.parquet
+  ann         brute-force cosine top-10, 8 queries over embeddings
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _fixture_files(sf_name: str) -> int:
+    return {"sf0.001": 600, "sf0.01": 2000, "sf0.1": 200000}.get(sf_name, 2000)
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import numpy as np
+
+    from fora_ray.fixtures import fixture_dir
+    from fora_ray.graph import algorithms as alg
+    from fora_ray.graph.runtime import GraphHandle
+    from fora_ray.graph.triangles import triangle_count
+    from fora_ray.pipelines.ann import brute_force_topk
+    from fora_ray.pipelines.dedup import exact_dedup, minhash_lsh_dups
+    from fora_ray.pipelines.ingest import ingest_fixture
+
+    sf_name = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    fix = fixture_dir(_fixture_files(sf_name))  # generated once, cached
+    corpus_bytes = sum(
+        os.path.getsize(os.path.join(fix, "corpus", f))
+        for f in os.listdir(os.path.join(fix, "corpus"))
+    )
+
+    timings: dict[str, float] = {}
+
+    # warm the OS page cache AND the Ray worker-process pool (untimed):
+    # per-worker Python startup (~1-2s) otherwise lands inside the first
+    # timed stage and flattens scaling measurements
+    import ray.data as rd
+
+    rd.read_parquet(f"{fix}/corpus").count()
+    rd.range(num_cpus * 8, override_num_blocks=num_cpus * 8).map_batches(
+        lambda b: b
+    ).count()
+
+    t0 = time.perf_counter()
+    tables = ingest_fixture(fix)
+    edges = tables["edges"].materialize()
+    sym = tables["edges_undirected"].materialize()
+    n = tables["n_nodes"]
+    m = edges.count()
+    timings["ingest"] = time.perf_counter() - t0
+
+    # P sized by shard compute, not CPU count: a partition should hold
+    # enough edges that per-round vectorized work dominates the superstep
+    # barrier (~2ms per actor call).  More CPUs than shards go to the
+    # data-parallel Dataset stages and to query-engine REPLICAS.
+    P = max(4, min(num_cpus, m // 100_000))
+    replicas = max(1, num_cpus // 8)
+    t0 = time.perf_counter()
+    handle = GraphHandle.from_edges(edges, n, P=P, m=m)
+    rep_handles = alg.make_replicas(edges, n, replicas, P=4, m=m)
+    # spin replica actors up (first call pays actor start; untimed)
+    for h in rep_handles:
+        h.call_all("ppr_init", 0)
+    timings["graph_build"] = time.perf_counter() - t0
+
+    rng = np.random.default_rng(7)
+    n_queries = 256
+    sources = [int(s) for s in rng.choice(n, size=n_queries, replace=False)]
+    t0 = time.perf_counter()
+    results, shards = alg.ppr_batch_replicated(rep_handles, sources, mode="fora", seed=11)
+    for r in results:
+        if r is not None:
+            r[0].count()
+    timings["ppr_batch"] = time.perf_counter() - t0
+    for h in rep_handles:
+        h.close()
+
+    t0 = time.perf_counter()
+    alg.pagerank(handle, tol=1e-10)
+    timings["pagerank"] = time.perf_counter() - t0
+    handle.close()
+
+    t0 = time.perf_counter()
+    hs = GraphHandle.from_edges(sym, n, P=P)
+    alg.connected_components(hs)
+    timings["cc"] = time.perf_counter() - t0
+    hs.close()
+
+    t0 = time.perf_counter()
+    _, _total = triangle_count(sym, n)
+    timings["triangles"] = time.perf_counter() - t0
+
+    # dedup workload: documents table replicated 10x (the raw sf table is
+    # only a few thousand rows — too small to measure anything)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    doc_t = pq.read_table(f"{sf_dir}/documents.parquet")
+    big_docs = pa.concat_tables([
+        doc_t.set_column(0, "doc_id", pa.array(doc_t["doc_id"].to_numpy() + i * 10_000_000))
+        for i in range(10)
+    ])
+    docs = rd.from_arrow(big_docs).repartition(num_cpus * 2).materialize()
+    t0 = time.perf_counter()
+    exact_dedup(docs).count()
+    minhash_lsh_dups(docs, threshold=0.6).count()
+    timings["dedup"] = time.perf_counter() - t0
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q = np.stack(emb.limit(8).to_pandas()["embedding"].to_numpy())
+    t0 = time.perf_counter()
+    brute_force_topk(emb, q, k=10).count()
+    timings["ann"] = time.perf_counter() - t0
+
+    total = sum(timings.values())
+    result = {
+        "metric": "fora_ray headline suite (ingest + 64 SSPPR + pagerank + cc + triangles + dedup + ann)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf_name,
+        "num_cpus": num_cpus,
+        "graph": {"n": int(n), "m": int(m), "P": P},
+        "throughput": {
+            "edge_scan_MBps": round(corpus_bytes / 1e6 / timings["ingest"], 2),
+            "ppr_queries_per_s": round(n_queries / timings["ppr_batch"], 3),
+        },
+    }
+    ray.shutdown()
+    return result
+
+
+def _scaling(sf_dir: str) -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(json.dumps({
+        "metric": "scaling efficiency (fresh ray.init at 8 vs 32 cpus, same input)",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "queries_8": r_lo["queries"],
+        "queries_32": r_hi["queries"],
+        "throughput_8": r_lo["throughput"],
+        "throughput_32": r_hi["throughput"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": r_lo["sf"],
+    }))
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling" in sys.argv:
+        _scaling(sf_dir)
+    else:
+        ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        print(json.dumps(run_bench(sf_dir, ncpu)))

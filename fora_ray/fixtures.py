@@ -115,13 +115,16 @@ def _render(lang: str, repo: str, path: str, commit: str, imports: list[str], rn
     else:
         lines.append(_EXTERNAL[lang])
         lines.extend(imports)
-    for k in range(3 + rng_word % 5):
+    for k in range(20 + rng_word % 16):
         w = _FILLER_WORDS[(rng_word + 7 * k) % len(_FILLER_WORDS)]
+        w2 = _FILLER_WORDS[(rng_word + 13 * k + 3) % len(_FILLER_WORDS)]
         if lang == "python":
-            lines.append(f"def f_{k}():  # {w}")
-            lines.append(f"    return '{w}'")
-        elif lang in ("c", "cpp", "java", "javascript", "go"):
-            lines.append(f"{cm} body {k} {w}")
+            lines.append(f"def f_{k}({w2}):  # {w} {w2} handler")
+            lines.append(f"    value = '{w}' * ({k} + 1)")
+            lines.append(f"    return value + str({w2})")
+        else:
+            lines.append(f"{cm} body {k}: {w} {w2} {w}-{w2} pipeline stage")
+            lines.append(f"{cm}   detail: {w2} buffer {k * 17} bytes, {w} checksum")
     return "\n".join(lines) + "\n"
 
 
@@ -251,7 +254,7 @@ def write_fixture(out_dir: str, n_files: int, seed: int = 42, shard_rows: int = 
     _FIXTURE_OK.json marker (resumable-output convention, SURVEY 4.3).
     """
     marker = os.path.join(out_dir, "_FIXTURE_OK.json")
-    params = {"n_files": n_files, "seed": seed, "version": 3}
+    params = {"n_files": n_files, "seed": seed, "version": 4}
     if os.path.exists(marker):
         with open(marker) as f:
             if json.load(f) == params:

@@ -38,26 +38,64 @@ def fora_params(n: int, m: int, eps: float = 0.5, delta: float | None = None,
 def _push_loop(handle, source, rmax: float, sweep_all: bool, tol: float = 1e-12,
                max_rounds: int = 10_000, ckpt_dir: str | None = None,
                ckpt_every: int = 1, start_round: int = 0) -> dict:
-    """Synchronous forward-push supersteps until convergence (G1/H2/A1)."""
+    """Synchronous forward-push supersteps until convergence (G1/H2/A1).
+
+    Uses the combined apply+push actor round (push_round2): ONE driver
+    barrier per superstep; the previous round's frontier payloads are
+    handed to the next round's calls by reference."""
+    import ray as _ray
+
+    P = handle.P
     rounds = start_round
+    outs = None
+    dang = 0.0
+    rsum = None
     stats = {"rounds": 0, "rsum": None}
     while rounds < max_rounds:
-        metas, rsums = handle._exchange("push_round", "apply_residual", rmax, sweep_all)
+        calls = []
+        for p, w in enumerate(handle.workers):
+            pls = [outs[q][p + 1] for q in range(P) if q != p] if outs else []
+            calls.append(
+                w.push_round2.options(num_returns=P + 1).remote(
+                    rmax, sweep_all, source, dang, *pls
+                )
+            )
+        metas = _ray.get([c[0] for c in calls])
+        outs = calls
         dang = sum(m["dangling"] for m in metas)
         active = sum(m["active"] for m in metas)
-        if dang > 0:
-            if source is None:
-                handle.call_all("add_uniform_residual", dang)
-            else:
-                handle.call_all("add_source_residual", source, dang)
-        rsum = sum(rsums) + dang
+        rsum = sum(m["rsum"] for m in metas) + dang
         rounds += 1
         if ckpt_dir is not None and rounds % ckpt_every == 0:
+            # flush in-flight payloads + dangling so the checkpoint is a
+            # consistent cut (reserve + residual sums to full mass)
+            _ray.get([
+                w.apply_residual.remote(*[outs[q][p + 1] for q in range(P) if q != p])
+                for p, w in enumerate(handle.workers)
+            ])
+            outs = None
+            if dang > 0:
+                if source is None:
+                    handle.call_all("add_uniform_residual", dang)
+                else:
+                    handle.call_all("add_source_residual", source, dang)
+                dang = 0.0
             checkpoint_step(
                 handle, ckpt_dir, rounds, ("reserve", "residual"),
                 extra={"rsum": rsum, "active": active, "source": source, "rmax": rmax},
             )
-        if active == 0 or (sweep_all and rsum < tol):
+        if (active == 0 and dang == 0) or (sweep_all and rsum < tol):
+            if outs is not None:
+                # apply the final round's in-flight payloads (mass < tol)
+                _ray.get([
+                    w.apply_residual.remote(*[outs[q][p + 1] for q in range(P) if q != p])
+                    for p, w in enumerate(handle.workers)
+                ])
+                if dang > 0:
+                    if source is None:
+                        handle.call_all("add_uniform_residual", dang)
+                    else:
+                        handle.call_all("add_source_residual", source, dang)
             stats.update(rounds=rounds, rsum=rsum)
             break
     else:
@@ -68,11 +106,20 @@ def _push_loop(handle, source, rmax: float, sweep_all: bool, tol: float = 1e-12,
 def _walk_loop(handle, omega: float, seed: int, source) -> dict:
     """Monte-Carlo walk phase (G2): message rounds until no walker alive.
     Expected O(1/alpha) rounds; each walker's RNG stream is a pure
-    function of (seed, origin, walk index, hop)."""
+    function of (seed, origin, walk index, hop).  Combined apply+step
+    rounds (walk_round2) — one barrier per hop."""
+    import ray as _ray
+
+    P = handle.P
     total = sum(handle.call_all("walk_init", omega, seed))
-    hop, alive = 0, total
+    hop, alive, outs = 0, total, None
     while alive > 0:
-        metas, _ = handle._exchange("walk_round", "apply_walkers", hop, source)
+        calls = []
+        for p, w in enumerate(handle.workers):
+            pls = [outs[q][p + 1] for q in range(P) if q != p] if outs else []
+            calls.append(w.walk_round2.options(num_returns=P + 1).remote(hop, source, *pls))
+        metas = _ray.get([c[0] for c in calls])
+        outs = calls
         alive = sum(m["alive"] for m in metas)
         hop += 1
     handle.call_all("walk_fold")
@@ -114,6 +161,102 @@ def personalized_pagerank(handle, source: int, mode: str = "exact",
         raise ValueError(f"unknown mode {mode!r}")
     stats["counters"] = handle.counters()
     return handle.scores_dataset(), stats
+
+
+def ppr_batch(handle, sources: list[int], mode: str = "fora", eps: float = 0.5,
+              delta: float | None = None, pfail: float | None = None,
+              rmax_scale: float = 1.0, seed: int = 42, tol: float = 1e-12,
+              max_rounds: int = 10_000):
+    """Batched multi-source SSPPR: all Q queries advance in the same
+    superstep wave, amortizing the per-round driver barrier Q-fold
+    (SURVEY 4.4).  Returns (scores Dataset (query_idx, node_id, ppr),
+    stats).  query_idx indexes into `sources`."""
+    import numpy as np
+
+    import ray as _ray
+
+    P = handle.P
+    handle.call_all("ppr_init_batch", list(map(int, sources)))
+    if mode == "exact":
+        rmax, sweep = 0.0, True
+    else:
+        p = fora_params(handle.n, handle.m, eps, delta, pfail, rmax_scale)
+        rmax, sweep = p["rmax"], False
+    rounds, outs, dang = 0, None, None
+    while rounds < max_rounds:
+        calls = []
+        for q_, w in enumerate(handle.workers):
+            pls = [outs[r][q_ + 1] for r in range(P) if r != q_] if outs else []
+            calls.append(
+                w.push_round_batch2.options(num_returns=P + 1).remote(rmax, sweep, dang, *pls)
+            )
+        metas = _ray.get([c[0] for c in calls])
+        outs = calls
+        dang = np.sum([np.asarray(m["dangling"]) for m in metas], axis=0)
+        active = sum(m["active"] for m in metas)
+        rsum = sum(m["rsum"] for m in metas) + float(dang.sum())
+        rounds += 1
+        if (active == 0 and dang.sum() == 0) or (sweep and rsum < tol * len(sources)):
+            if outs is not None:
+                _ray.get([
+                    w.apply_residual_batch.remote(*[outs[r][q_ + 1] for r in range(P) if r != q_])
+                    for q_, w in enumerate(handle.workers)
+                ])
+                if dang.sum() > 0:
+                    handle.call_all("add_source_residual_batch", dang)
+            break
+    stats = {"rounds": rounds, "rsum": rsum}
+    if mode == "fora":
+        total = sum(handle.call_all("walk_init_batch", p["omega"], seed))
+        hop, alive, wouts = 0, total, None
+        while alive > 0:
+            calls = []
+            for q_, w in enumerate(handle.workers):
+                pls = [wouts[r][q_ + 1] for r in range(P) if r != q_] if wouts else []
+                calls.append(w.walk_round_batch2.options(num_returns=P + 1).remote(hop, *pls))
+            ms = _ray.get([c[0] for c in calls])
+            wouts = calls
+            alive = sum(m["alive"] for m in ms)
+            hop += 1
+        stats.update(walks=total, hops=hop, **p)
+    refs = [w.get_scores_batch.remote() for w in handle.workers]
+    import ray as _ray
+
+    return _ray.data.from_arrow_refs(refs), stats
+
+
+def make_replicas(edges_ds, n: int, replicas: int, P: int = 4, m: int | None = None):
+    """Build `replicas` independent engine replicas (each its own
+    P-shard actor set) over the same edge table.  Build once, query
+    many times — the serving deployment shape."""
+    from .runtime import GraphHandle
+
+    return [GraphHandle.from_edges(edges_ds, n, P=P, m=m) for _ in range(replicas)]
+
+
+def ppr_batch_replicated(handles, sources: list[int], mode: str = "fora",
+                         seed: int = 42, **kw):
+    """Query-throughput scale-out: shard the query batch across
+    pre-built engine replicas running concurrently (driver threads —
+    the loops are ray.get waits, so the GIL is idle).  Latency of ONE
+    query scales with P; aggregate queries/sec scales with replicas.
+    Returns (results list of (scores, stats) per replica, source shards)."""
+    import threading
+
+    replicas = len(handles)
+    shards = [list(sources[i::replicas]) for i in range(replicas)]
+    results: list = [None] * replicas
+
+    def run(i):
+        if shards[i]:
+            results[i] = ppr_batch(handles[i], shards[i], mode=mode, seed=seed + i, **kw)
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(replicas)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return results, shards
 
 
 def monte_carlo_ppr(handle, source: int, eps: float = 0.5,

@@ -89,8 +89,9 @@ class ShardWorkerImpl:
 
     def _route_add(self, dst: np.ndarray, vals: np.ndarray, apply_local):
         """Sum-aggregate (dst, vals) per destination partition; apply own
-        slice locally; return P payload slots."""
+        slice locally; return (payload slots, mass sent to remote parts)."""
         payloads = [None] * self.P
+        remote_mass = 0.0
         owner = (dst % self.P).astype(np.int64)
         for p in np.unique(owner):
             m = owner == p
@@ -100,8 +101,9 @@ class ShardWorkerImpl:
                 apply_local(acc)
             else:
                 payloads[int(p)] = _sparsify(acc)
+                remote_mass += float(acc.sum())
                 self.counters["msgs_out"] += 1
-        return payloads
+        return payloads, remote_mass
 
     def _add_payload(self, target: np.ndarray, payload):
         if payload is None:
@@ -170,15 +172,34 @@ class ShardWorkerImpl:
         if has.size:
             dsts, row = self._gather_edges(idx[has])
             per_edge = (outflow[has] / d[has])[row]
-            payloads = self._route_add(
+            payloads, remote_mass = self._route_add(
                 dsts, per_edge, lambda acc: self.residual.__iadd__(acc)
             )
+            meta["sent_mass"] = remote_mass
         return tuple([meta] + payloads)
 
     def apply_residual(self, *payloads):
         for pl in payloads:
             self._add_payload(self.residual, pl)
         return float(self.residual.sum())
+
+    def push_round2(self, rmax: float, sweep_all: bool, source, dang_in: float, *payloads):
+        """Combined superstep: apply the previous round's incoming
+        residual payloads + dangling redistribution, THEN push.  One
+        actor call (and one driver barrier) per round instead of three
+        (push / apply / dangling) — halves superstep latency."""
+        for pl in payloads:
+            self._add_payload(self.residual, pl)
+        if dang_in:
+            if source is None:
+                self.residual += dang_in / self.n
+            elif source % self.P == self.part:
+                self.residual[source // self.P] += dang_in
+        out = self.push_round(rmax, sweep_all)
+        meta = out[0]
+        # convergence mass = local residual + mass in flight to peers
+        meta["rsum"] = float(self.residual.sum()) + meta.get("sent_mass", 0.0)
+        return out
 
     # ---- G2 Monte-Carlo walk phase ----------------------------------------
     def walk_init(self, omega: float, seed: int, from_reserve_clear: bool = False):
@@ -270,6 +291,191 @@ class ShardWorkerImpl:
         self.reserve += self.acc
         self.acc[:] = 0.0
         return True
+
+    # ---- multi-source batched PPR (SURVEY 4.4: "batch multiple queries
+    # per superstep wave" — amortizes the driver barrier over Q queries;
+    # state arrays become (n_local, Q) matrices) ---------------------------
+    def ppr_init_batch(self, sources: list[int]):
+        Q = len(sources)
+        self.reserve = np.zeros((self.n_local, Q))
+        self.residual = np.zeros((self.n_local, Q))
+        self.acc = np.zeros((self.n_local, Q))
+        self._sources = list(sources)
+        for q, s in enumerate(sources):
+            if s % self.P == self.part:
+                self.residual[s // self.P, q] = 1.0
+        self.counters = {k: 0 for k in self.counters}
+        return True
+
+    def push_round_batch(self, rmax: float, sweep_all: bool):
+        """Batched push: a row is active if ANY query's residual exceeds
+        its threshold; the whole row is drained (over-pushing only adds
+        accuracy and saves walks — guarantee unaffected)."""
+        R = self.residual
+        thresh = rmax * np.maximum(self.out_deg, 1)[:, None]
+        mask = (R > thresh) if not sweep_all else (R != 0)
+        rows = np.nonzero(mask.any(axis=1))[0]
+        meta = {"active": int(rows.size), "dangling": None, "drained": 0.0}
+        if rows.size == 0:
+            meta["dangling"] = np.zeros(R.shape[1])
+            return tuple([meta] + [None] * self.P)
+        Ra = R[rows].copy()
+        self.reserve[rows] += self.alpha * Ra
+        R[rows] = 0.0
+        outflow = (1.0 - self.alpha) * Ra  # (rows, Q)
+        d = self.out_deg[rows]
+        dangling_vec = outflow[d == 0].sum(axis=0)
+        meta["dangling"] = dangling_vec
+        meta["drained"] = float(Ra.sum())
+        self.counters["pushes"] += int(rows.size)
+        has = np.nonzero(d > 0)[0]
+        payloads = [None] * self.P
+        sent = 0.0
+        if has.size:
+            dsts, row = self._gather_edges(rows[has])
+            per_edge = outflow[has] / d[has][:, None]  # (has, Q)
+            vals = per_edge[row]  # (E, Q)
+            owner = dsts % self.P
+            for p in np.unique(owner):
+                m = owner == p
+                # compact aggregation: (touched_rows, Q) only — a dense
+                # (n_local, Q) accumulator per peer per round is 100s of
+                # MB of memory traffic at moderate Q (measured 10x cost)
+                uk, inv = np.unique(dsts[m] // self.P, return_inverse=True)
+                acc = np.zeros((uk.size, R.shape[1]))
+                np.add.at(acc, inv, vals[m])
+                if p == self.part:
+                    np.add.at(self.residual, uk, acc)
+                else:
+                    payloads[int(p)] = ("sparse2d", uk.astype(np.int64), acc)
+                    sent += float(acc.sum())
+                    self.counters["msgs_out"] += 1
+        meta["sent_mass"] = sent
+        return tuple([meta] + payloads)
+
+    def apply_residual_batch(self, *payloads):
+        for pl in payloads:
+            if pl is None:
+                continue
+            _, ids, vals = pl
+            np.add.at(self.residual, ids, vals)
+        return float(self.residual.sum())
+
+    def push_round_batch2(self, rmax: float, sweep_all: bool, dang_vec, *payloads):
+        """Combined batched superstep (see push_round2)."""
+        self.apply_residual_batch(*payloads)
+        if dang_vec is not None and np.sum(dang_vec) > 0:
+            for q, s in enumerate(self._sources):
+                if dang_vec[q] > 0 and s % self.P == self.part:
+                    self.residual[s // self.P, q] += dang_vec[q]
+        out = self.push_round_batch(rmax, sweep_all)
+        out[0]["rsum"] = float(self.residual.sum()) + out[0].get("sent_mass", 0.0)
+        return out
+
+    def walk_round2(self, hop: int, source, *payloads):
+        for pl in payloads:
+            self._append_walkers(pl)
+        return self.walk_round(hop, source)
+
+    def walk_round_batch2(self, hop: int, *payloads):
+        for pl in payloads:
+            self._bappend(pl)
+        return self.walk_round_batch(hop)
+
+    def add_source_residual_batch(self, dangling_vec):
+        """Per-query dangling mass returns to that query's source."""
+        for q, s in enumerate(self._sources):
+            if dangling_vec[q] > 0 and s % self.P == self.part:
+                self.residual[s // self.P, q] += dangling_vec[q]
+        return True
+
+    def walk_init_batch(self, omega: float, seed: int):
+        """Spawn walks for every nonzero (vertex, query) residual cell;
+        walkers carry their query index."""
+        R = self.residual
+        loc, qs = np.nonzero(R > 0)
+        if loc.size == 0:
+            self._bpending = None
+            return 0
+        r = R[loc, qs]
+        omega_v = np.ceil(r * omega).astype(np.int64)
+        wt = np.repeat(r / omega_v, omega_v)
+        cur = np.repeat(self.global_ids[loc], omega_v)
+        qidx = np.repeat(qs.astype(np.int64), omega_v)
+        total = int(omega_v.sum())
+        cum = np.concatenate([[0], np.cumsum(omega_v[:-1])])
+        k_in = np.arange(total, dtype=np.int64) - np.repeat(cum, omega_v)
+        wkey = mix64(
+            mix64(np.uint64(seed), qidx.astype(np.uint64)),
+            mix64(cur.astype(np.uint64), k_in.astype(np.uint64)),
+        )
+        self._bpending = (cur, qidx, wt, wkey)
+        R[loc, qs] = 0.0
+        self.counters["walks"] += total
+        return total
+
+    def walk_round_batch(self, hop: int):
+        """One hop for all batched walkers.  Dangling -> restart at that
+        walker's query source."""
+        meta = {"alive": 0}
+        if self._bpending is None:
+            return tuple([meta] + [None] * self.P)
+        cur, qidx, wt, wkey = self._bpending
+        self._bpending = None
+        loc = cur // self.P
+        stop = rng_uniform(mix64(wkey, np.full(len(wkey), np.uint64(2 * hop), np.uint64))) < self.alpha
+        if stop.any():
+            np.add.at(self.acc, (loc[stop], qidx[stop]), wt[stop])
+        alive = ~stop
+        cur, qidx, wt, wkey, loc = cur[alive], qidx[alive], wt[alive], wkey[alive], loc[alive]
+        self.counters["walk_hops"] += int(alive.sum())
+        if cur.size == 0:
+            return tuple([meta] + [None] * self.P)
+        d = self.out_deg[loc]
+        dang = d == 0
+        nxt = np.empty_like(cur)
+        if dang.any():
+            nxt[dang] = np.asarray(self._sources, dtype=np.int64)[qidx[dang]]
+        ok = ~dang
+        if ok.any():
+            u2 = rng_uniform(mix64(wkey[ok], np.full(int(ok.sum()), np.uint64(2 * hop + 1), np.uint64)))
+            choice = np.minimum((u2 * d[ok]).astype(np.int64), d[ok] - 1)
+            nxt[ok] = self.indices[self.indptr[loc[ok]] + choice]
+        meta["alive"] = int(cur.size)
+        payloads = [None] * self.P
+        owner = nxt % self.P
+        for p in np.unique(owner):
+            m = owner == p
+            pl = (nxt[m], qidx[m], wt[m], wkey[m])
+            if p == self.part:
+                self._bappend(pl)
+            else:
+                payloads[int(p)] = pl
+        return tuple([meta] + payloads)
+
+    def _bappend(self, pl):
+        if pl is None:
+            return
+        if self._bpending is None:
+            self._bpending = pl
+        else:
+            self._bpending = tuple(np.concatenate([a, b]) for a, b in zip(self._bpending, pl))
+
+    def apply_walkers_batch(self, *payloads):
+        for pl in payloads:
+            self._bappend(pl)
+        return True
+
+    def get_scores_batch(self) -> pa.Table:
+        """(query_idx, node_id, ppr) for all nonzero cells of
+        reserve+acc."""
+        est = self.reserve + self.acc
+        loc, qs = np.nonzero(est)
+        return pa.table({
+            "query_idx": pa.array(qs.astype(np.int64)),
+            "node_id": pa.array(self.global_ids[loc]),
+            "ppr": pa.array(est[loc, qs]),
+        })
 
     # ---- G8 FORA+ walk index (SURVEY 2.4 G8, paper TODS section 5) --------
     def index_init(self, walks_per_deg: float, seed: int):
@@ -448,7 +654,7 @@ class ShardWorkerImpl:
         r[idx] = 0.0
         payloads = [None] * self.P
         if real.size:
-            payloads = self._route_add(real, wts_r, lambda acc: self.acc.__iadd__(acc))
+            payloads, _ = self._route_add(real, wts_r, lambda acc: self.acc.__iadd__(acc))
         return tuple([meta] + payloads)
 
     def apply_acc(self, *payloads):

@@ -29,7 +29,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import ray
-from ray.data.aggregate import Sum
 
 from ..functions.hashing import pack_edge
 
@@ -53,48 +52,76 @@ def triangle_count(edges_sym_ds, n: int, strategy: str = "auto",
         return pa.table({"node_id": pa.array(v.astype(np.int64)),
                          "deg": pa.array(c.astype(np.int64))})
 
-    deg_pd = (
-        edges_sym_ds.map_batches(_deg_partial, batch_format="pyarrow")
-        .groupby("node_id").aggregate(Sum("deg", alias_name="deg")).to_pandas()
-    )
+    from ..stages.shuffle import sum_by_key
+
+    deg_pd = sum_by_key(
+        edges_sym_ds.map_batches(_deg_partial, batch_format="pyarrow"),
+        "node_id", ["deg"],
+    ).to_pandas()
     deg = np.zeros(n, dtype=np.int64)
     deg[deg_pd["node_id"].to_numpy()] = deg_pd["deg"].to_numpy()
     deg_ref = ray.put(deg)
 
     # 2. orientation: keep (src -> dst) iff (deg[src], src) < (deg[dst], dst)
-    class Orient:
-        def __init__(self, ref):
-            self.deg = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            src = t["src"].to_numpy(zero_copy_only=False)
-            dst = t["dst"].to_numpy(zero_copy_only=False)
-            ds_, dd = self.deg[src], self.deg[dst]
-            keep = (ds_ < dd) | ((ds_ == dd) & (src < dst))
-            return pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
+    # plain task stage: the degree vector is fetched zero-copy from the
+    # local object store per task (no actor startup)
+    def orient(t: pa.Table) -> pa.Table:
+        deg_ = ray.get(deg_ref)
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        ds_, dd = deg_[src], deg_[dst]
+        keep = (ds_ < dd) | ((ds_ == dd) & (src < dst))
+        return pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
 
     oriented = edges_sym_ds.map_batches(
-        Orient, fn_constructor_kwargs={"ref": deg_ref},
-        batch_format="pyarrow", concurrency=(1, 4),
+        orient, batch_format="pyarrow"
     ).materialize()  # consumed twice (wedges + probe); m/2 rows, pinned
 
-    # 3. wedges per apex: all pairs of oriented out-neighbors
-    def _wedges(group: pa.Table) -> pa.Table:
-        src = group["src"].to_numpy(zero_copy_only=False)
-        dst = group["dst"].to_numpy(zero_copy_only=False)
-        nb = np.sort(dst)
-        k = nb.size
-        if k < 2:
+    # 3. wedges per apex, degree-bucketed (NO per-vertex map_groups: one
+    # vectorized pass per src-sorted block; vertices of equal oriented
+    # out-degree d are stacked into a (count, d) matrix and expanded with
+    # one triu_indices per distinct d — oriented degrees are O(sqrt(m)),
+    # so there are few distinct values)
+    def _wedges_block(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        uniq, starts, counts = np.unique(src, return_index=True, return_counts=True)
+        out_apex, out_key = [], []
+        for d in np.unique(counts):
+            if d < 2:
+                continue
+            sel = counts == d
+            st = starts[sel]
+            # (n_d, d) neighbor matrix — contiguity guaranteed by the sort
+            M = dst[(st[:, None] + np.arange(d)[None, :])]
+            i, j = np.triu_indices(int(d), 1)
+            a = M[:, i].ravel()
+            b = M[:, j].ravel()
+            out_key.append(_pack_sorted(a, b))
+            out_apex.append(np.repeat(uniq[sel], i.size))
+        if not out_key:
             return pa.table({"apex": pa.array([], pa.int64()),
                              "edge_key": pa.array([], pa.uint64())})
-        i, j = np.triu_indices(k, 1)
-        key = _pack_sorted(nb[i], nb[j])
         return pa.table({
-            "apex": pa.array(np.full(key.size, src[0], dtype=np.int64)),
-            "edge_key": pa.array(key, pa.uint64()),
+            "apex": pa.array(np.concatenate(out_apex).astype(np.int64)),
+            "edge_key": pa.array(np.concatenate(out_key), pa.uint64()),
         })
 
-    wedges = oriented.groupby("src").map_groups(_wedges, batch_format="pyarrow")
+    # co-locate each src's edges (hash-bucket groupby — few large groups,
+    # one vectorized _wedges_block call per bucket)
+    B = max(4, num_partitions)
+
+    def _add_bucket(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        return t.append_column("wpart", pa.array((src % B).astype(np.int32)))
+
+    wedges = (
+        oriented.map_batches(_add_bucket, batch_format="pyarrow")
+        .groupby("wpart")
+        .map_groups(_wedges_block, batch_format="pyarrow")
+    )
 
     # 4. adjacency probe
     def _edge_keys(t: pa.Table) -> pa.Table:
@@ -105,29 +132,22 @@ def triangle_count(edges_sym_ds, n: int, strategy: str = "auto",
     if strategy == "auto":
         strategy = "broadcast" if n <= 5_000_000 else "join"
     if strategy == "broadcast":
-        keys_np = np.sort(
-            np.concatenate(
-                [t["edge_key"].to_numpy(zero_copy_only=False)
-                 for t in ray.get(oriented.map_batches(_edge_keys, batch_format="pyarrow").to_arrow_refs())]
-                or [np.empty(0, np.uint64)]
-            )
-        )
+        key_blocks = [
+            t["edge_key"].to_numpy(zero_copy_only=False)
+            for t in ray.get(oriented.map_batches(_edge_keys, batch_format="pyarrow").to_arrow_refs())
+            if t.num_rows and "edge_key" in t.schema.names
+        ]
+        keys_np = np.sort(np.concatenate(key_blocks or [np.empty(0, np.uint64)]))
         keys_ref = ray.put(keys_np)
 
-        class Probe:
-            def __init__(self, ref):
-                self.keys = ray.get(ref)
+        def probe(t: pa.Table) -> pa.Table:
+            keys = ray.get(keys_ref)
+            k = t["edge_key"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keys, k)
+            hit = (pos < keys.size) & (keys[np.minimum(pos, keys.size - 1)] == k)
+            return t.filter(pa.array(hit))
 
-            def __call__(self, t: pa.Table) -> pa.Table:
-                k = t["edge_key"].to_numpy(zero_copy_only=False)
-                pos = np.searchsorted(self.keys, k)
-                hit = (pos < self.keys.size) & (self.keys[np.minimum(pos, self.keys.size - 1)] == k)
-                return t.filter(pa.array(hit))
-
-        tri = wedges.map_batches(
-            Probe, fn_constructor_kwargs={"ref": keys_ref},
-            batch_format="pyarrow", concurrency=(1, 4),
-        )
+        tri = wedges.map_batches(probe, batch_format="pyarrow")
     else:
         edge_keys = oriented.map_batches(_edge_keys, batch_format="pyarrow")
         tri = wedges.join(
@@ -151,11 +171,9 @@ def triangle_count(edges_sym_ds, n: int, strategy: str = "auto",
         "node_id": pa.array(np.arange(n, dtype=np.int64)),
         "triangles": pa.array(np.zeros(n, dtype=np.int64)),
     })
-    per_vertex = (
-        per_vertex_partial.union(ray.data.from_arrow(zeros))
-        .groupby("node_id")
-        .aggregate(Sum("triangles", alias_name="triangles"))
-        .sort("node_id")
+    per_vertex = sum_by_key(
+        per_vertex_partial.union(ray.data.from_arrow(zeros)),
+        "node_id", ["triangles"],
     )
     total = tri.count()
     return per_vertex, total

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-from ray.data.aggregate import Sum
 
 
 def _partials(batch: pa.Table) -> pa.Table:
@@ -36,12 +35,11 @@ def _zeros(batch: pa.Table) -> pa.Table:
 
 
 def compute_degrees(edges_ds, nodes_ds):
-    """edges (src,dst) + nodes -> (node_id, out_deg, in_deg), zero-filled."""
+    """edges (src,dst) + nodes -> (node_id, out_deg, in_deg), zero-filled.
+    Bucketed hash-groupby (stages/shuffle.py); output order undefined —
+    callers sort when presenting."""
+    from .shuffle import sum_by_key
+
     partials = edges_ds.map_batches(_partials, batch_format="pyarrow")
     zeros = nodes_ds.select_columns(["node_id"]).map_batches(_zeros, batch_format="pyarrow")
-    return (
-        partials.union(zeros)
-        .groupby("node_id")
-        .aggregate(Sum("out_deg", alias_name="out_deg"), Sum("in_deg", alias_name="in_deg"))
-        .sort("node_id")
-    )
+    return sum_by_key(partials.union(zeros), "node_id", ["out_deg", "in_deg"])

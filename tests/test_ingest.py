@@ -12,9 +12,9 @@ def test_ingest_matches_golden(fix600):
     t = ingest_fixture(fix600)
     nodes = t["nodes"].to_pandas().sort_values("node_id").reset_index(drop=True)
     assert nodes.equals(pq.read_table(f"{fix600}/nodes.parquet").to_pandas())
-    edges = t["edges"].to_pandas().reset_index(drop=True)
+    edges = t["edges"].to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
     assert edges.equals(pq.read_table(f"{fix600}/edges.parquet").to_pandas())
-    deg = t["degrees"].to_pandas().reset_index(drop=True)
+    deg = t["degrees"].to_pandas().sort_values("node_id").reset_index(drop=True)
     assert deg.equals(pq.read_table(f"{fix600}/degrees.parquet").to_pandas())
 
 
@@ -38,7 +38,7 @@ def test_join_strategy_matches_broadcast(fix600):
     t = build_graph_tables(
         read_corpus(f"{fix600}/corpus"), join_strategy="join", num_partitions=4
     )
-    edges = t["edges"].to_pandas().reset_index(drop=True)
+    edges = t["edges"].to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
     assert edges.equals(pq.read_table(f"{fix600}/edges.parquet").to_pandas())
 
 
@@ -81,6 +81,6 @@ def test_degrees_micro():
     from .graphs import STAR5, to_dataset
 
     nodes = ray.data.from_arrow(pa.table({"node_id": pa.array(np.arange(5, dtype=np.int64))}))
-    deg = compute_degrees(to_dataset(STAR5), nodes).to_pandas()
+    deg = compute_degrees(to_dataset(STAR5), nodes).to_pandas().sort_values("node_id").reset_index(drop=True)
     assert deg["out_deg"].tolist() == [4, 0, 0, 0, 0]
     assert deg["in_deg"].tolist() == [0, 1, 1, 1, 1]
