@@ -265,11 +265,48 @@ def _queries_graph():
     }
 
 
+def _queries_events():
+    import ray
+
+    from fora_ray.pipelines.events import (
+        session_windows,
+        top_users_by_value,
+        tumbling_window,
+    )
+
+    def _ev(sf_dir):
+        return ray.data.read_parquet(f"{sf_dir}/events.parquet")
+
+    def events_tumbling(sf_dir):
+        # counts only in the oracled output: float sums are verified with
+        # tolerance in tests (bit-level summation order differs from SQL)
+        return tumbling_window(_ev(sf_dir), window_s=3600).select_columns(
+            ["window_start", "event_type", "n_events"]
+        )
+
+    def events_top_users(sf_dir):
+        return top_users_by_value(_ev(sf_dir), k=10).select_columns(
+            ["user_id", "n_events"]
+        )
+
+    def events_sessions(sf_dir):
+        return session_windows(_ev(sf_dir), gap_s=1800).select_columns(
+            ["user_id", "n_events"]
+        )
+
+    return {
+        "events_tumbling": events_tumbling,
+        "events_top_users": events_top_users,
+        "events_sessions": events_sessions,
+    }
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     out: dict[str, Callable[[str], Any]] = {}
     out.update(_queries_relational())
     out.update(_queries_documents())
     out.update(_queries_graph())
+    out.update(_queries_events())
     return out
 
 
@@ -371,6 +408,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents ORDER BY doc_id"
         ),
         "ann_topk": ann_sql,
+        "events_tumbling": (
+            "SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type, "
+            "CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1, 2 "
+            "ORDER BY 1, 2"
+        ),
+        "events_top_users": (
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events FROM events "
+            "GROUP BY user_id ORDER BY sum(value) DESC, user_id LIMIT 10"
+        ),
         "ingest_nodes": nodes_sql + " ORDER BY node_id",
         "ingest_edges": f"SELECT src, dst FROM read_parquet('{golden_edges}') ORDER BY src, dst",
         "ingest_degrees": degrees_sql,

@@ -1,0 +1,248 @@
+"""CLI entry — the `ray job submit` surface (SURVEY 3.3; north_rule
+"run via ray job submit").
+
+    python -m fora_ray ingest   --corpus DIR --out DIR
+    python -m fora_ray pagerank --graph DIR --out DIR [--resume]
+    python -m fora_ray query    --graph DIR --source N [--mode exact|fora] --out DIR
+    python -m fora_ray topk     --graph DIR --source N --k K --out DIR
+    python -m fora_ray cc|lpa|triangles --graph DIR --out DIR
+    python -m fora_ray build-index --graph DIR --out DIR
+
+--graph DIR is a shard dir written by `ingest` (csr/ + meta.json).
+Every command writes its result as partitioned Parquet plus a
+METRICS.json (S4 sink: wall time, per-phase stats, per-partition
+counters — the lineage record).  Owns its Ray session (guarded init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def _init_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _write_metrics(out_dir: str, metrics: dict) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = os.path.join(out_dir, ".METRICS.tmp")
+    with open(tmp, "w") as f:
+        json.dump(metrics, f, indent=2, default=str)
+    os.replace(tmp, os.path.join(out_dir, "METRICS.json"))
+
+
+def _load_graph(graph_dir: str, sym: bool = False):
+    from .graph.runtime import GraphHandle
+
+    sub = "csr_sym" if sym else "csr"
+    return GraphHandle.from_dir(os.path.join(graph_dir, sub))
+
+
+def cmd_ingest(args):
+    import ray
+
+    from .stages.csr import build_csr_shards, save_shards
+    from .pipelines.ingest import build_graph_tables, read_corpus
+
+    t0 = time.time()
+    tables = build_graph_tables(read_corpus(args.corpus))
+    n = tables["n_nodes"]
+    edges = tables["edges"]
+    sym = tables["edges_undirected"].materialize()
+    m = edges.count()
+    os.makedirs(args.out, exist_ok=True)
+    tables["nodes"].write_parquet(os.path.join(args.out, "nodes"))
+    edges.write_parquet(os.path.join(args.out, "edges"))
+    tables["degrees"].write_parquet(os.path.join(args.out, "degrees"))
+    P = max(4, min(int(ray.cluster_resources().get("CPU", 8)), m // 100_000 + 1))
+    save_shards(build_csr_shards(edges, n, P), os.path.join(args.out, "csr"), n, m, P)
+    save_shards(
+        build_csr_shards(sym, n, P), os.path.join(args.out, "csr_sym"), n, sym.count(), P
+    )
+    _write_metrics(args.out, {
+        "command": "ingest", "n": n, "m": m, "P": P, "wall_s": time.time() - t0,
+        "corpus": args.corpus,
+    })
+    print(json.dumps({"n": n, "m": m, "P": P, "out": args.out}))
+
+
+def _write_scores(scores_ds, out_dir: str):
+    scores_ds.write_parquet(os.path.join(out_dir, "scores"))
+
+
+def cmd_pagerank(args):
+    from .graph import algorithms as alg
+
+    h = _load_graph(args.graph)
+    t0 = time.time()
+    scores, stats = alg.pagerank(
+        h, ckpt_dir=args.ckpt_dir, resume=args.resume,
+        ckpt_every=args.ckpt_every,
+    )
+    _write_scores(scores, args.out)
+    _write_metrics(args.out, {"command": "pagerank", "wall_s": time.time() - t0, **stats})
+    h.close()
+    print(json.dumps({"rounds": stats["rounds"], "out": args.out}))
+
+
+def cmd_query(args):
+    from .graph import algorithms as alg
+
+    h = _load_graph(args.graph)
+    t0 = time.time()
+    scores, stats = alg.personalized_pagerank(
+        h, args.source, mode=args.mode, eps=args.eps, seed=args.seed,
+        ckpt_dir=args.ckpt_dir, resume=args.resume,
+    )
+    _write_scores(scores, args.out)
+    _write_metrics(args.out, {
+        "command": "query", "source": args.source, "mode": args.mode,
+        "wall_s": time.time() - t0,
+        **{k: v for k, v in stats.items() if not isinstance(v, dict)},
+        "counters": stats.get("counters"),
+    })
+    h.close()
+    print(json.dumps({"source": args.source, "mode": args.mode, "out": args.out}))
+
+
+def cmd_topk(args):
+    from .graph import algorithms as alg
+
+    h = _load_graph(args.graph)
+    t0 = time.time()
+    top, stats = alg.topk_ppr(h, args.source, k=args.k, eps=args.eps, seed=args.seed)
+    top.write_parquet(os.path.join(args.out, "topk"))
+    _write_metrics(args.out, {"command": "topk", "wall_s": time.time() - t0, **stats})
+    h.close()
+    print(json.dumps({"source": args.source, "k": args.k, "out": args.out}))
+
+
+def cmd_cc(args):
+    from .graph import algorithms as alg
+
+    h = _load_graph(args.graph, sym=True)
+    t0 = time.time()
+    labels, stats = alg.connected_components(h)
+    labels.write_parquet(os.path.join(args.out, "components"))
+    _write_metrics(args.out, {"command": "cc", "wall_s": time.time() - t0, **stats})
+    h.close()
+    print(json.dumps({"rounds": stats["rounds"], "out": args.out}))
+
+
+def cmd_lpa(args):
+    from .graph import algorithms as alg
+
+    h = _load_graph(args.graph, sym=True)
+    t0 = time.time()
+    labels, stats = alg.label_propagation(h, max_rounds=args.max_rounds)
+    labels.write_parquet(os.path.join(args.out, "labels"))
+    _write_metrics(args.out, {"command": "lpa", "wall_s": time.time() - t0, **stats})
+    h.close()
+    print(json.dumps({"rounds": stats["rounds"], "out": args.out}))
+
+
+def cmd_triangles(args):
+    import json as _json
+
+    from .graph.triangles import triangle_count
+    from .graph.runtime import GraphHandle  # noqa: F401 (graph meta)
+
+    import ray
+
+    with open(os.path.join(args.graph, "csr_sym", "meta.json")) as f:
+        meta = json.load(f)
+    sym = ray.data.read_parquet(os.path.join(args.graph, "edges"))
+    from .stages.edges import symmetrize
+
+    t0 = time.time()
+    per, total = triangle_count(symmetrize(sym), meta["n"])
+    per.write_parquet(os.path.join(args.out, "triangles"))
+    _write_metrics(args.out, {"command": "triangles", "total": total, "wall_s": time.time() - t0})
+    print(_json.dumps({"total": total, "out": args.out}))
+
+
+def cmd_build_index(args):
+    from .graph import algorithms as alg
+
+    h = _load_graph(args.graph)
+    t0 = time.time()
+    info = alg.build_walk_index(h, eps=args.eps, seed=args.seed, save_dir=args.out)
+    _write_metrics(args.out, {"command": "build-index", "wall_s": time.time() - t0, **info})
+    h.close()
+    print(json.dumps({"index_size": info["index_size"], "out": args.out}))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="fora_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("ingest")
+    p.add_argument("--corpus", required=True)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_ingest)
+
+    for name, fn in [("pagerank", cmd_pagerank)]:
+        p = sub.add_parser(name)
+        p.add_argument("--graph", required=True)
+        p.add_argument("--out", required=True)
+        p.add_argument("--ckpt-dir", default=None)
+        p.add_argument("--ckpt-every", type=int, default=10)
+        p.add_argument("--resume", action="store_true")
+        p.set_defaults(fn=fn)
+
+    p = sub.add_parser("query")
+    p.add_argument("--graph", required=True)
+    p.add_argument("--source", type=int, required=True)
+    p.add_argument("--mode", default="fora", choices=["exact", "fora", "fwdpush"])
+    p.add_argument("--eps", type=float, default=0.5)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--out", required=True)
+    p.add_argument("--ckpt-dir", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.set_defaults(fn=cmd_query)
+
+    p = sub.add_parser("topk")
+    p.add_argument("--graph", required=True)
+    p.add_argument("--source", type=int, required=True)
+    p.add_argument("--k", type=int, default=50)
+    p.add_argument("--eps", type=float, default=0.5)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_topk)
+
+    for name, fn in [("cc", cmd_cc), ("lpa", cmd_lpa), ("triangles", cmd_triangles)]:
+        p = sub.add_parser(name)
+        p.add_argument("--graph", required=True)
+        p.add_argument("--out", required=True)
+        if name == "lpa":
+            p.add_argument("--max-rounds", type=int, default=20)
+        p.set_defaults(fn=fn)
+
+    p = sub.add_parser("build-index")
+    p.add_argument("--graph", required=True)
+    p.add_argument("--eps", type=float, default=0.5)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_build_index)
+
+    args = ap.parse_args(argv)
+    _init_ray()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

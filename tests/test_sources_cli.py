@@ -1,0 +1,77 @@
+"""S1 compat reader, S2/S3 query-set + golden utilities, CLI smoke."""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import ray
+
+from fora_ray.sources.graph_txt import read_graph_txt, write_graph_txt
+from fora_ray.sources.queries import (
+    gen_exact_topk,
+    generate_query_set,
+    topk_precision,
+)
+
+from .graphs import BRIDGE8, to_dataset
+
+
+def test_graph_txt_roundtrip(tmp_path):
+    d = str(tmp_path / "ds")
+    write_graph_txt(to_dataset(BRIDGE8), d, n=8)
+    edges, n, m = read_graph_txt(d)
+    assert (n, m) == (8, len(BRIDGE8))
+    got = sorted(map(tuple, edges.to_pandas()[["src", "dst"]].to_numpy()))
+    assert got == sorted(map(tuple, BRIDGE8))
+
+
+def test_graph_txt_without_attribute(tmp_path):
+    d = str(tmp_path / "ds2")
+    write_graph_txt(to_dataset(BRIDGE8), d, n=8)
+    os.remove(os.path.join(d, "attribute.txt"))
+    edges, n, m = read_graph_txt(d)
+    assert n == 8 and m == len(BRIDGE8)
+
+
+def test_query_set_deterministic():
+    a = generate_query_set(1000, 32, seed=7)
+    b = generate_query_set(1000, 32, seed=7)
+    assert a.equals(b)
+    c = generate_query_set(1000, 32, seed=8)
+    assert not a.equals(c)
+    assert len(set(a["source"].to_pylist())) == 32
+
+
+def test_exact_topk_golden(graph600, tmp_path):
+    edges, n = graph600
+    out = str(tmp_path / "golden.parquet")
+    t = gen_exact_topk(edges, n, sources=[351], k=10, out_path=out)
+    assert os.path.exists(out)
+    saved = pq.read_table(out)
+    assert saved.num_rows == t.num_rows <= 10
+    # ranks ordered by descending ppr
+    ppr = t["ppr"].to_numpy()
+    assert (np.diff(ppr) <= 1e-15).all()
+    assert topk_precision(t["node_id"].to_pylist(), t["node_id"].to_pylist()) == 1.0
+
+
+def test_cli_ingest_and_pagerank(fix600, tmp_path):
+    """CLI in-process (the subprocess path is exercised in bench/verify);
+    main() must reuse the session fixture's Ray."""
+    from fora_ray.__main__ import main
+
+    g = str(tmp_path / "graph")
+    pr = str(tmp_path / "pr")
+    main(["ingest", "--corpus", f"{fix600}/corpus", "--out", g])
+    assert os.path.exists(f"{g}/csr/meta.json")
+    main(["pagerank", "--graph", g, "--out", pr])
+    assert os.path.exists(f"{pr}/METRICS.json")
+    scores = ray.data.read_parquet(f"{pr}/scores").to_pandas()
+    from fora_ray import oracle
+
+    edges = pq.read_table(f"{fix600}/edges.parquet")
+    e = np.stack([edges["src"].to_numpy(), edges["dst"].to_numpy()], axis=1)
+    want = oracle.ppr_power_iteration(e, 600, source=None)
+    got = np.zeros(600)
+    got[scores["node_id"]] = scores["ppr"]
+    assert np.allclose(got, want, atol=1e-9)
