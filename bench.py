@@ -97,7 +97,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     P = max(4, min(num_cpus, m // 100_000))
     replicas = max(1, num_cpus // 8)
     t0 = time.perf_counter()
-    handle = GraphHandle.from_edges(edges, n, P=P, m=m)
+    handle = GraphHandle.from_edges(edges, n, P=P, m=m, balance="degree")
     rep_handles = alg.make_replicas(edges, n, replicas, P=4, m=m)
     # spin replica actors up (first call pays actor start; untimed)
     for h in rep_handles:

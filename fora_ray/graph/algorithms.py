@@ -136,6 +136,7 @@ def personalized_pagerank(handle, source: int, mode: str = "exact",
 
     Returns (scores Dataset (node_id, ppr), stats dict).
     """
+    src_e = handle.to_engine(source)  # engine id under degree balancing
     start = 0
     if resume and ckpt_dir is not None:
         k = latest_step(ckpt_dir, handle.P)
@@ -143,18 +144,18 @@ def personalized_pagerank(handle, source: int, mode: str = "exact",
             restore_step(handle, ckpt_dir, k, ("reserve", "residual"))
             start = k
         else:
-            handle.call_all("ppr_init", source)
+            handle.call_all("ppr_init", src_e)
     else:
-        handle.call_all("ppr_init", source)
+        handle.call_all("ppr_init", src_e)
     if mode == "exact":
-        stats = _push_loop(handle, source, rmax=0.0, sweep_all=True, tol=tol,
+        stats = _push_loop(handle, src_e, rmax=0.0, sweep_all=True, tol=tol,
                            ckpt_dir=ckpt_dir, ckpt_every=ckpt_every, start_round=start)
     elif mode in ("fora", "fwdpush"):
         p = fora_params(handle.n, handle.m, eps, delta, pfail, rmax_scale)
-        stats = _push_loop(handle, source, rmax=p["rmax"], sweep_all=False,
+        stats = _push_loop(handle, src_e, rmax=p["rmax"], sweep_all=False,
                            ckpt_dir=ckpt_dir, ckpt_every=ckpt_every, start_round=start)
         if mode == "fora":
-            wstats = _walk_loop(handle, p["omega"], seed ^ (source * 0x9E3779B9), source)
+            wstats = _walk_loop(handle, p["omega"], seed ^ (source * 0x9E3779B9), src_e)
             stats.update(wstats)
         stats.update(p)
     else:
@@ -176,7 +177,8 @@ def ppr_batch(handle, sources: list[int], mode: str = "fora", eps: float = 0.5,
     import ray as _ray
 
     P = handle.P
-    handle.call_all("ppr_init_batch", list(map(int, sources)))
+    sources_e = [handle.to_engine(s) for s in sources]
+    handle.call_all("ppr_init_batch", sources_e)
     if mode == "exact":
         rmax, sweep = 0.0, True
     else:
@@ -264,9 +266,10 @@ def monte_carlo_ppr(handle, source: int, eps: float = 0.5,
                     seed: int = 42):
     """G3 — pure Monte-Carlo baseline: omega walks from the source, no
     push phase (residual == e_s)."""
-    handle.call_all("ppr_init", source)
+    src_e = handle.to_engine(source)
+    handle.call_all("ppr_init", src_e)
     p = fora_params(handle.n, handle.m, eps, delta, pfail)
-    wstats = _walk_loop(handle, p["omega"], seed ^ (source * 0x9E3779B9), source)
+    wstats = _walk_loop(handle, p["omega"], seed ^ (source * 0x9E3779B9), src_e)
     return handle.scores_dataset(), {**p, **wstats}
 
 
@@ -339,18 +342,19 @@ def fora_ssppr_indexed(handle, source: int, eps: float = 0.5,
                        rmax_scale: float = 1.0, seed: int = 42):
     """FORA+ query: push at rmax, then MC phase from the stored index
     (no RNG except for restart-marker walks re-run from the source)."""
-    handle.call_all("ppr_init", source)
+    src_e = handle.to_engine(source)
+    handle.call_all("ppr_init", src_e)
     p = fora_params(handle.n, handle.m, eps, delta, pfail, rmax_scale)
-    stats = _push_loop(handle, source, rmax=p["rmax"], sweep_all=False)
+    stats = _push_loop(handle, src_e, rmax=p["rmax"], sweep_all=False)
     metas, _ = handle._exchange("walk_from_index", "apply_acc", p["omega"])
     restart_mass = sum(m["restart"] for m in metas)
     if restart_mass > 0:
         count = max(int(math.ceil(restart_mass * p["omega"])), 1)
-        handle.call_all("spawn_live_walks", source, restart_mass, count,
+        handle.call_all("spawn_live_walks", src_e, restart_mass, count,
                         seed ^ (source * 0x9E3779B9))
         hop, alive = 0, count
         while alive > 0:
-            ms, _ = handle._exchange("walk_round", "apply_walkers", hop, source)
+            ms, _ = handle._exchange("walk_round", "apply_walkers", hop, src_e)
             alive = sum(m["alive"] for m in ms)
             hop += 1
     handle.call_all("walk_fold")

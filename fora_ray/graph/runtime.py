@@ -50,10 +50,19 @@ class ShardWorkerImpl:
     supersteps.  Wrapped in ray.remote by GraphHandle."""
 
     def __init__(self, part: int, P: int, n: int, shard: pa.Table | None = None,
-                 shard_file: str | None = None, alpha: float = 0.2):
+                 shard_file: str | None = None, alpha: float = 0.2,
+                 logical_ids: np.ndarray | None = None):
         self.part, self.P, self.n, self.alpha = part, P, n, alpha
         self.n_local = n_local_of(n, P, part)
         self.global_ids = np.arange(part, n, P, dtype=np.int64)
+        # logical ids reported in outputs / used as CC-LPA label values.
+        # Under degree-balanced partitioning (GraphHandle balance='degree')
+        # engine ids are a degree-ranked permutation of logical ids; this
+        # slice maps local engine rows back.  Identity when not balanced.
+        self.logical_ids = (
+            np.asarray(logical_ids, dtype=np.int64) if logical_ids is not None
+            else self.global_ids
+        )
         indptr = indices = None
         if shard is None and shard_file is not None:
             shard = pq.read_table(shard_file, filters=[("part_id", "=", part)])
@@ -473,7 +482,7 @@ class ShardWorkerImpl:
         loc, qs = np.nonzero(est)
         return pa.table({
             "query_idx": pa.array(qs.astype(np.int64)),
-            "node_id": pa.array(self.global_ids[loc]),
+            "node_id": pa.array(self.logical_ids[loc]),
             "ppr": pa.array(est[loc, qs]),
         })
 
@@ -681,18 +690,18 @@ class ShardWorkerImpl:
         if nonzero_only:
             nz = np.nonzero(vals)[0]
             return pa.table(
-                {"node_id": pa.array(self.global_ids[nz]), "ppr": pa.array(vals[nz])}
+                {"node_id": pa.array(self.logical_ids[nz]), "ppr": pa.array(vals[nz])}
             )
-        return pa.table({"node_id": pa.array(self.global_ids), "ppr": pa.array(vals)})
+        return pa.table({"node_id": pa.array(self.logical_ids), "ppr": pa.array(vals)})
 
     def get_labels(self) -> pa.Table:
         return pa.table(
-            {"node_id": pa.array(self.global_ids), "label": pa.array(self.labels)}
+            {"node_id": pa.array(self.logical_ids), "label": pa.array(self.labels)}
         )
 
     # ---- G9 connected components (hash-min) -------------------------------
     def cc_init(self):
-        self.labels = self.global_ids.copy()
+        self.labels = self.logical_ids.copy()
         self._changed = np.ones(self.n_local, dtype=bool)
         return True
 
@@ -737,7 +746,7 @@ class ShardWorkerImpl:
 
     # ---- G10 label propagation --------------------------------------------
     def lpa_init(self):
-        self.labels = self.global_ids.copy()
+        self.labels = self.logical_ids.copy()
         self._votes = None
         return True
 
@@ -800,7 +809,7 @@ class ShardWorkerImpl:
 
     # ---- checkpoint / restore (SURVEY 4.3) --------------------------------
     def checkpoint(self, path: str, fields=("reserve", "residual")) -> dict:
-        arrays = {"node_id": self.global_ids}
+        arrays = {"node_id": self.logical_ids}
         for f in fields:
             arrays[f] = getattr(self, f if f != "labels" else "labels")
         tmp = path + ".tmp"
@@ -837,17 +846,55 @@ def _block_parts(tbl: pa.Table) -> list[int]:
 
 
 class GraphHandle:
-    """Shard manifest + live actor pool for one graph (SURVEY 3.3)."""
+    """Shard manifest + live actor pool for one graph (SURVEY 3.3).
 
-    def __init__(self, workers, n: int, m: int, P: int, alpha: float = 0.2):
+    balance='degree' (SURVEY 4.2 / north_star "degree-balanced CSR
+    partitions"): engine node ids are the degree-descending rank of the
+    logical ids, so plain mod-P partitioning deals hubs round-robin and
+    every shard carries ~equal edge mass.  All worker internals stay on
+    engine ids (O(1) routing, no lookup tables); outputs and label
+    values are mapped back through per-shard logical-id slices, and
+    query sources are translated once on the driver (``to_engine``)."""
+
+    def __init__(self, workers, n: int, m: int, P: int, alpha: float = 0.2,
+                 perm: np.ndarray | None = None):
         self.workers, self.n, self.m, self.P, self.alpha = workers, n, m, P, alpha
+        self.perm = perm  # logical -> engine, or None (identity)
+
+    def to_engine(self, v: int) -> int:
+        return int(self.perm[v]) if self.perm is not None else int(v)
 
     @classmethod
     def from_edges(cls, edges_ds, n: int, P: int = 8, alpha: float = 0.2,
-                   m: int | None = None, worker_num_cpus: float = 0):
+                   m: int | None = None, worker_num_cpus: float = 0,
+                   balance: str | None = None):
         """Build CSR shards with one groupby shuffle, hand each actor a
         zero-copy ref to the block holding its partition."""
         from ..stages.csr import build_csr_shards
+
+        perm = inv = None
+        if balance == "degree":
+            from ..stages.shuffle import count_by_key
+
+            deg_pd = count_by_key(
+                edges_ds.select_columns(["src"]).rename_columns({"src": "node_id"}),
+                "node_id", alias="deg",
+            ).to_pandas()
+            deg = np.zeros(n, dtype=np.int64)
+            deg[deg_pd["node_id"].to_numpy()] = deg_pd["deg"].to_numpy()
+            order = np.lexsort((np.arange(n), -deg))  # degree desc, id asc
+            perm = np.empty(n, dtype=np.int64)
+            perm[order] = np.arange(n)  # logical -> engine (rank)
+            inv = order  # engine -> logical
+            perm_ref = ray.put(perm)
+
+            def relabel(t: pa.Table) -> pa.Table:
+                pm = ray.get(perm_ref)
+                src = t["src"].to_numpy(zero_copy_only=False)
+                dst = t["dst"].to_numpy(zero_copy_only=False)
+                return pa.table({"src": pa.array(pm[src]), "dst": pa.array(pm[dst])})
+
+            edges_ds = edges_ds.map_batches(relabel, batch_format="pyarrow")
 
         shards = build_csr_shards(edges_ds, n, P).materialize()
         refs = shards.to_arrow_refs()
@@ -861,12 +908,15 @@ class GraphHandle:
             else ray.remote(num_cpus=worker_num_cpus)(ShardWorkerImpl)
         )
         workers = [
-            worker_cls.remote(p, P, n, shard=ref_of_part.get(p), alpha=alpha)
+            worker_cls.remote(
+                p, P, n, shard=ref_of_part.get(p), alpha=alpha,
+                logical_ids=(inv[p::P] if inv is not None else None),
+            )
             for p in range(P)
         ]
         if m is None:
             m = edges_ds.count()
-        return cls(workers, n, m, P, alpha)
+        return cls(workers, n, m, P, alpha, perm=perm)
 
     def close(self):
         """Kill shard actors and release their state."""

@@ -139,3 +139,50 @@ def test_mass_conservation_each_round(graph600):
                 t["ppr"].to_numpy().sum() for t in tables if t.num_rows
             )
             assert abs(reserve_sum + rsum - 1.0) < 1e-12
+
+
+def test_degree_balanced_partitioning(graph600):
+    """balance='degree' (north_star degree-balanced CSR shards) must give
+    identical results to plain mod partitioning for every algorithm."""
+    edges, n = graph600
+    from .graphs import symmetrized
+
+    with GraphHandle.from_edges(to_dataset(edges), n, P=4, balance="degree") as h:
+        assert h.perm is not None
+        scores, _ = alg.personalized_pagerank(h, 351, mode="exact")
+        got = _scores_to_dense(scores, n)
+        want = oracle.ppr_power_iteration(edges, n, source=351)
+        assert np.allclose(got, want, atol=1e-9)
+        scores, _ = alg.pagerank(h)
+        got = _scores_to_dense(scores, n)
+        assert np.allclose(got, oracle.ppr_power_iteration(edges, n, source=None), atol=1e-9)
+        scores, _ = alg.personalized_pagerank(h, 351, mode="fora", seed=4)
+        got = _scores_to_dense(scores, n)
+        mask = want > 1.0 / n
+        assert (np.abs(got[mask] - want[mask]) / want[mask] <= 0.5).all()
+    sym = symmetrized(edges)
+    with GraphHandle.from_edges(to_dataset(sym), n, P=4, balance="degree") as h:
+        labels, _ = alg.connected_components(h)
+        got = labels.to_pandas().sort_values("node_id")["label"].to_numpy()
+        assert np.array_equal(got, oracle.cc_oracle(sym, n))
+        labels, _ = alg.label_propagation(h, max_rounds=20)
+        got = labels.to_pandas().sort_values("node_id")["label"].to_numpy()
+        assert np.array_equal(got, oracle.lpa_oracle(sym, n, max_rounds=20))
+
+
+def test_degree_balance_spreads_hubs(graph600):
+    """The permutation must deal the hubs round-robin: the top-P
+    out-degree nodes get engine ids 0..P-1 (all different shards), and
+    per-shard edge mass is near-even."""
+    edges, n = graph600
+    P = 4
+    with GraphHandle.from_edges(to_dataset(edges), n, P=P, balance="degree") as h:
+        deg = np.bincount(edges[:, 0], minlength=n)
+        top = np.lexsort((np.arange(n), -deg))[:P]
+        engine_ids = h.perm[top]
+        assert sorted(engine_ids.tolist()) == list(range(P))
+        # per-shard edge mass (sum of out-degrees of its vertices)
+        shard_mass = np.zeros(P, dtype=np.int64)
+        for v in range(n):
+            shard_mass[h.perm[v] % P] += deg[v]
+        assert shard_mass.max() <= 1.3 * max(shard_mass.mean(), 1)
