@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import math
 
+import ray
+
 from ..state.checkpoint import checkpoint_step, latest_step, restore_step
 
 
@@ -292,6 +294,97 @@ def pagerank(handle, mode: str = "exact", tol: float = 1e-12,
                        ckpt_dir=ckpt_dir, ckpt_every=ckpt_every, start_round=start)
     stats["counters"] = handle.counters()
     return handle.scores_dataset(), stats
+
+
+def backward_ppr(handle_rev, target: int, mode: str = "exact",
+                 rmax_b: float = 1e-8, tol: float = 1e-12,
+                 max_rounds: int = 10_000):
+    """G5 — backward push from `target` over the weighted reverse graph
+    (handle_rev = GraphHandle.from_reverse_edges).  Returns (scores
+    Dataset (node_id, ppr) where ppr[v] ~= pi(v -> target), stats).
+
+    mode='exact': push to convergence (residuals ~ 0) — matches the
+    forward oracle column allclose.  mode='push': stop at rmax_b
+    (additive error bound per BiPPR)."""
+    import ray as _ray
+
+    P = handle_rev.P
+    handle_rev.call_all("ppr_init", handle_rev.to_engine(target))
+    sweep = mode == "exact"
+    rmax = 0.0 if sweep else rmax_b
+    rounds, outs = 0, None
+    rsum = None
+    while rounds < max_rounds:
+        calls = []
+        for p, w in enumerate(handle_rev.workers):
+            pls = [outs[q][p + 1] for q in range(P) if q != p] if outs else []
+            calls.append(
+                w.bpush_round2.options(num_returns=P + 1).remote(rmax, sweep, None, 0.0, *pls)
+            )
+        metas = _ray.get([c[0] for c in calls])
+        outs = calls
+        active = sum(m["active"] for m in metas)
+        rsum = sum(m["rsum"] for m in metas)
+        rounds += 1
+        if active == 0 or (sweep and rsum < tol):
+            if outs is not None:
+                _ray.get([
+                    w.apply_residual.remote(*[outs[q][p + 1] for q in range(P) if q != p])
+                    for p, w in enumerate(handle_rev.workers)
+                ])
+            break
+    return handle_rev.scores_dataset(), {"rounds": rounds, "rsum": rsum}
+
+
+def bippr(handle_fwd, handle_rev, source: int, target: int, eps: float = 0.5,
+          rmax_b: float | None = None, seed: int = 42) -> tuple[float, dict]:
+    """G5 — BiPPR pairwise estimate: backward push from target (residuals
+    r_t) + forward alpha-walks from source (endpoint distribution
+    ~ pi(s, .)): pi(s,t) ~= reserve_t(s) + E_endpoint[r_t(endpoint)].
+
+    Residual/accumulator vectors are combined on the driver (test-scale;
+    the scale path is a per-shard dot product since both handles share
+    the v % P partitioning)."""
+    import math as _math
+
+    import numpy as np
+
+    n = handle_fwd.n
+    if rmax_b is None:
+        rmax_b = eps / _math.sqrt(max(n, 2))
+    _scores, bstats = backward_ppr(handle_rev, target, mode="push", rmax_b=rmax_b)
+    # backward reserve at source + residual vector
+    res_tables = ray.get([w.get_scores.remote(True) for w in handle_rev.workers])
+    reserve_t = np.zeros(n)
+    for t in res_tables:
+        if t.num_rows:
+            reserve_t[t["node_id"].to_numpy(zero_copy_only=False)] = t["ppr"].to_numpy(zero_copy_only=False)
+    resid_tables = ray.get([w.get_residuals.remote() for w in handle_rev.workers])
+    r_t = np.zeros(n)
+    for t in resid_tables:
+        if t.num_rows:
+            r_t[t["node_id"].to_numpy(zero_copy_only=False)] = t["residual"].to_numpy(zero_copy_only=False)
+    # forward walks: endpoints of W alpha-walks from source ~ pi(s, .)
+    W = int(_math.ceil(16.0 * _math.log(max(n, 2)) / (eps * eps)))
+    src_e = handle_fwd.to_engine(source)
+    handle_fwd.call_all("ppr_init", src_e)
+    handle_fwd.call_all("spawn_live_walks", src_e, 1.0, W, seed ^ (source * 0x85EBCA6B))
+    hop, alive = 0, W
+    while alive > 0:
+        # source=-1: dangling nodes absorb (BiPPR self-loop convention,
+        # matching the backward pass)
+        ms, _ = handle_fwd._exchange("walk_round", "apply_walkers", hop, -1)
+        alive = sum(m["alive"] for m in ms)
+        hop += 1
+    handle_fwd.call_all("walk_fold")
+    acc_tables = ray.get([w.get_scores.remote(True) for w in handle_fwd.workers])
+    est_mc = 0.0
+    for t in acc_tables:
+        if t.num_rows:
+            ids = t["node_id"].to_numpy(zero_copy_only=False)
+            est_mc += float((t["ppr"].to_numpy(zero_copy_only=False) * r_t[ids]).sum())
+    estimate = float(reserve_t[source]) + est_mc
+    return estimate, {"walks": W, "rmax_b": rmax_b, **bstats}
 
 
 def build_walk_index(handle, eps: float = 0.5, delta: float | None = None,

@@ -66,11 +66,14 @@ class ShardWorkerImpl:
         indptr = indices = None
         if shard is None and shard_file is not None:
             shard = pq.read_table(shard_file, filters=[("part_id", "=", part)])
+        self.edge_weights = None
         if shard is not None and shard.num_rows:
             rows = shard.filter(pa.compute.equal(shard["part_id"], part))
             if rows.num_rows:
                 indptr = np.asarray(rows["indptr"][0].as_py(), dtype=np.int64)
                 indices = np.asarray(rows["indices"][0].as_py(), dtype=np.int64)
+                if "weights" in rows.schema.names:
+                    self.edge_weights = np.asarray(rows["weights"][0].as_py(), dtype=np.float64)
         if indptr is None:
             indptr = np.zeros(self.n_local + 1, dtype=np.int64)
             indices = np.empty(0, dtype=np.int64)
@@ -258,8 +261,20 @@ class ShardWorkerImpl:
         nxt = np.empty_like(cur)
         if dang.any():
             # dangling: walk restarts at the source (SURVEY 2.4 convention);
-            # PageRank mode (source=None): teleport to a uniform random node.
-            if source is not None:
+            # source=-1: absorb at the dangling node (BiPPR self-loop
+            # convention — the walk terminates here with prob 1);
+            # source=None (PageRank): teleport to a uniform random node.
+            if source == -1:
+                np.add.at(self.acc, loc[dang], wt[dang])
+                cur, wt, wkey, loc, d = (
+                    cur[~dang], wt[~dang], wkey[~dang], loc[~dang], d[~dang]
+                )
+                meta["alive"] = int(cur.size)
+                dang = np.zeros(cur.size, dtype=bool)
+                nxt = np.empty_like(cur)
+                if cur.size == 0:
+                    return tuple([meta] + [None] * self.P)
+            elif source is not None:
                 nxt[dang] = source
             else:
                 u = rng_uniform(mix64(wkey[dang], np.full(int(dang.sum()), np.uint64(2 * hop + 1), np.uint64)))
@@ -300,6 +315,55 @@ class ShardWorkerImpl:
         self.reserve += self.acc
         self.acc[:] = 0.0
         return True
+
+    # ---- G5 backward push (BiPPR; weighted reverse CSR) -------------------
+    def bpush_round(self, rmax: float, sweep_all: bool):
+        """One backward-push superstep over the weighted reverse graph:
+        active v pushes (1-alpha)*r(v)*w_e along each reverse edge (w_e =
+        1/out_deg of the original source).  No dangling redistribution —
+        backward push conserves the invariant
+        pi(s,t) = reserve(s) + sum_v r(v) pi(s,v), not total mass."""
+        r = self.residual
+        if sweep_all:
+            idx = np.nonzero(r)[0]
+        else:
+            idx = np.nonzero(r > rmax)[0]
+        meta = {"active": int(idx.size), "dangling": 0.0, "drained": float(r[idx].sum()) if idx.size else 0.0}
+        if idx.size == 0:
+            meta["rsum"] = float(r.sum())
+            return tuple([meta] + [None] * self.P)
+        ra = r[idx].copy()
+        self.reserve[idx] += self.alpha * ra
+        r[idx] = 0.0
+        self.counters["pushes"] += int(idx.size)
+        payloads = [None] * self.P
+        counts = self.out_deg[idx]
+        if counts.sum():
+            dsts, row = self._gather_edges(idx)
+            starts = self.indptr[idx]
+            cum = np.concatenate([[0], np.cumsum(counts[:-1])])
+            pos = np.arange(int(counts.sum()), dtype=np.int64)
+            eidx = np.repeat(starts, counts) + (pos - np.repeat(cum, counts))
+            w = self.edge_weights[eidx]
+            per_edge = (1.0 - self.alpha) * ra[row] * w
+            payloads, sent = self._route_add(
+                dsts, per_edge, lambda acc: self.residual.__iadd__(acc)
+            )
+            meta["sent_mass"] = sent
+        meta["rsum"] = float(r.sum()) + meta.get("sent_mass", 0.0)
+        return tuple([meta] + payloads)
+
+    def bpush_round2(self, rmax: float, sweep_all: bool, source, dang_in, *payloads):
+        for pl in payloads:
+            self._add_payload(self.residual, pl)
+        return self.bpush_round(rmax, sweep_all)
+
+    def get_residuals(self) -> pa.Table:
+        nz = np.nonzero(self.residual)[0]
+        return pa.table({
+            "node_id": pa.array(self.logical_ids[nz]),
+            "residual": pa.array(self.residual[nz]),
+        })
 
     # ---- multi-source batched PPR (SURVEY 4.4: "batch multiple queries
     # per superstep wave" — amortizes the driver barrier over Q queries;
@@ -930,6 +994,35 @@ class GraphHandle:
     def __exit__(self, *exc):
         self.close()
         return False
+
+    @classmethod
+    def from_reverse_edges(cls, edges_ds, n: int, P: int = 8, alpha: float = 0.2,
+                           m: int | None = None):
+        """Weighted reverse-graph handle for backward push (G5/BiPPR).
+        Edge weights = 1/out_deg(original source), baked into the shards."""
+        from ..stages.csr import build_weighted_reverse_shards
+        from ..stages.shuffle import count_by_key
+
+        deg_pd = count_by_key(
+            edges_ds.select_columns(["src"]).rename_columns({"src": "node_id"}),
+            "node_id", alias="deg",
+        ).to_pandas()
+        out_deg = np.zeros(n, dtype=np.int64)
+        out_deg[deg_pd["node_id"].to_numpy()] = deg_pd["deg"].to_numpy()
+        shards = build_weighted_reverse_shards(edges_ds, n, P, out_deg).materialize()
+        refs = shards.to_arrow_refs()
+        parts_per_block = ray.get([_block_parts.remote(r) for r in refs])
+        ref_of_part = {}
+        for ref, parts in zip(refs, parts_per_block):
+            for p in parts:
+                ref_of_part[p] = ref
+        workers = [
+            ShardWorker.remote(p, P, n, shard=ref_of_part.get(p), alpha=alpha)
+            for p in range(P)
+        ]
+        if m is None:
+            m = edges_ds.count()
+        return cls(workers, n, m, P, alpha)
 
     @classmethod
     def from_dir(cls, shard_dir: str, alpha: float = 0.2):

@@ -38,9 +38,14 @@ def ppr_power_iteration(
     source: int | None = None,
     tol: float = 1e-14,
     max_iter: int = 2000,
+    dangling: str = "source",
 ) -> np.ndarray:
     """Exact (to tol) PPR vector.  source=None -> global PageRank
-    (uniform source distribution).  Returns dense float64 of size n."""
+    (uniform source distribution).  Returns dense float64 of size n.
+
+    dangling='source' (engine forward convention: mass restarts at the
+    source distribution) or 'selfloop' (BiPPR backward-push convention:
+    dangling nodes hold their mass)."""
     indptr, indices = _adj(np.asarray(edges, dtype=np.int64).reshape(-1, 2), n)
     deg = np.diff(indptr)
     s = np.full(n, 1.0 / n) if source is None else None
@@ -52,14 +57,17 @@ def ppr_power_iteration(
         pi += alpha * q
         nz = np.nonzero(q)[0]
         nxt = np.zeros(n)
-        dangling = 0.0
+        dangling_acc = 0.0
         for v in nz:
             mass = (1.0 - alpha) * q[v]
             if deg[v] == 0:
-                dangling += mass
+                if dangling == "selfloop":
+                    nxt[v] += mass
+                else:
+                    dangling_acc += mass
             else:
                 nxt[indices[indptr[v] : indptr[v + 1]]] += mass / deg[v]
-        if dangling > 0:
+        if dangling_acc > 0:
             if source is None:
                 nxt += dangling * s
             else:

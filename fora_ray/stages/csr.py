@@ -70,6 +70,69 @@ def build_csr_shards(edges_ds, n: int, P: int):
     )
 
 
+def build_weighted_reverse_shards(edges_ds, n: int, P: int, out_deg: "np.ndarray"):
+    """CSR shards of the REVERSE graph with per-edge weights
+    1/out_deg(original source) — the operand of backward push (G5):
+    pushing r(v) sends (1-alpha)*r(v)/out_deg(u) to each in-neighbor u,
+    i.e. a weighted push over reverse edges.  out_deg is the original
+    graph's out-degree vector (broadcast; at 10^12 scale this weight is
+    attached via a degrees join during shard build instead)."""
+    import ray
+
+    deg_ref = ray.put(out_deg.astype(np.float64))
+
+    def rev_with_w(batch: pa.Table) -> pa.Table:
+        deg = ray.get(deg_ref)
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        dst = batch["dst"].to_numpy(zero_copy_only=False)
+        w = 1.0 / np.maximum(deg[src], 1.0)
+        return pa.table({
+            "src": pa.array(dst),  # reverse direction
+            "dst": pa.array(src),
+            "w": pa.array(w),
+            "part_id": pa.array((dst % P).astype(np.int32)),
+        })
+
+    # dangling nodes get a self-loop (weight 1): backward push requires a
+    # source-INdependent chain, so the reverse graph uses the standard
+    # BiPPR dangling-self-loop convention (oracle: dangling='selfloop');
+    # the forward engine's restart-to-source convention cannot be
+    # expressed as a single backward pass.
+    dang = np.nonzero(out_deg == 0)[0].astype(np.int64)
+    self_loops = pa.table({
+        "src": pa.array(dang),
+        "dst": pa.array(dang),
+        "w": pa.array(np.ones(dang.size)),
+        "part_id": pa.array((dang % P).astype(np.int32)),
+    })
+
+    def build(group: pa.Table) -> pa.Table:
+        src = group["src"].to_numpy(zero_copy_only=False)
+        dst = group["dst"].to_numpy(zero_copy_only=False)
+        w = group["w"].to_numpy(zero_copy_only=False)
+        p = int(src[0] % P)
+        n_local = n_local_of(n, P, p)
+        loc = src // P
+        order = np.lexsort((dst, loc))
+        counts = np.bincount(loc[order], minlength=n_local)
+        indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        return pa.table({
+            "part_id": pa.array([p], pa.int32()),
+            "indptr": _large_list(indptr),
+            "indices": _large_list(dst[order].astype(np.int64)),
+            "weights": pa.LargeListArray.from_arrays(
+                pa.array([0, len(w)], pa.int64()), pa.array(w[order], pa.float64())
+            ),
+        })
+
+    import ray as _ray
+
+    rev = edges_ds.map_batches(rev_with_w, batch_format="pyarrow")
+    if dang.size:
+        rev = rev.union(_ray.data.from_arrow(self_loops))
+    return rev.groupby("part_id").map_groups(build, batch_format="pyarrow")
+
+
 def save_shards(shards_ds, out_dir: str, n: int, m: int, P: int) -> str:
     """Persist shard rows + meta.json (resumable graph load, SURVEY 4.3)."""
     os.makedirs(out_dir, exist_ok=True)
