@@ -69,9 +69,9 @@ def ppr_power_iteration(
                 nxt[indices[indptr[v] : indptr[v + 1]]] += mass / deg[v]
         if dangling_acc > 0:
             if source is None:
-                nxt += dangling * s
+                nxt += dangling_acc * s
             else:
-                nxt[source] += dangling
+                nxt[source] += dangling_acc
         q = nxt
         if q.sum() < tol:
             break
