@@ -251,6 +251,43 @@ def _queries_graph():
         per, _total = triangle_count(g["sym"], g["n"])
         return per.to_pandas().reset_index(drop=True)
 
+    def ppr_batch_q(sf_dir):
+        g = _graph(sf_dir)
+        scores, _ = alg.ppr_batch(g["handle"], [0, 1, 2, 3], mode="fora", seed=42)
+        return (
+            scores.to_pandas()
+            .sort_values(["query_idx", "node_id"]).reset_index(drop=True)
+        )
+
+    def monte_carlo_q(sf_dir):
+        g = _graph(sf_dir)
+        scores, _ = alg.monte_carlo_ppr(g["handle"], source=0, seed=42)
+        return scores.to_pandas().sort_values("node_id").reset_index(drop=True)
+
+    def fora_indexed_q(sf_dir):
+        from fora_ray.graph.algorithms import build_walk_index, fora_ssppr_indexed
+
+        g = _graph(sf_dir)
+        if "walk_index" not in g:
+            build_walk_index(g["handle"], seed=42)
+            g["walk_index"] = True
+        scores, _ = fora_ssppr_indexed(g["handle"], source=0, seed=42)
+        return scores.to_pandas().sort_values("node_id").reset_index(drop=True)
+
+    def backward_ppr_q(sf_dir):
+        import ray
+
+        from fora_ray.graph.runtime import GraphHandle
+
+        g = _graph(sf_dir)
+        if "handle_rev" not in g:
+            g["handle_rev"] = GraphHandle.from_reverse_edges(g["edges"], g["n"], P=4)
+        # target = highest in-degree node
+        deg = g["degrees"].to_pandas()
+        target = int(deg.sort_values(["in_deg", "node_id"], ascending=[False, True]).iloc[0]["node_id"])
+        scores, _ = alg.backward_ppr(g["handle_rev"], target, mode="exact")
+        return scores.to_pandas().sort_values("node_id").reset_index(drop=True)
+
     return {
         "ingest_nodes": ingest_nodes,
         "ingest_edges": ingest_edges,
@@ -258,6 +295,10 @@ def _queries_graph():
         "pagerank": pagerank_q,
         "ppr_exact": ppr_exact,
         "fora_ppr": fora_ppr,
+        "ppr_batch": ppr_batch_q,
+        "monte_carlo_ppr": monte_carlo_q,
+        "fora_indexed": fora_indexed_q,
+        "backward_ppr": backward_ppr_q,
         "topk_ppr": topk_ppr_q,
         "cc": cc_q,
         "lpa": lpa_q,
