@@ -408,6 +408,8 @@ def build_walk_index(handle, eps: float = 0.5, delta: float | None = None,
     handle._exchange("index_endpoint_exchange", "apply_endpoints")
     sizes = handle.call_all("index_build")
     if save_dir is not None:
+        import json as _json
+
         _os.makedirs(save_dir, exist_ok=True)
         import ray as _ray
 
@@ -415,15 +417,33 @@ def build_walk_index(handle, eps: float = 0.5, delta: float | None = None,
             w.index_save.remote(_os.path.join(save_dir, f"part={q:04d}.parquet"))
             for q, w in enumerate(handle.workers)
         ])
+        meta = {"n": handle.n, "m": handle.m, "P": handle.P, "seed": seed,
+                "eps": eps, "walks_per_deg": walks_per_deg}
+        tmp = _os.path.join(save_dir, ".meta.tmp")
+        with open(tmp, "w") as f:
+            _json.dump(meta, f)
+        _os.replace(tmp, _os.path.join(save_dir, "meta.json"))
     return {**p, "walks_per_deg": walks_per_deg, "index_walks": total,
             "index_size": sum(sizes), "hops": hop}
 
 
 def load_walk_index(handle, save_dir: str) -> None:
+    """Reload a persisted walk index; refuses a (P, n)-mismatched index
+    instead of failing obscurely or corrupting results."""
+    import json as _json
     import os as _os
 
     import ray as _ray
 
+    meta_path = _os.path.join(save_dir, "meta.json")
+    if _os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = _json.load(f)
+        if meta.get("P") != handle.P or meta.get("n") != handle.n:
+            raise ValueError(
+                f"walk index at {save_dir} was built for P={meta.get('P')}, "
+                f"n={meta.get('n')}; this handle has P={handle.P}, n={handle.n}"
+            )
     _ray.get([
         w.index_load.remote(_os.path.join(save_dir, f"part={q:04d}.parquet"))
         for q, w in enumerate(handle.workers)

@@ -356,11 +356,43 @@ def embedding_dups(emb_ds, threshold: float = 0.95, n_planes: int = 16, seed: in
     ).sort(["a", "b"])
 
 
-def dup_clusters(pairs_ds, ids_ds, id_col: str = "doc_id"):
+def dup_clusters(pairs_ds, ids_ds, id_col: str = "doc_id",
+                 strategy: str = "auto", distributed_threshold: int = 2_000_000):
     """Cluster verified dup pairs into groups: connected components with
-    label = min member id.  Pair sets are tiny relative to the corpus, so
-    union-find on the gathered pairs is appropriate; at larger candidate
-    volumes reuse fora_ray.graph.algorithms.connected_components."""
+    label = min member id.
+
+    strategy='unionfind' gathers the (small) pair set to the driver;
+    'distributed' reuses the superstep CC runtime over the pair graph —
+    the scale path when the candidate set is itself huge.  'auto' picks
+    by pair count."""
+    if strategy == "auto":
+        strategy = (
+            "distributed" if pairs_ds.count() > distributed_threshold else "unionfind"
+        )
+    if strategy == "distributed":
+        import pyarrow.compute as _pc
+
+        from ..graph.algorithms import connected_components
+        from ..graph.runtime import GraphHandle
+        from ..stages.edges import symmetrize
+
+        n = int(ids_ds.max(id_col)) + 1
+        edges = pairs_ds.map_batches(
+            lambda t: pa.table({"src": t["a"], "dst": t["b"]}), batch_format="pyarrow"
+        )
+        with GraphHandle.from_edges(symmetrize(edges), n, P=8) as h:
+            labels, _ = connected_components(h)
+            lab = labels.rename_columns({"node_id": id_col, "label": "cluster"})
+            # restrict to ids present in ids_ds (the CC handle covers 0..n-1)
+            want = set()
+            for blk in ray.get(ids_ds.select_columns([id_col]).to_arrow_refs()):
+                want.update(blk[id_col].to_pylist())
+            return lab.map_batches(
+                lambda t, w=want: t.filter(
+                    pa.array([i in w for i in t[id_col].to_pylist()])
+                ),
+                batch_format="pyarrow",
+            ).sort(id_col)
     pairs = pairs_ds.to_pandas()
     parent: dict[int, int] = {}
 

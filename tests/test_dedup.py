@@ -90,3 +90,10 @@ def test_embedding_dups():
     got = set(map(tuple, pairs[["a", "b"]].to_numpy()))
     assert (0, 1) in got
     assert all((2 not in p) for p in got)
+
+
+def test_dup_clusters_distributed_matches_unionfind():
+    pairs = minhash_lsh_dups(_dup_corpus(), threshold=0.5)
+    a = dup_clusters(pairs, _dup_corpus(), strategy="unionfind").to_pandas()
+    b = dup_clusters(pairs, _dup_corpus(), strategy="distributed").to_pandas()
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))

@@ -59,3 +59,14 @@ def test_topk_precision(graph600):
     assert len(got) == k
     precision = len(set(got["node_id"].tolist()) & exact_top) / k
     assert precision >= 0.95  # paper reports ~1.0 at eps=0.5
+
+
+def test_index_load_rejects_mismatched_P(graph600, tmp_path):
+    edges, n = graph600
+    with GraphHandle.from_edges(to_dataset(edges), n, P=2) as h:
+        alg.build_walk_index(h, seed=5, save_dir=str(tmp_path / "idx2"))
+    with GraphHandle.from_edges(to_dataset(edges), n, P=4) as h:
+        import pytest
+
+        with pytest.raises(ValueError, match="built for P=2"):
+            alg.load_walk_index(h, str(tmp_path / "idx2"))

@@ -1,0 +1,71 @@
+"""Property-based tests (hypothesis): random graphs vs oracles, resolver
+invariants, hashing determinism (SURVEY 5.2 depth)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fora_ray import oracle
+from fora_ray.functions.hashing import mix64, rng_uniform, splitmix64
+from fora_ray.stages.resolve import candidates
+
+
+@st.composite
+def random_digraph(draw):
+    n = draw(st.integers(min_value=2, max_value=24))
+    n_edges = draw(st.integers(min_value=0, max_value=60))
+    edges = set()
+    for _ in range(n_edges):
+        u = draw(st.integers(min_value=0, max_value=n - 1))
+        v = draw(st.integers(min_value=0, max_value=n - 1))
+        if u != v:
+            edges.add((u, v))
+    e = np.array(sorted(edges), dtype=np.int64).reshape(-1, 2)
+    return e, n
+
+
+@settings(max_examples=25, deadline=None)
+@given(random_digraph(), st.integers(min_value=0, max_value=1_000_000))
+def test_oracle_mass_conserved(g, src_seed):
+    edges, n = g
+    src = src_seed % n
+    pi = oracle.ppr_power_iteration(edges, n, source=src)
+    assert abs(pi.sum() - 1.0) < 1e-9
+    assert (pi >= -1e-15).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(random_digraph())
+def test_cc_labels_are_canonical_minima(g):
+    edges, n = g
+    sym = np.unique(np.concatenate([edges, edges[:, ::-1]]) if len(edges) else edges, axis=0) \
+        if len(edges) else edges
+    labels = oracle.cc_oracle(sym, n)
+    # every label is the min id of its component and a fixed point
+    for comp in set(labels.tolist()):
+        members = np.nonzero(labels == comp)[0]
+        assert comp == members.min()
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"),
+                                      whitelist_characters="./_"), max_size=40),
+       st.sampled_from(["python", "c", "cpp", "javascript", "java", "go"]))
+def test_resolver_never_escapes_repo(ref, lang):
+    """No candidate may escape the repo root or be absolute."""
+    for cand in candidates(lang, "org/repo", "a/b/c.py", ref):
+        assert not cand.startswith("/")
+        assert not cand.startswith("..")
+        assert "/../" not in cand
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), min_size=1, max_size=64))
+def test_hash_uniforms_in_range_and_deterministic(keys):
+    a = np.array(keys, dtype=np.uint64)
+    u1 = rng_uniform(a)
+    u2 = rng_uniform(a)
+    assert np.array_equal(u1, u2)
+    assert ((u1 >= 0) & (u1 < 1)).all()
+    assert np.array_equal(splitmix64(a), splitmix64(a.copy()))
+    assert not np.array_equal(mix64(a, np.uint64(1)), mix64(a, np.uint64(2)))
