@@ -462,6 +462,19 @@ def oracle_sql() -> dict[str, str]:
         "ingest_edges": f"SELECT src, dst FROM read_parquet('{golden_edges}') ORDER BY src, dst",
         "ingest_degrees": degrees_sql,
         "triangles": triangles_sql,
+        "cc": f"""
+            WITH RECURSIVE
+             e AS (SELECT src, dst FROM read_parquet('{golden_edges}')
+                   UNION SELECT dst, src FROM read_parquet('{golden_edges}')),
+             n AS (SELECT CAST(row_number() OVER (ORDER BY repo, path) - 1 AS BIGINT) AS node_id
+                   FROM read_parquet('{corpus}')),
+             reach(a, b) AS (
+               SELECT node_id, node_id FROM n
+               UNION
+               SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src
+             )
+            SELECT a AS node_id, min(b) AS label FROM reach GROUP BY a ORDER BY a
+        """,
         # pagerank / ppr_exact / fora_ppr / topk_ppr / cc / lpa / langid /
         # doc_fingerprints / minhash_dups / simhash_dups / ann_ivf:
         # not SQL-expressible -> rows-only driver check; exact/statistical
