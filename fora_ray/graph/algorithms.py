@@ -477,16 +477,20 @@ def fora_ssppr_indexed(handle, source: int, eps: float = 0.5,
 
 
 def topk_ppr(handle, source: int, k: int, eps: float = 0.5, seed: int = 42,
-             pfail: float | None = None, max_iters: int = 6,
+             pfail: float | None = None, max_iters: int = 8,
              use_index: bool = False):
-    """G7 — top-k SSPPR with iterative tightening (paper section 4 Alg.4/5
-    shape): start at the coarse guarantee level delta=1/k and halve
-    delta until the top-k id set is stable across two consecutive
-    iterations (or delta reaches 1/n).  Returns (topk Dataset
-    (node_id, ppr) sorted desc, stats)."""
-    prev_ids: tuple | None = None
+    """G7 — top-k SSPPR with confidence-bound early termination (paper
+    section 4, Alg.4/5 structure): run FORA at geometrically tightening
+    delta (delta_0 = 1/k, /4 each trial).  At guarantee level
+    (eps, delta), every estimate above delta satisfies
+    |pi_hat - pi| <= eps*pi, so pi lies in
+    [pi_hat/(1+eps), pi_hat/(1-eps)]; estimates below delta are bounded
+    above by delta*(1+eps).  Both bounds are monotone in pi_hat, so the
+    stop test is LB(k-th) >= UB((k+1)-th) — the k-th candidate provably
+    beats every non-candidate.  Returns (topk Dataset (node_id, ppr)
+    sorted desc, stats)."""
     delta = max(1.0 / max(k, 1), 1.0 / handle.n)
-    stats: dict = {"iters": 0}
+    stats: dict = {"iters": 0, "converged": False}
     scores = None
     for i in range(max_iters):
         if use_index:
@@ -497,11 +501,20 @@ def topk_ppr(handle, source: int, k: int, eps: float = 0.5, seed: int = 42,
                                                delta=delta, pfail=pfail, seed=seed + i)
         stats["iters"] = i + 1
         stats["delta"] = delta
-        top = scores.sort("ppr", descending=True).limit(k).to_pandas()
-        ids = tuple(sorted(top["node_id"].tolist()))
-        if (len(top) >= k and ids == prev_ids) or delta <= 1.0 / handle.n:
+        top = scores.sort("ppr", descending=True).limit(k + 1).to_pandas()
+        est = top["ppr"].to_numpy()
+        at_floor = delta <= 1.0 / handle.n + 1e-18
+        if len(est) >= k:
+            lb_k = max(est[k - 1] / (1.0 + eps), 0.0)
+            if len(est) > k:
+                ub_next = max(est[k] / (1.0 - eps), delta * (1.0 + eps))
+            else:
+                ub_next = delta * (1.0 + eps)  # everything else is < delta
+            if lb_k >= ub_next:
+                stats["converged"] = True
+                break
+        if at_floor:
             break
-        prev_ids = ids
         delta = max(delta / 4.0, 1.0 / handle.n)
     return scores.sort("ppr", descending=True).limit(k), stats
 

@@ -186,3 +186,31 @@ def test_degree_balance_spreads_hubs(graph600):
         for v in range(n):
             shard_mass[h.perm[v] % P] += deg[v]
         assert shard_mass.max() <= 1.3 * max(shard_mass.mean(), 1)
+
+
+def test_scale_5000_correctness():
+    """sf-correctness scale (FIXTURES): PPR + CC at n=5000 vs oracles."""
+    import pyarrow.parquet as pq
+
+    from fora_ray.fixtures import fixture_dir
+
+    fix = fixture_dir(5000)
+    ge = pq.read_table(f"{fix}/edges.parquet")
+    edges = np.stack([ge["src"].to_numpy(), ge["dst"].to_numpy()], axis=1)
+    n = 5000
+    with GraphHandle.from_edges(to_dataset(edges), n, P=4, balance="degree") as h:
+        scores, _ = alg.pagerank(h)
+        got = _scores_to_dense(scores, n)
+        want = oracle.ppr_power_iteration(edges, n, source=None)
+        assert np.allclose(got, want, atol=1e-9)
+        scores, _ = alg.personalized_pagerank(h, 100, mode="fora", seed=2)
+        got = _scores_to_dense(scores, n)
+        want = oracle.ppr_power_iteration(edges, n, source=100)
+        mask = want > 1.0 / n
+        if mask.any():
+            assert (np.abs(got[mask] - want[mask]) / want[mask] <= 0.5).all()
+    sym = symmetrized(edges)
+    with GraphHandle.from_edges(to_dataset(sym), n, P=4) as h:
+        labels, _ = alg.connected_components(h)
+        got = labels.to_pandas().sort_values("node_id")["label"].to_numpy()
+        assert np.array_equal(got, oracle.cc_oracle(sym, n))
