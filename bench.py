@@ -155,7 +155,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     total = sum(timings.values())
     result = {
-        "metric": "fora_ray headline suite (ingest + 64 SSPPR + pagerank + cc + triangles + dedup + ann)",
+        "metric": "fora_ray headline suite (ingest + 256 SSPPR + pagerank + cc + triangles + dedup + ann)",
         "value": round(total, 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in timings.items()},
@@ -185,6 +185,10 @@ def _scaling(sf_dir: str) -> None:
     r_lo, r_hi = run(lo), run(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
+    per_stage_eff = {
+        k: round((r_lo["queries"][k] / max(r_hi["queries"][k], 1e-9)) / (hi / lo), 3)
+        for k in r_lo["queries"]
+    }
     print(json.dumps({
         "metric": "scaling efficiency (fresh ray.init at 8 vs 32 cpus, same input)",
         "sec_8": t_lo,
@@ -194,6 +198,7 @@ def _scaling(sf_dir: str) -> None:
         "throughput_8": r_lo["throughput"],
         "throughput_32": r_hi["throughput"],
         "scaling_efficiency": round(eff, 3),
+        "per_stage_efficiency": per_stage_eff,
         "sf": r_lo["sf"],
     }))
 

@@ -76,6 +76,8 @@ def cmd_ingest(args):
     _write_metrics(args.out, {
         "command": "ingest", "n": n, "m": m, "P": P, "wall_s": time.time() - t0,
         "corpus": args.corpus,
+        # S4: Ray Data per-operator stats of the edge pipeline
+        "edge_pipeline_stats": edges.stats()[:4000],
     })
     print(json.dumps({"n": n, "m": m, "P": P, "out": args.out}))
 
