@@ -116,6 +116,18 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     for h in rep_handles:
         h.close()
 
+    # latency tier: P=1 replicas, whole query in one actor call (the
+    # serving configuration while a CSR shard fits worker memory)
+    local_reps = alg.make_replicas(edges, n, replicas=num_cpus, P=1, m=m)
+    ray.get([h.workers[0].rsum.remote() for h in local_reps])  # spin up (untimed)
+    n_local_q = 1024
+    local_sources = [int(s) for s in rng.choice(n, size=n_local_q, replace=False)]
+    t0 = time.perf_counter()
+    alg.local_ppr_batch(local_reps, local_sources, mode="fora", seed=13)
+    timings["ppr_local"] = time.perf_counter() - t0
+    for h in local_reps:
+        h.close()
+
     t0 = time.perf_counter()
     alg.pagerank(handle, tol=1e-10)
     timings["pagerank"] = time.perf_counter() - t0
@@ -164,7 +176,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "graph": {"n": int(n), "m": int(m), "P": P},
         "throughput": {
             "edge_scan_MBps": round(corpus_bytes / 1e6 / timings["ingest"], 2),
-            "ppr_queries_per_s": round(n_queries / timings["ppr_batch"], 3),
+            "ppr_queries_per_s": round(n_local_q / timings["ppr_local"], 3),
+            "ppr_distributed_queries_per_s": round(n_queries / timings["ppr_batch"], 3),
         },
     }
     ray.shutdown()

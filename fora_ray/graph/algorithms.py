@@ -231,11 +231,57 @@ def ppr_batch(handle, sources: list[int], mode: str = "fora", eps: float = 0.5,
 
 def make_replicas(edges_ds, n: int, replicas: int, P: int = 4, m: int | None = None):
     """Build `replicas` independent engine replicas (each its own
-    P-shard actor set) over the same edge table.  Build once, query
-    many times — the serving deployment shape."""
-    from .runtime import GraphHandle
+    P-shard actor set) over the same edge table.  The CSR shards are
+    built ONCE and shared zero-copy through the object store — replica
+    actors only differ in mutable query state."""
+    from ..stages.csr import build_csr_shards
+    from .runtime import GraphHandle, ShardWorker, _block_parts
 
-    return [GraphHandle.from_edges(edges_ds, n, P=P, m=m) for _ in range(replicas)]
+    shards = build_csr_shards(edges_ds, n, P).materialize()
+    refs = shards.to_arrow_refs()
+    parts_per_block = ray.get([_block_parts.remote(r) for r in refs])
+    ref_of_part = {}
+    for ref, parts in zip(refs, parts_per_block):
+        for p in parts:
+            ref_of_part[p] = ref
+    if m is None:
+        m = edges_ds.count()
+    out = []
+    for _ in range(replicas):
+        workers = [
+            ShardWorker.remote(p, P, n, shard=ref_of_part.get(p)) for p in range(P)
+        ]
+        out.append(GraphHandle(workers, n, m, P))
+    return out
+
+
+def local_ppr_batch(handles, sources: list[int], mode: str = "fora",
+                    eps: float = 0.5, delta: float | None = None,
+                    pfail: float | None = None, seed: int = 42):
+    """Latency-tier query serving: every handle is a P=1 replica holding
+    the whole CSR; each query is ONE actor call (push loop + walks with
+    zero driver barriers), round-robin across replicas.  Actor tasks run
+    in submission order, so the paired get_scores snapshot is taken
+    before the replica starts its next query.
+
+    Returns (list of (source, pyarrow scores table), stats)."""
+    for h in handles:
+        assert h.P == 1, "local_ppr_batch requires P=1 replicas"
+    h0 = handles[0]
+    p = fora_params(h0.n, h0.m, eps, delta, pfail)
+    R = len(handles)
+    pending = []
+    for i, s in enumerate(sources):
+        h = handles[i % R]
+        w = h.workers[0]
+        st = w.local_query.remote(
+            h.to_engine(int(s)), mode, p["rmax"], p["omega"],
+            seed ^ (int(s) * 0x9E3779B9),
+        )
+        sc = w.get_scores.remote(True)
+        pending.append((int(s), st, sc))
+    results = [(s, ray.get(sc)) for s, _st, sc in pending]
+    return results, {**p, "replicas": R, "queries": len(sources)}
 
 
 def ppr_batch_replicated(handles, sources: list[int], mode: str = "fora",

@@ -99,20 +99,29 @@ class ShardWorkerImpl:
         eidx = np.repeat(starts, counts) + (pos - np.repeat(cum, counts))
         return self.indices[eidx], row
 
-    def _route_add(self, dst: np.ndarray, vals: np.ndarray, apply_local):
+    def _route_add(self, dst: np.ndarray, vals: np.ndarray, apply_local_sparse):
         """Sum-aggregate (dst, vals) per destination partition; apply own
-        slice locally; return (payload slots, mass sent to remote parts)."""
+        slice locally via apply_local_sparse(ids, vals); return (payload
+        slots, mass sent to remote parts).  Aggregation is compact
+        (unique touched rows) — a dense n_local accumulator per peer per
+        round was the dominant memory traffic for sparse frontiers."""
         payloads = [None] * self.P
         remote_mass = 0.0
         owner = (dst % self.P).astype(np.int64)
         for p in np.unique(owner):
             m = owner == p
-            nl = n_local_of(self.n, self.P, int(p))
-            acc = np.bincount(dst[m] // self.P, weights=vals[m], minlength=nl)
+            uk, inv = np.unique(dst[m] // self.P, return_inverse=True)
+            acc = np.bincount(inv, weights=vals[m])
             if p == self.part:
-                apply_local(acc)
+                apply_local_sparse(uk, acc)
             else:
-                payloads[int(p)] = _sparsify(acc)
+                nl = n_local_of(self.n, self.P, int(p))
+                if uk.size > _DENSE_CUTOFF * nl:
+                    dense = np.zeros(nl)
+                    dense[uk] = acc
+                    payloads[int(p)] = ("dense", dense)
+                else:
+                    payloads[int(p)] = ("sparse", uk.astype(np.int64), acc)
                 remote_mass += float(acc.sum())
                 self.counters["msgs_out"] += 1
         return payloads, remote_mass
@@ -185,7 +194,7 @@ class ShardWorkerImpl:
             dsts, row = self._gather_edges(idx[has])
             per_edge = (outflow[has] / d[has])[row]
             payloads, remote_mass = self._route_add(
-                dsts, per_edge, lambda acc: self.residual.__iadd__(acc)
+                dsts, per_edge, lambda ids, v: np.add.at(self.residual, ids, v)
             )
             meta["sent_mass"] = remote_mass
         return tuple([meta] + payloads)
@@ -347,7 +356,7 @@ class ShardWorkerImpl:
             w = self.edge_weights[eidx]
             per_edge = (1.0 - self.alpha) * ra[row] * w
             payloads, sent = self._route_add(
-                dsts, per_edge, lambda acc: self.residual.__iadd__(acc)
+                dsts, per_edge, lambda ids, v: np.add.at(self.residual, ids, v)
             )
             meta["sent_mass"] = sent
         meta["rsum"] = float(r.sum()) + meta.get("sent_mass", 0.0)
@@ -727,7 +736,7 @@ class ShardWorkerImpl:
         r[idx] = 0.0
         payloads = [None] * self.P
         if real.size:
-            payloads, _ = self._route_add(real, wts_r, lambda acc: self.acc.__iadd__(acc))
+            payloads, _ = self._route_add(real, wts_r, lambda ids, v: np.add.at(self.acc, ids, v))
         return tuple([meta] + payloads)
 
     def apply_acc(self, *payloads):
@@ -747,6 +756,78 @@ class ShardWorkerImpl:
         wkey = mix64(np.uint64(seed) ^ np.uint64(0xABCD), mix64(cur.astype(np.uint64), kidx.astype(np.uint64)))
         self._append_walkers((cur, wt, wkey))
         return k
+
+    # ---- P=1 local fast path ----------------------------------------------
+    def local_query(self, source, mode: str, rmax: float, omega: float,
+                    seed: int, tol: float = 1e-12) -> dict:
+        """Complete SSPPR query inside one actor call (P=1 shards only):
+        push loop + walk phase with zero driver barriers.  The latency
+        tier for graphs whose CSR fits a single shard; throughput scales
+        by running many P=1 replicas (see algorithms.local_ppr_batch).
+        Results identical to the distributed path (same kernels)."""
+        assert self.P == 1, "local_query requires a P=1 handle"
+        self.ppr_init(source)
+        sweep = mode == "exact"
+        rounds = 0
+        if sweep:
+            while rounds < 100_000:
+                out = self.push_round(0.0, True)
+                meta = out[0]
+                if meta["dangling"] > 0:
+                    if source is None:
+                        self.add_uniform_residual(meta["dangling"])
+                    else:
+                        self.add_source_residual(source, meta["dangling"])
+                rounds += 1
+                if meta["active"] == 0 and meta["dangling"] == 0:
+                    break
+                if float(self.residual.sum()) < tol:
+                    break
+        else:
+            # queue-based push (reference algo.h forward_local_update_linear
+            # shape): track the active frontier explicitly instead of
+            # scanning the dense residual vector every round
+            r, d = self.residual, self.out_deg
+            thresh = rmax * np.maximum(d, 1)
+            queue = np.nonzero(r > thresh)[0]
+            while queue.size and rounds < 100_000:
+                idx = queue
+                ra = r[idx].copy()
+                self.reserve[idx] += self.alpha * ra
+                r[idx] = 0.0
+                outflow = (1.0 - self.alpha) * ra
+                dang = float(outflow[d[idx] == 0].sum())
+                has = idx[d[idx] > 0]
+                touched_parts = []
+                if has.size:
+                    dsts, row = self._gather_edges(has)
+                    per_edge = (outflow[d[idx] > 0] / d[has])[row]
+                    uk, inv = np.unique(dsts, return_inverse=True)
+                    np.add.at(r, uk, np.bincount(inv, weights=per_edge))
+                    touched_parts.append(uk)
+                if dang > 0 and source is not None:
+                    r[source] += dang
+                    touched_parts.append(np.array([source]))
+                elif dang > 0:
+                    r += dang / self.n  # uniform: rare in serving; full scan next
+                    touched_parts.append(np.arange(self.n_local))
+                self.counters["pushes"] += int(idx.size)
+                rounds += 1
+                if touched_parts:
+                    cand = np.unique(np.concatenate(touched_parts))
+                    queue = cand[r[cand] > thresh[cand]]
+                else:
+                    queue = np.empty(0, np.int64)
+        stats = {"rounds": rounds, "walks": 0, "hops": 0}
+        if mode == "fora":
+            total = self.walk_init(omega, seed)
+            hop = 0
+            while self._pending is not None and self._pending[0].size:
+                self.walk_round(hop, source)
+                hop += 1
+            self.walk_fold()
+            stats.update(walks=total, hops=hop)
+        return stats
 
     # ---- result extraction ------------------------------------------------
     def get_scores(self, nonzero_only: bool = True) -> pa.Table:

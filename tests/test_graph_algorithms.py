@@ -214,3 +214,33 @@ def test_scale_5000_correctness():
         labels, _ = alg.connected_components(h)
         got = labels.to_pandas().sort_values("node_id")["label"].to_numpy()
         assert np.array_equal(got, oracle.cc_oracle(sym, n))
+
+
+def test_local_tier_matches_contract(graph600):
+    """P=1 local_query: same kernels as the distributed path — oracle
+    bound holds, deterministic per seed, exact mode matches oracle."""
+    edges, n = graph600
+    from fora_ray.graph.algorithms import local_ppr_batch, make_replicas
+
+    reps = make_replicas(to_dataset(edges), n, replicas=2, P=1)
+    try:
+        sources = [351, int(edges[0, 0]), 17]
+        res, _ = local_ppr_batch(reps, sources, mode="fora", seed=5)
+        res2, _ = local_ppr_batch(reps, sources, mode="fora", seed=5)
+        for (s, t1), (_, t2) in zip(res, res2):
+            assert t1.equals(t2)  # deterministic per seed
+            got = np.zeros(n)
+            got[t1["node_id"].to_numpy()] = t1["ppr"].to_numpy()
+            want = oracle.ppr_power_iteration(edges, n, source=s)
+            mask = want > 1.0 / n
+            if mask.any():
+                relerr = np.abs(got[mask] - want[mask]) / want[mask]
+                assert (relerr <= 0.5).all()
+            assert abs(got.sum() - 1.0) < 1e-9
+        res_e, _ = local_ppr_batch(reps, [351], mode="exact", seed=5)
+        got = np.zeros(n)
+        got[res_e[0][1]["node_id"].to_numpy()] = res_e[0][1]["ppr"].to_numpy()
+        assert np.allclose(got, oracle.ppr_power_iteration(edges, n, source=351), atol=1e-9)
+    finally:
+        for h in reps:
+            h.close()
