@@ -330,6 +330,13 @@ def _queries_events():
             ["user_id", "n_events"]
         )
 
+    def events_sliding(sf_dir):
+        from fora_ray.pipelines.events import sliding_window_counts
+
+        return sliding_window_counts(_ev(sf_dir), window_s=3600, slide_s=1800).select_columns(
+            ["window_start", "n_events"]
+        )
+
     def events_sessions(sf_dir):
         return session_windows(_ev(sf_dir), gap_s=1800).select_columns(
             ["user_id", "n_events"]
@@ -337,6 +344,7 @@ def _queries_events():
 
     return {
         "events_tumbling": events_tumbling,
+        "events_sliding": events_sliding,
         "events_top_users": events_top_users,
         "events_sessions": events_sessions,
     }
@@ -453,6 +461,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type, "
             "CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1, 2 "
             "ORDER BY 1, 2"
+        ),
+        "events_sliding": (
+            "SELECT s AS window_start, CAST(count(*) AS BIGINT) AS n_events "
+            "FROM events e, LATERAL (SELECT unnest(generate_series("
+            "time_bucket(INTERVAL 30 MINUTE, e.ts) - INTERVAL 30 MINUTE, "
+            "time_bucket(INTERVAL 30 MINUTE, e.ts), INTERVAL 30 MINUTE)) AS s) w "
+            "WHERE e.ts >= w.s AND e.ts < w.s + INTERVAL 60 MINUTE "
+            "GROUP BY 1 ORDER BY 1"
         ),
         "events_top_users": (
             "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events FROM events "
