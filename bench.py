@@ -216,10 +216,71 @@ def _scaling(sf_dir: str) -> None:
     }))
 
 
+def run_graph_scale(num_cpus: int, n: int = 1_000_000, m: int = 10_000_000) -> dict:
+    """Superstep-engine scaling on a synthetic power-law graph large
+    enough that per-round shard compute dominates the barrier — the
+    regime the distributed tier is built for (BASELINE analysis)."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import numpy as np
+    import pyarrow as pa
+
+    from fora_ray.functions.hashing import rng_uniform
+    from fora_ray.graph import algorithms as alg
+    from fora_ray.graph.runtime import GraphHandle
+
+    # deterministic skewed digraph: src ~ u^3 (power-ish out-hubs), dst uniform
+    keys = np.arange(m, dtype=np.uint64)
+    u1 = rng_uniform(keys * np.uint64(2) + np.uint64(1))
+    u2 = rng_uniform(keys * np.uint64(2) + np.uint64(2))
+    src = np.minimum((u1 ** 3 * n).astype(np.int64), n - 1)
+    dst = np.minimum((u2 * n).astype(np.int64), n - 1)
+    keep = src != dst
+    edges = ray.data.from_arrow(
+        pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
+    ).materialize()
+    m_real = edges.count()
+
+    P = max(4, num_cpus // 2)
+    t0 = time.perf_counter()
+    h = GraphHandle.from_edges(edges, n, P=P, m=m_real, balance="degree")
+    build_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    _, stats = alg.pagerank(h, tol=1e-10)
+    pr_s = time.perf_counter() - t0
+    rng = np.random.default_rng(3)
+    sources = [int(s) for s in rng.choice(n, size=8, replace=False)]
+    t0 = time.perf_counter()
+    # delta=1e-5 keeps the walk budget benchmark-sized; delta=1/n is the
+    # paper's whole-graph guarantee and ~10x more work per query
+    scores, _ = alg.ppr_batch(h, sources, mode="fora", seed=7, delta=1e-5)
+    scores.count()
+    ppr_s = time.perf_counter() - t0
+    h.close()
+    out = {
+        "metric": "graph-scale superstep engine (n=1M, m~10M power-law)",
+        "num_cpus": num_cpus, "P": P, "n": n, "m": int(m_real),
+        "pagerank_s": round(pr_s, 2), "pagerank_rounds": stats["rounds"],
+        "graph_build_s": round(build_s, 2),
+        "ppr8_s": round(ppr_s, 2),
+        "ppr_queries_per_s": round(8.0 / ppr_s, 2),
+    }
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if "--scaling" in sys.argv:
         _scaling(sf_dir)
+    elif "--graph-scale" in sys.argv:
+        ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        print(json.dumps(run_graph_scale(ncpu)))
     else:
         ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
         print(json.dumps(run_bench(sf_dir, ncpu)))
