@@ -246,7 +246,9 @@ def run_graph_scale(num_cpus: int, n: int = 1_000_000, m: int = 10_000_000) -> d
     ).materialize()
     m_real = edges.count()
 
-    P = max(4, num_cpus // 2)
+    # dense-frontier algorithms pay (P-1) x n message volume per round:
+    # shards are sized fat (>=2.5M edges) rather than one per CPU
+    P = max(4, min(num_cpus // 2, int(m_real) // 2_500_000))
     t0 = time.perf_counter()
     h = GraphHandle.from_edges(edges, n, P=P, m=m_real, balance="degree")
     build_s = time.perf_counter() - t0

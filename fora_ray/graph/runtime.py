@@ -110,20 +110,30 @@ class ShardWorkerImpl:
         owner = (dst % self.P).astype(np.int64)
         for p in np.unique(owner):
             m = owner == p
-            uk, inv = np.unique(dst[m] // self.P, return_inverse=True)
-            acc = np.bincount(inv, weights=vals[m])
-            if p == self.part:
-                apply_local_sparse(uk, acc)
+            d_loc = dst[m] // self.P
+            nl = n_local_of(self.n, self.P, int(p))
+            if d_loc.size > nl // 4:
+                # dense frontier: direct bincount (O(E)) beats the
+                # unique-sort compaction (O(E log E)) — this is the
+                # PageRank / full-sweep regime
+                acc = np.bincount(d_loc, weights=vals[m], minlength=nl)
+                if p == self.part:
+                    nz = np.nonzero(acc)[0]
+                    apply_local_sparse(nz, acc[nz])
+                else:
+                    payloads[int(p)] = _sparsify(acc)
+                    remote_mass += float(acc.sum())
+                    self.counters["msgs_out"] += 1
             else:
-                nl = n_local_of(self.n, self.P, int(p))
-                if uk.size > _DENSE_CUTOFF * nl:
-                    dense = np.zeros(nl)
-                    dense[uk] = acc
-                    payloads[int(p)] = ("dense", dense)
+                # sparse frontier: compact on the touched rows only
+                uk, inv = np.unique(d_loc, return_inverse=True)
+                acc = np.bincount(inv, weights=vals[m])
+                if p == self.part:
+                    apply_local_sparse(uk, acc)
                 else:
                     payloads[int(p)] = ("sparse", uk.astype(np.int64), acc)
-                remote_mass += float(acc.sum())
-                self.counters["msgs_out"] += 1
+                    remote_mass += float(acc.sum())
+                    self.counters["msgs_out"] += 1
         return payloads, remote_mass
 
     def _add_payload(self, target: np.ndarray, payload):
@@ -164,18 +174,68 @@ class ShardWorkerImpl:
         return True
 
     # ---- G1 Forward Push -------------------------------------------------
+    def _ensure_sweep_cache(self):
+        """Static per-edge routing structure for full sweeps: which local
+        source row each edge belongs to, pre-split by destination part.
+        Computed once; turns a power-iteration round into one gather +
+        one bincount per peer (no per-round index construction)."""
+        if getattr(self, "_sweep_cache", None) is not None:
+            return
+        edge_row = np.repeat(np.arange(self.n_local, dtype=np.int64), self.out_deg)
+        owner = (self.indices % self.P).astype(np.int64)
+        cache = {}
+        for p in range(self.P):
+            m = owner == p
+            if m.any():
+                cache[p] = (edge_row[m], (self.indices[m] // self.P).astype(np.int64))
+        self._sweep_cache = cache
+
+    def _push_full_sweep(self):
+        """Vectorized full sweep (exact/PageRank mode): every vertex's
+        residual pushed in one shot over the cached edge structure."""
+        self._ensure_sweep_cache()
+        r = self.residual
+        nz = int(np.count_nonzero(r))
+        meta = {"active": nz, "dangling": 0.0, "drained": float(r.sum()), "sent_mass": 0.0}
+        if nz == 0:
+            return tuple([meta] + [None] * self.P)
+        self.reserve += self.alpha * r
+        outflow = (1.0 - self.alpha) * r
+        d = self.out_deg
+        dangling = float(outflow[d == 0].sum())
+        meta["dangling"] = dangling
+        rates = np.where(d > 0, outflow / np.maximum(d, 1), 0.0)
+        self.counters["pushes"] += nz
+        r[:] = 0.0
+        payloads = [None] * self.P
+        sent = 0.0
+        local_acc = None
+        for p, (erow, dloc) in self._sweep_cache.items():
+            nl = n_local_of(self.n, self.P, int(p))
+            acc = np.bincount(dloc, weights=rates[erow], minlength=nl)
+            if p == self.part:
+                local_acc = acc
+            else:
+                payloads[int(p)] = _sparsify(acc)
+                sent += float(acc.sum())
+                self.counters["msgs_out"] += 1
+        if local_acc is not None:
+            r += local_acc
+        meta["sent_mass"] = sent
+        return tuple([meta] + payloads)
+
     def push_round(self, rmax: float, sweep_all: bool):
         """One synchronous push superstep (SURVEY G1, paper Alg.1).
 
         active: r(v) > rmax * out_deg(v) (dangling: r(v) > rmax); or all
-        nonzero when sweep_all (exact/convergence mode == power iteration).
+        nonzero when sweep_all (exact/convergence mode == power iteration,
+        specialized static-structure path).
         Returns (meta, payload_0..payload_{P-1}).
         """
         r = self.residual
         if sweep_all:
-            idx = np.nonzero(r)[0]
-        else:
-            idx = np.nonzero(r > rmax * np.maximum(self.out_deg, 1))[0]
+            return self._push_full_sweep()
+        idx = np.nonzero(r > rmax * np.maximum(self.out_deg, 1))[0]
         meta = {"active": int(idx.size), "dangling": 0.0, "drained": 0.0}
         if idx.size == 0:
             return tuple([meta] + [None] * self.P)
