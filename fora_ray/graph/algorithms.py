@@ -255,6 +255,27 @@ def make_replicas(edges_ds, n: int, replicas: int, P: int = 4, m: int | None = N
     return out
 
 
+def build_local_indexes(handles, eps: float = 0.5, delta: float | None = None,
+                        pfail: float | None = None, seed: int = 42,
+                        share_path: str | None = None) -> dict:
+    """FORA+ index for a P=1 replica fleet: built once on the first
+    replica, persisted, loaded by the rest (identical endpoints)."""
+    import os as _os
+    import tempfile as _tf
+
+    h0 = handles[0]
+    p = fora_params(h0.n, h0.m, eps, delta, pfail)
+    wpd = p["rmax"] * p["omega"]
+    size = ray.get(h0.workers[0].local_build_index.remote(wpd, seed))
+    if len(handles) > 1:
+        d = share_path or _tf.mkdtemp(prefix="fora_idx_")
+        _os.makedirs(d, exist_ok=True)
+        path = _os.path.join(d, "part=0000.parquet")
+        ray.get(h0.workers[0].index_save.remote(path))
+        ray.get([h.workers[0].index_load.remote(path) for h in handles[1:]])
+    return {**p, "walks_per_deg": wpd, "index_size": size}
+
+
 def local_ppr_batch(handles, sources: list[int], mode: str = "fora",
                     eps: float = 0.5, delta: float | None = None,
                     pfail: float | None = None, seed: int = 42):

@@ -887,7 +887,33 @@ class ShardWorkerImpl:
                 hop += 1
             self.walk_fold()
             stats.update(walks=total, hops=hop)
+        elif mode == "fora+":
+            # FORA+ (G8): MC phase from the precomputed endpoint index —
+            # no RNG except restart-marker walks re-run live from source
+            out = self.walk_from_index(omega)
+            meta = out[0]
+            restart = meta["restart"]
+            if restart > 0 and source is not None:
+                count = max(int(np.ceil(restart * omega)), 1)
+                self.spawn_live_walks(source, restart, count, seed ^ 0xBEEF)
+                hop = 0
+                while self._pending is not None and self._pending[0].size:
+                    self.walk_round(hop, source)
+                    hop += 1
+            self.walk_fold()
+            stats.update(walks=meta["used"], restart_mass=restart)
         return stats
+
+    def local_build_index(self, walks_per_deg: float, seed: int) -> int:
+        """Build the FORA+ walk index fully locally (P=1 shards)."""
+        assert self.P == 1
+        self.index_init(walks_per_deg, seed)
+        hop = 0
+        while self._ipending is not None and self._ipending[0].size:
+            self.index_walk_round(hop)
+            hop += 1
+        self.index_endpoint_exchange()
+        return self.index_build()
 
     # ---- result extraction ------------------------------------------------
     def get_scores(self, nonzero_only: bool = True) -> pa.Table:

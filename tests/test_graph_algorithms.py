@@ -244,3 +244,34 @@ def test_local_tier_matches_contract(graph600):
     finally:
         for h in reps:
             h.close()
+
+
+def test_local_tier_fora_plus_index(graph600):
+    """P=1 FORA+ path: index built once, shared across replicas, query
+    results deterministic and within the epsilon bound."""
+    edges, n = graph600
+    from fora_ray.graph.algorithms import (
+        build_local_indexes,
+        local_ppr_batch,
+        make_replicas,
+    )
+
+    reps = make_replicas(to_dataset(edges), n, replicas=2, P=1)
+    try:
+        info = build_local_indexes(reps, seed=5)
+        assert info["index_size"] > 0
+        res, _ = local_ppr_batch(reps, [351, 17, 351], mode="fora+", seed=9)
+        # replica 0 and replica 1 both served source 351 -> identical
+        t_first = res[0][1]
+        t_third = res[2][1]
+        assert t_first.equals(t_third)
+        got = np.zeros(n)
+        got[t_first["node_id"].to_numpy()] = t_first["ppr"].to_numpy()
+        want = oracle.ppr_power_iteration(edges, n, source=351)
+        mask = want > 1.0 / n
+        relerr = np.abs(got[mask] - want[mask]) / want[mask]
+        assert (relerr <= 0.5).all()
+        assert abs(got.sum() - 1.0) < 1e-9
+    finally:
+        for h in reps:
+            h.close()
