@@ -185,7 +185,14 @@ def _queries_documents():
     def ann_ivf(sf_dir):
         return ivf_topk(_emb(sf_dir), _queries_matrix(sf_dir), k=10, nlist=16, nprobe=4)
 
+    def curation(sf_dir):
+        from fora_ray.pipelines.curate import curate_documents
+
+        curated, _stats = curate_documents(_docs(sf_dir), min_quality=0.2)
+        return curated.select_columns(["doc_id", "lang_pred"])
+
     return {
+        "curation": curation,
         "docs_exact_dedup": lambda sf: exact_dedup(_docs(sf)),
         "token_counts": lambda sf: token_counts(_docs(sf)),
         "doc_quality": lambda sf: quality_scores(_docs(sf)).select_columns(

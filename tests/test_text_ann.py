@@ -115,3 +115,28 @@ def test_multimodal_stub_plumbing():
 
     with pytest.raises(NotImplementedError):
         ImageDecoder(fake=False)
+
+
+def test_curation_pipeline():
+    """Composite curation: planted low-quality + exact + near dups all
+    removed; best-quality near-dup kept."""
+    import pyarrow as pa
+
+    from fora_ray.pipelines.curate import curate_documents
+
+    base = "the quick brown fox jumps over the lazy dog and runs to the hills " * 8
+    near = base.replace("lazy", "sleepy", 2)
+    junk = "@@@ ### $$$ !!! 123 456 789 000 %%% ^^^ &&& *** ((( )))"
+    rows = {
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": [base, base, near, junk, "completely different words about graphs " * 10],
+    }
+    docs = ray.data.from_arrow(pa.table(rows))
+    curated, stats = curate_documents(docs, min_quality=0.25, near_dup_threshold=0.5)
+    ids = sorted(curated.to_pandas()["doc_id"].tolist())
+    assert 3 not in ids                      # junk dropped by quality
+    assert stats["dropped_exact_dup"] == 1   # doc 1 == doc 0
+    assert stats["dropped_near_dup"] == 1    # doc 2 near-dups doc 0
+    assert 4 in ids and len(ids) == 2
+    cols = set(curated.schema().names)
+    assert {"quality", "lang_pred"} <= cols
