@@ -14,10 +14,18 @@ here calls ray.init()/ray.shutdown().
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
 import numpy as np
+
+# the fora_ray package lives next to this file; make the import robust
+# to whatever cwd the driver imports us from
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 # fixture scale per testdata sf directory (FIXTURES.md: sf-unit /
 # sf-correctness / sf-bench)
