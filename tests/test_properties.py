@@ -69,3 +69,28 @@ def test_hash_uniforms_in_range_and_deterministic(keys):
     assert ((u1 >= 0) & (u1 < 1)).all()
     assert np.array_equal(splitmix64(a), splitmix64(a.copy()))
     assert not np.array_equal(mix64(a, np.uint64(1)), mix64(a, np.uint64(2)))
+
+
+@settings(max_examples=5, deadline=None)
+@given(random_digraph())
+def test_distributed_exact_matches_oracle_on_random_graphs(g):
+    """End-to-end property: the distributed engine's exact PPR equals the
+    numpy oracle on arbitrary random digraphs (dangling nodes, cycles,
+    disconnected parts included)."""
+    import ray
+
+    from fora_ray.graph import algorithms as alg
+    from fora_ray.graph.runtime import GraphHandle
+
+    from .graphs import to_dataset
+
+    edges, n = g
+    if not ray.is_initialized():
+        return  # session fixture not active (collection-only contexts)
+    with GraphHandle.from_edges(to_dataset(edges), n, P=2) as h:
+        scores, _ = alg.personalized_pagerank(h, 0, mode="exact")
+        sp = scores.to_pandas()
+    got = np.zeros(n)
+    got[sp["node_id"]] = sp["ppr"]
+    want = oracle.ppr_power_iteration(edges, n, source=0)
+    assert np.allclose(got, want, atol=1e-9)
