@@ -254,7 +254,7 @@ def write_fixture(out_dir: str, n_files: int, seed: int = 42, shard_rows: int = 
     _FIXTURE_OK.json marker (resumable-output convention, SURVEY 4.3).
     """
     marker = os.path.join(out_dir, "_FIXTURE_OK.json")
-    params = {"n_files": n_files, "seed": seed, "version": 4}
+    params = {"n_files": n_files, "seed": seed, "version": 5}
     if os.path.exists(marker):
         with open(marker) as f:
             if json.load(f) == params:
@@ -265,7 +265,11 @@ def write_fixture(out_dir: str, n_files: int, seed: int = 42, shard_rows: int = 
     os.makedirs(corpus_dir, exist_ok=True)
     corpus = tables["corpus"]
     for si, off in enumerate(range(0, max(corpus.num_rows, 1), shard_rows)):
-        pq.write_table(corpus.slice(off, shard_rows), os.path.join(corpus_dir, f"part-{si:04d}.parquet"))
+        pq.write_table(
+            corpus.slice(off, shard_rows),
+            os.path.join(corpus_dir, f"part-{si:04d}.parquet"),
+            row_group_size=4096,  # readable at row-group granularity -> parallel reads scale past the file count
+        )
     for name in ("nodes", "edges", "degrees", "manifest"):
         pq.write_table(tables[name], os.path.join(out_dir, f"{name}.parquet"))
     # atomic completion marker: temp file + rename
