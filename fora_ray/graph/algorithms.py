@@ -101,6 +101,20 @@ def _push_loop(handle, source, rmax: float, sweep_all: bool, tol: float = 1e-12,
             stats.update(rounds=rounds, rsum=rsum)
             break
     else:
+        # max_rounds exhaustion: flush the final round's in-flight
+        # payloads and re-inject accumulated dangling mass, exactly as
+        # the convergence path does — otherwise reserve+residual no
+        # longer sums to the full mass and callers see silent loss
+        if outs is not None:
+            _ray.get([
+                w.apply_residual.remote(*[outs[q][p + 1] for q in range(P) if q != p])
+                for p, w in enumerate(handle.workers)
+            ])
+            if dang > 0:
+                if source is None:
+                    handle.call_all("add_uniform_residual", dang)
+                else:
+                    handle.call_all("add_source_residual", source, dang)
         stats.update(rounds=rounds, rsum=rsum)
     return stats
 
@@ -139,11 +153,19 @@ def personalized_pagerank(handle, source: int, mode: str = "exact",
     Returns (scores Dataset (node_id, ppr), stats dict).
     """
     src_e = handle.to_engine(source)  # engine id under degree balancing
+    if mode == "exact":
+        p, rmax = None, 0.0
+    elif mode in ("fora", "fwdpush"):
+        p = fora_params(handle.n, handle.m, eps, delta, pfail, rmax_scale)
+        rmax = p["rmax"]
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
     start = 0
     if resume and ckpt_dir is not None:
         k = latest_step(ckpt_dir, handle.P)
         if k is not None:
-            restore_step(handle, ckpt_dir, k, ("reserve", "residual"))
+            restore_step(handle, ckpt_dir, k, ("reserve", "residual"),
+                         expect={"source": src_e, "rmax": rmax})
             start = k
         else:
             handle.call_all("ppr_init", src_e)
@@ -152,16 +174,13 @@ def personalized_pagerank(handle, source: int, mode: str = "exact",
     if mode == "exact":
         stats = _push_loop(handle, src_e, rmax=0.0, sweep_all=True, tol=tol,
                            ckpt_dir=ckpt_dir, ckpt_every=ckpt_every, start_round=start)
-    elif mode in ("fora", "fwdpush"):
-        p = fora_params(handle.n, handle.m, eps, delta, pfail, rmax_scale)
+    else:
         stats = _push_loop(handle, src_e, rmax=p["rmax"], sweep_all=False,
                            ckpt_dir=ckpt_dir, ckpt_every=ckpt_every, start_round=start)
         if mode == "fora":
             wstats = _walk_loop(handle, p["omega"], seed ^ (source * 0x9E3779B9), src_e)
             stats.update(wstats)
         stats.update(p)
-    else:
-        raise ValueError(f"unknown mode {mode!r}")
     stats["counters"] = handle.counters()
     return handle.scores_dataset(), stats
 
@@ -351,7 +370,8 @@ def pagerank(handle, mode: str = "exact", tol: float = 1e-12,
     if resume and ckpt_dir is not None:
         k = latest_step(ckpt_dir, handle.P)
         if k is not None:
-            restore_step(handle, ckpt_dir, k, ("reserve", "residual"))
+            restore_step(handle, ckpt_dir, k, ("reserve", "residual"),
+                         expect={"source": None, "rmax": 0.0})
             start = k
         else:
             handle.call_all("ppr_init", None)
@@ -568,7 +588,10 @@ def topk_ppr(handle, source: int, k: int, eps: float = 0.5, seed: int = 42,
                                                delta=delta, pfail=pfail, seed=seed + i)
         stats["iters"] = i + 1
         stats["delta"] = delta
-        top = scores.sort("ppr", descending=True).limit(k + 1).to_pandas()
+        top = (
+            scores.sort(["ppr", "node_id"], descending=[True, False])
+            .limit(k + 1).to_pandas()
+        )
         est = top["ppr"].to_numpy()
         at_floor = delta <= 1.0 / handle.n + 1e-18
         if len(est) >= k:
@@ -583,7 +606,8 @@ def topk_ppr(handle, source: int, k: int, eps: float = 0.5, seed: int = 42,
         if at_floor:
             break
         delta = max(delta / 4.0, 1.0 / handle.n)
-    return scores.sort("ppr", descending=True).limit(k), stats
+    # deterministic selection AND ordering among exactly-tied scores
+    return scores.sort(["ppr", "node_id"], descending=[True, False]).limit(k), stats
 
 
 def connected_components(handle, max_rounds: int = 10_000):

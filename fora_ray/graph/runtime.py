@@ -945,17 +945,19 @@ class ShardWorkerImpl:
         dsts, row = self._gather_edges(idx)
         if dsts.size == 0:
             return tuple([meta] + [None] * self.P)
-        lab = self.labels[idx][row].astype(np.float64)
+        lab = self.labels[idx][row]  # int64: labels are node ids and must
+        # never round-trip through float64 (ids above 2^53 would round)
+        _SENT = np.iinfo(np.int64).max
         # min-aggregate per destination partition
         payloads = [None] * self.P
         owner = dsts % self.P
         for p in np.unique(owner):
             m = owner == p
             nl = n_local_of(self.n, self.P, int(p))
-            acc = np.full(nl, np.inf)
+            acc = np.full(nl, _SENT, dtype=np.int64)
             np.minimum.at(acc, dsts[m] // self.P, lab[m])
-            nz = np.nonzero(np.isfinite(acc))[0]
-            pl = (nz.astype(np.int64), acc[nz].astype(np.int64))
+            nz = np.nonzero(acc != _SENT)[0]
+            pl = (nz.astype(np.int64), acc[nz])
             if p == self.part:
                 self.cc_apply(pl)
             else:

@@ -13,13 +13,29 @@
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 
 def _to_matrix(col) -> np.ndarray:
     return np.stack([np.asarray(v, dtype=np.float64) for v in col.to_pylist()])
+
+
+def _topk_tie_aware(scores: np.ndarray, k: int, ids: np.ndarray) -> np.ndarray:
+    """Row indices of the top-k by (score desc, vec_id asc).  Tie-aware:
+    argpartition alone splits exactly-tied scores arbitrarily at the cut
+    boundary, which would let block layout decide which of two duplicate
+    embeddings survives — the documented smaller-vec_id tie-break must
+    hold at the batch-local cut too, not only in the final merge."""
+    n = scores.shape[0]
+    if n <= k:
+        sel = np.arange(n)
+    else:
+        part = np.argpartition(-scores, k - 1)
+        thresh = scores[part[k - 1]]
+        sel = np.nonzero(scores >= thresh)[0]  # all candidates incl. ties
+    return sel[np.lexsort((ids[sel], -scores[sel]))[:k]]
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -40,11 +56,10 @@ class _BatchTopK:
         ids = t["vec_id"].to_numpy(zero_copy_only=False)
         V = _normalize(_to_matrix(t["embedding"]))
         S = V @ self.Q.T  # (n, nq)
-        k = min(self.k, S.shape[0])
         out_q, out_id, out_s = [], [], []
         for qi in range(S.shape[1]):
-            part = np.argpartition(-S[:, qi], k - 1)[:k]
-            out_q.append(np.full(k, qi, np.int64))
+            part = _topk_tie_aware(S[:, qi], self.k, ids)
+            out_q.append(np.full(part.size, qi, np.int64))
             out_id.append(ids[part])
             out_s.append(S[part, qi])
         return pa.table({
@@ -55,11 +70,18 @@ class _BatchTopK:
 
 
 def _merge_topk(k):
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    """Per-query global merge as a pyarrow kernel — keeps the whole
+    pipeline Arrow-native (a pandas map_groups here caused executor
+    schema-mismatch warnings and a needless conversion)."""
+
+    def merge(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[("score", "descending"), ("vec_id", "ascending")]
+        )[:k]
+        g = g.take(order)
+        return g.append_column(
+            "rank", pa.array(np.arange(1, g.num_rows + 1, dtype=np.int64))
+        )
 
     return merge
 
@@ -75,7 +97,7 @@ def brute_force_topk(emb_ds, queries: np.ndarray, k: int = 10):
         _BatchTopK, fn_constructor_kwargs={"q_ref": q_ref, "k": k},
         batch_format="pyarrow", concurrency=(1, 4),
     )
-    merged = local.groupby("query_id").map_groups(_merge_topk(k), batch_format="pandas")
+    merged = local.groupby("query_id").map_groups(_merge_topk(k), batch_format="pyarrow")
     return merged.select_columns(["query_id", "rank", "vec_id", "score"]).sort(
         ["query_id", "rank"]
     )
@@ -134,11 +156,10 @@ def ivf_topk(emb_ds, queries: np.ndarray, k: int = 10, nlist: int = 16,
         ids = g["vec_id"].to_numpy(zero_copy_only=False)
         V = _normalize(_to_matrix(g["embedding"]))
         S = V @ Q[qids].T
-        kk = min(k, S.shape[0])
         out_q, out_id, out_s = [], [], []
         for j, qi in enumerate(qids):
-            part = np.argpartition(-S[:, j], kk - 1)[:kk]
-            out_q.append(np.full(kk, qi, np.int64))
+            part = _topk_tie_aware(S[:, j], k, ids)
+            out_q.append(np.full(part.size, qi, np.int64))
             out_id.append(ids[part])
             out_s.append(S[part, j])
         return pa.table({
@@ -148,7 +169,7 @@ def ivf_topk(emb_ds, queries: np.ndarray, k: int = 10, nlist: int = 16,
         })
 
     local = assigned.groupby("centroid").map_groups(search_list, batch_format="pyarrow")
-    merged = local.groupby("query_id").map_groups(_merge_topk(k), batch_format="pandas")
+    merged = local.groupby("query_id").map_groups(_merge_topk(k), batch_format="pyarrow")
     return merged.select_columns(["query_id", "rank", "vec_id", "score"]).sort(
         ["query_id", "rank"]
     )

@@ -3,9 +3,10 @@
 Vertex partition function: ``part(v) = v % P`` with local index
 ``v // P`` — computable everywhere without a lookup table, which is what
 lets frontier messages be routed with two vectorized integer ops at any
-scale.  (Degree-balanced overrides for pathological hubs are a planned
-refinement; Zipf-skewed fixtures are handled fine by mod partitioning
-because consecutive ids spread hubs across parts.)
+scale.  Degree balancing is layered on top by GraphHandle
+(``balance='degree'`` in graph/runtime.py): engine ids are the
+degree-descending rank of the logical ids, so mod-P deals hubs
+round-robin and each shard carries ~equal edge mass.
 
 Shard layout (one Arrow row per partition):
   part_id:int32, indptr:large_list<int64> (len n_local+1),

@@ -65,10 +65,25 @@ def latest_step(run_dir: str, P: int) -> int | None:
     return best
 
 
-def restore_step(handle, run_dir: str, step: int, fields) -> dict:
+def restore_step(handle, run_dir: str, step: int, fields, expect: dict | None = None) -> dict:
+    """Reload every actor's slice from a committed step.
+
+    The manifest is validated against the live handle (parts/n) and any
+    caller-supplied ``expect`` entries (e.g. source / rmax) before any
+    actor state is touched — resuming with a different --source, a
+    re-ingested graph with a different P, or a stale ckpt-dir must fail
+    loudly, not silently restore mismatched state (mirrors
+    load_walk_index's guard)."""
     d = step_dir(run_dir, step)
     with open(os.path.join(d, "manifest.json")) as f:
         manifest = json.load(f)
+    checks = {"parts": handle.P, "n": handle.n, **(expect or {})}
+    for key, want in checks.items():
+        if key in manifest and manifest[key] != want:
+            raise ValueError(
+                f"checkpoint {d} was written with {key}={manifest[key]!r}; "
+                f"this run expects {key}={want!r} — refusing to restore"
+            )
     ray.get(
         [
             w.restore.remote(os.path.join(d, f"part={p:04d}.parquet"), fields)
