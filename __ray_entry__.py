@@ -231,15 +231,25 @@ def _queries_graph():
     def ingest_degrees(sf_dir):
         return _graph(sf_dir)["degrees"].to_pandas().reset_index(drop=True)
 
+    def _rounded(scores_ds):
+        # goldens are rounded to fora_ray.goldens.ROUND decimals; engine
+        # matches the numpy oracle to ~1e-12, so the same np.round on
+        # both sides hash-matches with ~3 orders of magnitude of slack
+        from fora_ray.goldens import ROUND
+
+        df = scores_ds.to_pandas().sort_values("node_id").reset_index(drop=True)
+        df["ppr"] = df["ppr"].round(ROUND)
+        return df
+
     def pagerank_q(sf_dir):
         g = _graph(sf_dir)
         scores, _ = alg.pagerank(g["handle"])
-        return scores.to_pandas().sort_values("node_id").reset_index(drop=True)
+        return _rounded(scores)
 
     def ppr_exact(sf_dir):
         g = _graph(sf_dir)
         scores, _ = alg.personalized_pagerank(g["handle"], source=0, mode="exact")
-        return scores.to_pandas().sort_values("node_id").reset_index(drop=True)
+        return _rounded(scores)
 
     def fora_ppr(sf_dir):
         g = _graph(sf_dir)
@@ -301,7 +311,11 @@ def _queries_graph():
         deg = g["degrees"].to_pandas()
         target = int(deg.sort_values(["in_deg", "node_id"], ascending=[False, True]).iloc[0]["node_id"])
         scores, _ = alg.backward_ppr(g["handle_rev"], target, mode="exact")
-        return scores.to_pandas().sort_values("node_id").reset_index(drop=True)
+        from fora_ray.goldens import ROUND
+
+        df = scores.to_pandas().sort_values("node_id").reset_index(drop=True)
+        df["ppr"] = df["ppr"].round(ROUND)
+        return df
 
     return {
         "ingest_nodes": ingest_nodes,
@@ -353,8 +367,10 @@ def _queries_events():
         )
 
     def events_sessions(sf_dir):
+        # (user_id, session_start, n_events): enough to pin each session
+        # exactly; sum_value is float and verified with tolerance in tests
         return session_windows(_ev(sf_dir), gap_s=1800).select_columns(
-            ["user_id", "n_events"]
+            ["user_id", "session_start", "n_events"]
         )
 
     return {
@@ -382,9 +398,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     # the driver compares at sf0.01 -> embed that fixture's path (and make
     # sure it exists before DuckDB reads it)
-    fix = _fixture_for("/root/testdata/sf0.01")
+    from fora_ray.goldens import write_goldens
+
+    sf01 = "/root/testdata/sf0.01"
+    fix = _fixture_for(sf01)
     corpus = f"{fix}/corpus/*.parquet"
     golden_edges = f"{fix}/edges.parquet"
+    # single-process reference computations written to parquet (numpy
+    # power iteration, python LPA, reimplemented MinHash/SimHash/langid/
+    # fingerprint pipelines) — see fora_ray/goldens.py for the
+    # independence layering
+    gold = write_goldens(fix, sf01)
 
     nodes_sql = (
         "SELECT CAST(row_number() OVER (ORDER BY repo, path) - 1 AS BIGINT) AS node_id, "
@@ -506,8 +530,58 @@ def oracle_sql() -> dict[str, str]:
              )
             SELECT a AS node_id, min(b) AS label FROM reach GROUP BY a ORDER BY a
         """,
-        # pagerank / ppr_exact / fora_ppr / topk_ppr / cc / lpa / langid /
-        # doc_fingerprints / minhash_dups / simhash_dups / ann_ivf:
-        # not SQL-expressible -> rows-only driver check; exact/statistical
-        # assertions live in tests/ against numpy oracles.
+        "pagerank": (
+            f"SELECT node_id, ppr FROM read_parquet('{gold['pagerank']}') "
+            "ORDER BY node_id"
+        ),
+        "ppr_exact": (
+            f"SELECT node_id, ppr FROM read_parquet('{gold['ppr_exact']}') "
+            "ORDER BY node_id"
+        ),
+        "backward_ppr": (
+            f"SELECT node_id, ppr FROM read_parquet('{gold['backward_ppr']}') "
+            "ORDER BY node_id"
+        ),
+        "lpa": (
+            f"SELECT node_id, label FROM read_parquet('{gold['lpa']}') "
+            "ORDER BY node_id"
+        ),
+        "langid": (
+            f"SELECT doc_id, lang_pred FROM read_parquet('{gold['langid']}') "
+            "ORDER BY doc_id"
+        ),
+        "doc_fingerprints": (
+            f"SELECT doc_id, fingerprint FROM read_parquet('{gold['doc_fingerprints']}') "
+            "ORDER BY doc_id"
+        ),
+        "minhash_dups": (
+            f"SELECT a, b FROM read_parquet('{gold['minhash_dups']}') ORDER BY a, b"
+        ),
+        "simhash_dups": (
+            f"SELECT a, b FROM read_parquet('{gold['simhash_dups']}') ORDER BY a, b"
+        ),
+        "events_sessions": """
+            WITH marked AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sess AS (
+              SELECT user_id, ts,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM marked
+            )
+            SELECT user_id, min(ts) AS session_start,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM sess GROUP BY user_id, sid
+            ORDER BY user_id, session_start
+        """,
+        # fora_ppr / monte_carlo_ppr / ppr_batch / fora_indexed /
+        # topk_ppr / ann_ivf / curation: seeded/statistical pipelines ->
+        # rows-only driver check for now; exact/statistical assertions
+        # live in tests/ against numpy oracles.
     }

@@ -1,0 +1,293 @@
+"""Golden-file oracles for the driver correctness gate (VERDICT r01 §next-1).
+
+For engine outputs DuckDB cannot express in plain SQL (PageRank, PPR,
+LPA, MinHash/SimHash near-dup pairs, language ID, fingerprints), the
+oracle is a *single-process reference computation* written to parquet;
+``__ray_entry__.oracle_sql()`` registers each as
+``SELECT ... FROM read_parquet('<golden>')`` so the driver's
+rows+schema+hash compare gates the distributed engine against it.
+
+Independence layering (SURVEY §5):
+- Graph numerics come from ``fora_ray.oracle`` (numpy power iteration /
+  union-find / python LPA) — fully independent of the engine kernels.
+- Text/dedup goldens share only the primitive hash functions
+  (``functions.hashing`` — pure, spec'd building blocks, like sha256 in
+  the M1 oracle); the pipeline logic (shingling, banding, bucketing,
+  candidate generation, verification) is reimplemented here as plain
+  single-process loops.  What the golden therefore verifies is the
+  distributed execution: sharding, shuffles, actor-pool state and
+  merge order must not change any result.
+
+Float-valued goldens are rounded to ``ROUND=9`` decimals and the
+matching ``queries()`` wrapper applies the same np.round — engine vs
+oracle agree to ~1e-12, so the 0.5e-9 rounding boundary has ~3 orders
+of magnitude of slack.  Everything here is deterministic: generated
+once per (fixture, sf) into /tmp and reused.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .functions.hashing import hash_str_u64, mix64
+from .oracle import lpa_oracle, ppr_column_oracle, ppr_power_iteration
+
+ROUND = 9
+_WORD = re.compile(r"\w+")
+_VERSION = 1
+
+
+def _round_col(x: np.ndarray) -> np.ndarray:
+    return np.round(x, ROUND)
+
+
+# --------------------------------------------------------------------------
+# graph goldens (inputs: the fixture's golden edges / nodes tables)
+# --------------------------------------------------------------------------
+
+def _fixture_graph(fix_dir: str) -> tuple[np.ndarray, int]:
+    edges = pq.read_table(os.path.join(fix_dir, "edges.parquet"))
+    n = pq.read_table(os.path.join(fix_dir, "nodes.parquet")).num_rows
+    e = np.stack(
+        [edges["src"].to_numpy(), edges["dst"].to_numpy()], axis=1
+    ).astype(np.int64)
+    return e, n
+
+
+def pagerank_golden(fix_dir: str) -> pa.Table:
+    e, n = _fixture_graph(fix_dir)
+    pi = ppr_power_iteration(e, n, source=None, tol=1e-14)
+    nz = np.nonzero(pi)[0]
+    return pa.table({"node_id": pa.array(nz.astype(np.int64)),
+                     "ppr": pa.array(_round_col(pi[nz]))})
+
+
+def ppr_exact_golden(fix_dir: str, source: int = 0) -> pa.Table:
+    e, n = _fixture_graph(fix_dir)
+    pi = ppr_power_iteration(e, n, source=source, tol=1e-14)
+    nz = np.nonzero(pi)[0]
+    return pa.table({"node_id": pa.array(nz.astype(np.int64)),
+                     "ppr": pa.array(_round_col(pi[nz]))})
+
+
+def backward_ppr_golden(fix_dir: str) -> pa.Table:
+    """Column of the PPR matrix at the query's target (highest in-degree,
+    node_id tie-break — must mirror __ray_entry__.backward_ppr_q)."""
+    e, n = _fixture_graph(fix_dir)
+    deg = pq.read_table(os.path.join(fix_dir, "degrees.parquet"))
+    in_deg = deg["in_deg"].to_numpy()
+    ids = deg["node_id"].to_numpy()
+    target = int(ids[np.lexsort((ids, -in_deg))[0]])
+    x = ppr_column_oracle(e, n, target)
+    nz = np.nonzero(x)[0]
+    return pa.table({"node_id": pa.array(nz.astype(np.int64)),
+                     "ppr": pa.array(_round_col(x[nz]))})
+
+
+def lpa_golden(fix_dir: str, max_rounds: int = 20) -> pa.Table:
+    e, n = _fixture_graph(fix_dir)
+    sym = np.unique(np.vstack([e, e[:, ::-1]]), axis=0)
+    sym = sym[sym[:, 0] != sym[:, 1]]
+    labels = lpa_oracle(sym, n, max_rounds=max_rounds)
+    return pa.table({"node_id": pa.array(np.arange(n, dtype=np.int64)),
+                     "label": pa.array(labels)})
+
+
+# --------------------------------------------------------------------------
+# documents goldens (inputs: the sf dir's documents.parquet)
+# --------------------------------------------------------------------------
+
+def _read_docs(sf_dir: str) -> tuple[list[int], list[str]]:
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    return t["doc_id"].to_pylist(), t["text"].to_pylist()
+
+
+def langid_golden(sf_dir: str) -> pa.Table:
+    """Stopword-ratio argmax, first-profile-wins on ties, >0.02 floor —
+    the documented heuristic, recomputed with plain counting loops."""
+    profiles = [
+        ("en", {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"}),
+        ("de", {"der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"}),
+        ("fr", {"le", "la", "les", "et", "est", "un", "une", "des", "pas", "pour"}),
+        ("es", {"el", "la", "los", "y", "es", "un", "una", "de", "no", "por"}),
+    ]
+    ids, texts = _read_docs(sf_dir)
+    preds = []
+    for txt in texts:
+        toks = _WORD.findall((txt or "").lower())
+        if not toks:
+            preds.append("unknown")
+            continue
+        best, best_score = "unknown", 0.0
+        for lang, stop in profiles:
+            hits = 0
+            for w in toks:
+                if w in stop:
+                    hits += 1
+            score = hits / len(toks)
+            if score > best_score:
+                best, best_score = lang, score
+        preds.append(best if best_score > 0.02 else "unknown")
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "lang_pred": pa.array(preds, pa.string())})
+
+
+def fingerprints_golden(sf_dir: str, window: int = 8) -> pa.Table:
+    """Winnowing-style min-of-rolling-window word-hash fingerprint,
+    recomputed with explicit per-window python loops."""
+    ids, texts = _read_docs(sf_dir)
+    fps = []
+    for txt in texts:
+        words = _WORD.findall((txt or "").lower())
+        if not words:
+            fps.append(0)
+            continue
+        h = hash_str_u64(words)
+        if h.size <= window:
+            mixed = [int(mix64(np.uint64(v), np.uint64(i))) for i, v in enumerate(h)]
+        else:
+            rolls = [min(h[i: i + window].tolist()) for i in range(h.size - window + 1)]
+            mixed = [int(mix64(np.uint64(v), np.uint64(i))) for i, v in enumerate(rolls)]
+        fps.append(min(mixed))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "fingerprint": pa.array(np.array(fps, dtype=np.uint64), pa.uint64())})
+
+
+def _bucket_pair_set(buckets: dict) -> list[tuple[int, int]]:
+    """Sorted unique (a, b) candidate pairs, a < b, across all buckets."""
+    pairs: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        if len(members) < 2:
+            continue
+        ms = sorted(members)
+        for i, x in enumerate(ms):
+            for y in ms[i + 1:]:
+                pairs.add((x, y))
+    return sorted(pairs)
+
+
+def _shingle_set(words: list[str], k: int) -> frozenset:
+    if not words:
+        return frozenset()
+    if len(words) < k:
+        return frozenset(hash_str_u64([" ".join(words)]).tolist())
+    return frozenset(
+        hash_str_u64([" ".join(words[i: i + k]) for i in range(len(words) - k + 1)]).tolist()
+    )
+
+
+def minhash_pairs_golden(sf_dir: str, threshold: float = 0.6, num_perm: int = 64,
+                         bands: int = 16, shingle_k: int = 5, seed: int = 42) -> pa.Table:
+    """MinHash-LSH near-dup pairs: per-doc signature, banded buckets,
+    all-pairs candidates, exact-Jaccard verification — one process, one
+    dict of buckets, no sharding anywhere."""
+    ids, texts = _read_docs(sf_dir)
+    rows_per_band = num_perm // bands
+    perm_seeds = mix64(np.uint64(seed), np.arange(num_perm, dtype=np.uint64))
+    shingles: dict[int, frozenset] = {}
+    buckets: dict[tuple[int, int], set[int]] = {}
+    for did, txt in zip(ids, texts):
+        words = _WORD.findall((txt or "").lower())
+        ss = _shingle_set(words, shingle_k)
+        shingles[did] = ss
+        if ss:
+            sh = np.array(sorted(ss), dtype=np.uint64)
+            sig = mix64(sh[None, :], perm_seeds[:, None]).min(axis=1)
+        else:
+            sig = np.full(num_perm, np.uint64(0xFFFFFFFFFFFFFFFF))
+        for b in range(bands):
+            chunk = sig[b * rows_per_band: (b + 1) * rows_per_band]
+            h = int(mix64(chunk, np.uint64(b)).sum() & np.uint64(0xFFFFFFFFFFFFFFFF))
+            buckets.setdefault((b, h), set()).add(int(did))
+    out_a, out_b = [], []
+    for a, b in _bucket_pair_set(buckets):
+        sa, sb = shingles[a], shingles[b]
+        if not sa and not sb:
+            jac = 1.0
+        else:
+            inter = len(sa & sb)
+            jac = inter / (len(sa) + len(sb) - inter)
+        if jac >= threshold:
+            out_a.append(a)
+            out_b.append(b)
+    return pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64())})
+
+
+def simhash_pairs_golden(sf_dir: str, hamming_thresh: int = 3, seed: int = 42) -> pa.Table:
+    """SimHash near-dup pairs: 64-bit sign-aggregated word-hash votes,
+    4x16-bit band buckets, hamming verification — single process."""
+    ids, texts = _read_docs(sf_dir)
+    sigs: dict[int, int] = {}
+    buckets: dict[tuple[int, int], set[int]] = {}
+    shifts = np.arange(64, dtype=np.uint64)
+    for did, txt in zip(ids, texts):
+        words = _WORD.findall((txt or "").lower())
+        if not words:
+            s = 0
+        else:
+            h = mix64(hash_str_u64(words), np.uint64(seed))
+            bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            s = int(((votes > 0).astype(np.uint64) << shifts).sum())
+        sigs[int(did)] = s
+        for b in range(4):
+            buckets.setdefault((b, (s >> (16 * b)) & 0xFFFF), set()).add(int(did))
+    out_a, out_b = [], []
+    for a, b in _bucket_pair_set(buckets):
+        ham = bin(sigs[a] ^ sigs[b]).count("1")
+        if ham <= hamming_thresh:
+            out_a.append(a)
+            out_b.append(b)
+    return pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64())})
+
+
+# --------------------------------------------------------------------------
+# generation + cache
+# --------------------------------------------------------------------------
+
+_GRAPH_GOLDENS = {
+    "pagerank": pagerank_golden,
+    "ppr_exact": ppr_exact_golden,
+    "backward_ppr": backward_ppr_golden,
+    "lpa": lpa_golden,
+}
+_DOC_GOLDENS = {
+    "langid": langid_golden,
+    "doc_fingerprints": fingerprints_golden,
+    "minhash_dups": minhash_pairs_golden,
+    "simhash_dups": simhash_pairs_golden,
+}
+
+
+def write_goldens(fix_dir: str, sf_dir: str,
+                  root: str = "/tmp/fora_ray_goldens") -> dict[str, str]:
+    """Generate (or reuse) every golden parquet for one (fixture, sf)
+    pair.  Returns {query_name: parquet_path}."""
+    tag = f"{os.path.basename(fix_dir.rstrip('/'))}__{os.path.basename(sf_dir.rstrip('/'))}_v{_VERSION}"
+    out_dir = os.path.join(root, tag)
+    os.makedirs(out_dir, exist_ok=True)
+    marker = os.path.join(out_dir, "_GOLDEN_OK.json")
+    names = list(_GRAPH_GOLDENS) + list(_DOC_GOLDENS)
+    paths = {nm: os.path.join(out_dir, f"{nm}.parquet") for nm in names}
+    params = {"fix": fix_dir, "sf": sf_dir, "version": _VERSION, "round": ROUND}
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if json.load(f) == params:
+                return paths
+    for nm, fn in _GRAPH_GOLDENS.items():
+        pq.write_table(fn(fix_dir), paths[nm])
+    for nm, fn in _DOC_GOLDENS.items():
+        pq.write_table(fn(sf_dir), paths[nm])
+    fd, tmp = tempfile.mkstemp(dir=out_dir)
+    with os.fdopen(fd, "w") as f:
+        json.dump(params, f)
+    os.replace(tmp, marker)
+    return paths

@@ -78,6 +78,38 @@ def ppr_power_iteration(
     return pi
 
 
+def ppr_column_oracle(
+    edges: np.ndarray,
+    n: int,
+    target: int,
+    alpha: float = 0.2,
+    tol: float = 1e-14,
+    max_iter: int = 5000,
+) -> np.ndarray:
+    """Exact column of the PPR matrix: x[v] ~= pi(v -> target) for every
+    v, under the BiPPR dangling-self-loop convention (the backward-push
+    operand, SURVEY 2.4 G5).  Fixed point of
+        x = alpha * e_t + (1-alpha) * P x
+    where P is the out-transition matrix with self-loops at dangling
+    nodes; contraction factor (1-alpha) guarantees convergence."""
+    e = np.asarray(edges, dtype=np.int64).reshape(-1, 2)
+    src, dst = e[:, 0], e[:, 1]
+    deg = np.bincount(src, minlength=n).astype(np.float64)
+    et = np.zeros(n)
+    et[target] = alpha
+    x = np.zeros(n)
+    for _ in range(max_iter):
+        y = np.zeros(n)
+        np.add.at(y, src, x[dst])
+        y = np.where(deg > 0, y / np.maximum(deg, 1.0), x)  # selfloop when dangling
+        x_new = et + (1.0 - alpha) * y
+        if np.abs(x_new - x).max() < tol:
+            x = x_new
+            break
+        x = x_new
+    return x
+
+
 def cc_oracle(edges: np.ndarray, n: int) -> np.ndarray:
     """Connected components on the undirected view; label = min node id."""
     parent = np.arange(n, dtype=np.int64)

@@ -60,12 +60,14 @@ def candidates(lang: str, repo: str, src_path: str, ref: str) -> list[str]:
         return [f"{base}.js", f"{base}/index.js"]
     if lang == "java":
         p = ref.replace(".", "/") + ".java"
-        return [p, f"src/{p}", f"src/main/java/{p}"]
+        out = [p, f"src/{p}", f"src/main/java/{p}"]
+        return [c for c in (_norm(x) for x in out) if c]
     if lang == "go":
         if "/" not in ref:
             return []  # stdlib
         if ref.startswith(repo + "/"):
-            return [ref[len(repo) + 1 :] + ".go"]
+            out = [ref[len(repo) + 1 :] + ".go"]
+            return [c for c in (_norm(x) for x in out) if c]
         return []  # external module
     return []
 
