@@ -254,12 +254,16 @@ def _queries_graph():
     def fora_ppr(sf_dir):
         g = _graph(sf_dir)
         scores, _ = alg.personalized_pagerank(g["handle"], source=0, mode="fora", seed=42)
-        return scores.to_pandas().sort_values("node_id").reset_index(drop=True)
+        return _rounded(scores)
 
     def topk_ppr_q(sf_dir):
+        from fora_ray.goldens import ROUND
+
         g = _graph(sf_dir)
         top, _ = alg.topk_ppr(g["handle"], source=0, k=10, seed=42)
-        return top.to_pandas().reset_index(drop=True)
+        df = top.to_pandas().reset_index(drop=True)
+        df["ppr"] = df["ppr"].round(ROUND)
+        return df
 
     def cc_q(sf_dir):
         g = _graph(sf_dir)
@@ -277,17 +281,21 @@ def _queries_graph():
         return per.to_pandas().reset_index(drop=True)
 
     def ppr_batch_q(sf_dir):
+        from fora_ray.goldens import ROUND
+
         g = _graph(sf_dir)
         scores, _ = alg.ppr_batch(g["handle"], [0, 1, 2, 3], mode="fora", seed=42)
-        return (
+        df = (
             scores.to_pandas()
             .sort_values(["query_idx", "node_id"]).reset_index(drop=True)
         )
+        df["ppr"] = df["ppr"].round(ROUND)
+        return df
 
     def monte_carlo_q(sf_dir):
         g = _graph(sf_dir)
         scores, _ = alg.monte_carlo_ppr(g["handle"], source=0, seed=42)
-        return scores.to_pandas().sort_values("node_id").reset_index(drop=True)
+        return _rounded(scores)
 
     def fora_indexed_q(sf_dir):
         from fora_ray.graph.algorithms import build_walk_index, fora_ssppr_indexed
@@ -297,7 +305,7 @@ def _queries_graph():
             build_walk_index(g["handle"], seed=42)
             g["walk_index"] = True
         scores, _ = fora_ssppr_indexed(g["handle"], source=0, seed=42)
-        return scores.to_pandas().sort_values("node_id").reset_index(drop=True)
+        return _rounded(scores)
 
     def backward_ppr_q(sf_dir):
         import ray
@@ -560,6 +568,26 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dups": (
             f"SELECT a, b FROM read_parquet('{gold['simhash_dups']}') ORDER BY a, b"
         ),
+        "fora_ppr": (
+            f"SELECT node_id, ppr FROM read_parquet('{gold['fora_ppr']}') "
+            "ORDER BY node_id"
+        ),
+        "monte_carlo_ppr": (
+            f"SELECT node_id, ppr FROM read_parquet('{gold['monte_carlo_ppr']}') "
+            "ORDER BY node_id"
+        ),
+        "ppr_batch": (
+            f"SELECT query_idx, node_id, ppr FROM read_parquet('{gold['ppr_batch']}') "
+            "ORDER BY query_idx, node_id"
+        ),
+        "fora_indexed": (
+            f"SELECT node_id, ppr FROM read_parquet('{gold['fora_indexed']}') "
+            "ORDER BY node_id"
+        ),
+        "topk_ppr": (
+            f"SELECT node_id, ppr FROM read_parquet('{gold['topk_ppr']}') "
+            "ORDER BY ppr DESC, node_id"
+        ),
         "events_sessions": """
             WITH marked AS (
               SELECT user_id, ts, event_id,
@@ -580,8 +608,6 @@ def oracle_sql() -> dict[str, str]:
             FROM sess GROUP BY user_id, sid
             ORDER BY user_id, session_start
         """,
-        # fora_ppr / monte_carlo_ppr / ppr_batch / fora_indexed /
-        # topk_ppr / ann_ivf / curation: seeded/statistical pipelines ->
-        # rows-only driver check for now; exact/statistical assertions
-        # live in tests/ against numpy oracles.
+        # ann_ivf / curation: composite pipelines -> rows-only driver
+        # check for now; exact/statistical assertions live in tests/.
     }

@@ -41,7 +41,7 @@ from .oracle import lpa_oracle, ppr_column_oracle, ppr_power_iteration
 
 ROUND = 9
 _WORD = re.compile(r"\w+")
-_VERSION = 1
+_VERSION = 2
 
 
 def _round_col(x: np.ndarray) -> np.ndarray:
@@ -89,6 +89,47 @@ def backward_ppr_golden(fix_dir: str) -> pa.Table:
     nz = np.nonzero(x)[0]
     return pa.table({"node_id": pa.array(nz.astype(np.int64)),
                      "ppr": pa.array(_round_col(x[nz]))})
+
+
+def _sim_for(fix_dir: str):
+    from .protocol_ref import ProtocolSim
+
+    e, n = _fixture_graph(fix_dir)
+    return ProtocolSim(e, n, P=4)  # P=4: the driver queries' handle shape
+
+
+def _scores_table(est: np.ndarray) -> pa.Table:
+    nz = np.nonzero(est)[0]
+    return pa.table({"node_id": pa.array(nz.astype(np.int64)),
+                     "ppr": pa.array(_round_col(est[nz]))})
+
+
+def fora_ppr_golden(fix_dir: str) -> pa.Table:
+    return _scores_table(_sim_for(fix_dir).fora_ppr(0, seed=42))
+
+
+def monte_carlo_golden(fix_dir: str) -> pa.Table:
+    return _scores_table(_sim_for(fix_dir).monte_carlo_ppr(0, seed=42))
+
+
+def ppr_batch_golden(fix_dir: str) -> pa.Table:
+    est = _sim_for(fix_dir).ppr_batch([0, 1, 2, 3], seed=42)
+    node, q = np.nonzero(est)
+    return pa.table({"query_idx": pa.array(q.astype(np.int64)),
+                     "node_id": pa.array(node.astype(np.int64)),
+                     "ppr": pa.array(_round_col(est[node, q]))})
+
+
+def fora_indexed_golden(fix_dir: str) -> pa.Table:
+    sim = _sim_for(fix_dir)
+    sim.build_walk_index(seed=42)
+    return _scores_table(sim.fora_indexed(0, seed=42))
+
+
+def topk_ppr_golden(fix_dir: str, k: int = 10) -> pa.Table:
+    ids, vals = _sim_for(fix_dir).topk_ppr(0, k=k, seed=42)
+    return pa.table({"node_id": pa.array(ids.astype(np.int64)),
+                     "ppr": pa.array(_round_col(vals))})
 
 
 def lpa_golden(fix_dir: str, max_rounds: int = 20) -> pa.Table:
@@ -258,6 +299,11 @@ _GRAPH_GOLDENS = {
     "ppr_exact": ppr_exact_golden,
     "backward_ppr": backward_ppr_golden,
     "lpa": lpa_golden,
+    "fora_ppr": fora_ppr_golden,
+    "monte_carlo_ppr": monte_carlo_golden,
+    "ppr_batch": ppr_batch_golden,
+    "fora_indexed": fora_indexed_golden,
+    "topk_ppr": topk_ppr_golden,
 }
 _DOC_GOLDENS = {
     "langid": langid_golden,
