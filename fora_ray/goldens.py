@@ -202,13 +202,29 @@ def fingerprints_golden(sf_dir: str, window: int = 8) -> pa.Table:
                      "fingerprint": pa.array(np.array(fps, dtype=np.uint64), pa.uint64())})
 
 
-def _bucket_pair_set(buckets: dict) -> list[tuple[int, int]]:
-    """Sorted unique (a, b) candidate pairs, a < b, across all buckets."""
+def _bucket_pair_set(buckets: dict, cap: int = 512) -> list[tuple[int, int]]:
+    """Sorted unique (a, b) candidate pairs, a < b, across all buckets —
+    mirrors pipelines.dedup._bucket_pairs including the oversize-bucket
+    sub-sharding (secondary hash) and sub-shard-min bridge pairs."""
     pairs: set[tuple[int, int]] = set()
     for members in buckets.values():
         if len(members) < 2:
             continue
         ms = sorted(members)
+        if len(ms) > cap:
+            n_sub = -(-len(ms) // cap)
+            root = ms[0]
+            shards: dict[int, list[int]] = {}
+            for did in ms:
+                s = int(mix64(np.uint64(did), np.uint64(0x5CA1AB1E)) % np.uint64(n_sub))
+                shards.setdefault(s, []).append(did)
+            for part in shards.values():
+                for i, x in enumerate(part):
+                    for y in part[i + 1:]:
+                        pairs.add((min(x, y), max(x, y)))
+                if part and min(part) != root:
+                    pairs.add((min(root, min(part)), max(root, min(part))))
+            continue
         for i, x in enumerate(ms):
             for y in ms[i + 1:]:
                 pairs.add((x, y))

@@ -14,9 +14,12 @@ All operate on a Dataset with (doc_id:int64, text:string, ...):
 
 Everything vectorized per batch (numpy over token hashes); every hash
 is seeded/counter-based so results are identical at any parallelism.
-Scale notes: the only shuffles are the bucket groupbys; candidate
-verification joins texts back via broadcast at test scale (the scale
-path is a hash join on doc_id, same shape as stages/edges.py).
+Scale notes: the only shuffles are the bucket groupbys and (on the
+scale path) the verify joins.  Candidate verification attaches
+texts/signatures/vectors back to pairs either by broadcast (small-N
+fast path) or by doc_id hash joins ('join' — driver memory O(1) at any
+corpus size); LSH buckets are capped at BUCKET_CAP docs with
+secondary-hash sub-sharding so a hot signature cannot go quadratic.
 """
 
 from __future__ import annotations
@@ -49,9 +52,11 @@ def _pool_size() -> tuple[int, int]:
     except Exception:
         return (1, 8)
 
-def exact_dedup(docs_ds, id_col: str = "doc_id"):
+def exact_dedup(docs_ds, id_col: str = "doc_id", sort: bool = True):
     """Keep the minimum doc_id per identical text.  Returns a Dataset
-    with one column (doc_id), sorted."""
+    with one column (doc_id), sorted unless sort=False (mid-pipeline
+    consumers joining on the result want the unsorted stream: Ray sort
+    emits schema-less empty blocks that acero joins reject)."""
     hashed = docs_ds.map_batches(
         lambda t: pa.table(
             {
@@ -64,7 +69,8 @@ def exact_dedup(docs_ds, id_col: str = "doc_id"):
     from ray.data.aggregate import Min
 
     kept = hashed.groupby("text_sha256").aggregate(Min(id_col, alias_name=id_col))
-    return kept.select_columns([id_col]).sort(id_col)
+    out = kept.select_columns([id_col])
+    return out.sort(id_col) if sort else out
 
 
 # --------------------------------------------------------------------------
@@ -117,13 +123,67 @@ class MinHasher:
         )
 
 
-def _bucket_pairs(group: pa.Table) -> pa.Table:
-    """All doc-id pairs within one (band_id, band_hash) bucket."""
+BUCKET_CAP = 512  # max docs per LSH bucket before sub-sharding
+
+
+def _bucket_pairs(group: pa.Table, cap: int = BUCKET_CAP) -> pa.Table:
+    """Doc-id pairs within one (band_id, band_hash) bucket.
+
+    All-pairs is O(b^2): one hot bucket (boilerplate/empty docs sharing
+    a signature) would explode without a bound.  Buckets over `cap` are
+    sub-sharded by a secondary hash of the doc id — pairs are only
+    generated within a sub-shard, bounding work at ~cap^2 per shard
+    while still pairing every doc with ~cap near-neighbors.  The count
+    of capped buckets is observable via the oversize_buckets column of
+    lsh_bucket_stats (A6 counter convention)."""
     ids = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
     if ids.size < 2:
         return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    if ids.size > cap:
+        n_sub = -(-ids.size // cap)  # ceil
+        sub = (mix64(ids.astype(np.uint64), np.uint64(0x5CA1AB1E))
+               % np.uint64(n_sub)).astype(np.int64)
+        root = int(ids.min())
+        out_a, out_b = [], []
+        for s in range(n_sub):
+            part = ids[sub == s]
+            if part.size >= 2:
+                i, j = np.triu_indices(part.size, 1)
+                out_a.append(part[i])
+                out_b.append(part[j])
+            if part.size and int(part.min()) != root:
+                # bridge pair: keeps an (actually-similar) oversize bucket
+                # connected for dup_clusters despite the sub-sharding —
+                # verification still decides whether the bridge holds
+                lo = min(root, int(part.min()))
+                hi = max(root, int(part.min()))
+                out_a.append(np.array([lo], dtype=np.int64))
+                out_b.append(np.array([hi], dtype=np.int64))
+        if not out_a:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        return pa.table({"a": pa.array(np.concatenate(out_a)),
+                         "b": pa.array(np.concatenate(out_b))})
     i, j = np.triu_indices(ids.size, 1)
     return pa.table({"a": pa.array(ids[i]), "b": pa.array(ids[j])})
+
+
+def lsh_bucket_stats(sigs_ds, cap: int = BUCKET_CAP):
+    """A6-style counters for the LSH banding stage: bucket count, max
+    bucket size, number of oversize (sub-sharded) buckets."""
+    from ray.data.aggregate import Count, Max
+
+    sizes = sigs_ds.groupby(["band_id", "band_hash"]).aggregate(Count(alias_name="sz"))
+    big = sizes.map_batches(
+        lambda t: pa.table({
+            "oversize": pa.array([(t["sz"].to_numpy(zero_copy_only=False) > cap).sum()], pa.int64()),
+            "buckets": pa.array([t.num_rows], pa.int64()),
+            "max_sz": pa.array([int(t["sz"].to_numpy(zero_copy_only=False).max()) if t.num_rows else 0], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return {"buckets": int(big["buckets"].sum()),
+            "oversize_buckets": int(big["oversize"].sum()),
+            "max_bucket": int(big["max_sz"].max()) if len(big) else 0}
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
@@ -136,13 +196,32 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     return inter / (len(sa) + len(sb) - inter)
 
 
+def _empty_pairs(extra: str, typ=pa.float64()) -> pa.Table:
+    return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                     extra: pa.array([], typ)})
+
+
+def _jaccard_sets(sa: frozenset, sb: frozenset) -> float:
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
+
+
 def minhash_lsh_dups(docs_ds, threshold: float = 0.7, num_perm: int = 64,
-                     bands: int = 16, shingle_k: int = 5, seed: int = 42):
+                     bands: int = 16, shingle_k: int = 5, seed: int = 42,
+                     verify_strategy: str = "auto", broadcast_limit: int = 500_000,
+                     num_partitions: int | None = None):
     """Near-duplicate pairs by MinHash-LSH, Jaccard-verified.
 
     Returns Dataset (a, b, jaccard) with a < b, jaccard >= threshold,
-    sorted.  Texts for verification are broadcast (test scale); at 100 TB
-    the verify stage becomes a doc_id hash join.
+    sorted.  Verification strategies (same results, chosen by scale):
+    - 'broadcast': texts dict ray.put once — fast path while the corpus
+      fits in worker heap.
+    - 'join': two hash joins attach text_a/text_b to the candidate
+      pairs on doc_id — the 100 TB path; nothing corpus-sized ever
+      lands on the driver.
+    - 'auto': broadcast below `broadcast_limit` docs.
     """
     sigs = docs_ds.map_batches(
         MinHasher(num_perm=num_perm, bands=bands, shingle_k=shingle_k, seed=seed),
@@ -160,7 +239,49 @@ def minhash_lsh_dups(docs_ds, threshold: float = 0.7, num_perm: int = 64,
             lambda t: pa.table({"src": t["a"], "dst": t["b"]}), batch_format="pyarrow"
         )
     )
-    # broadcast texts for verification
+    if verify_strategy == "auto":
+        verify_strategy = "broadcast" if docs_ds.count() <= broadcast_limit else "join"
+
+    if verify_strategy == "join":
+        from ..stages.shuffle import safe_join
+
+        texts = docs_ds.select_columns(["doc_id", "text"])
+        ta = texts.rename_columns({"doc_id": "a_id", "text": "text_a"})
+        tb = texts.rename_columns({"doc_id": "b_id", "text": "text_b"})
+        joined = safe_join(
+            safe_join(cand, ta, on=("src",), right_on=("a_id",),
+                      num_partitions=num_partitions),
+            tb, on=("dst",), right_on=("b_id",), num_partitions=num_partitions,
+        )
+
+        def verify_joined(t: pa.Table, thr=threshold, k=shingle_k) -> pa.Table:
+            if t.num_rows == 0 or "src" not in t.schema.names:
+                return _empty_pairs("jaccard")
+            a = t["src"].to_numpy(zero_copy_only=False)
+            b = t["dst"].to_numpy(zero_copy_only=False)
+            cache: dict[int, frozenset] = {}  # batch-local shingle cache
+            jac = np.empty(len(a))
+            for i, (x, y, txa, txb) in enumerate(
+                zip(a, b, t["text_a"].to_pylist(), t["text_b"].to_pylist())
+            ):
+                sa = cache.get(int(x))
+                if sa is None:
+                    sa = frozenset(_shingle_hashes(txa or "", k).tolist())
+                    cache[int(x)] = sa
+                sb = cache.get(int(y))
+                if sb is None:
+                    sb = frozenset(_shingle_hashes(txb or "", k).tolist())
+                    cache[int(y)] = sb
+                jac[i] = _jaccard_sets(sa, sb)
+            keep = jac >= thr
+            return pa.table({
+                "a": pa.array(a[keep]), "b": pa.array(b[keep]),
+                "jaccard": pa.array(jac[keep]),
+            })
+
+        return joined.map_batches(verify_joined, batch_format="pyarrow").sort(["a", "b"])
+
+    # broadcast fast path
     texts: dict[int, str] = {}
     for blk in ray.get(docs_ds.select_columns(["doc_id", "text"]).to_arrow_refs()):
         for i, txt in zip(blk["doc_id"].to_pylist(), blk["text"].to_pylist()):
@@ -186,12 +307,7 @@ def minhash_lsh_dups(docs_ds, threshold: float = 0.7, num_perm: int = 64,
             b = t["dst"].to_numpy(zero_copy_only=False)
             jac = np.empty(len(a))
             for i, (x, y) in enumerate(zip(a, b)):
-                sa, sb = self._set(int(x)), self._set(int(y))
-                if not sa and not sb:
-                    jac[i] = 1.0
-                else:
-                    inter = len(sa & sb)
-                    jac[i] = inter / (len(sa) + len(sb) - inter)
+                jac[i] = _jaccard_sets(self._set(int(x)), self._set(int(y)))
             keep = jac >= self.thr
             return pa.table({
                 "a": pa.array(a[keep]), "b": pa.array(b[keep]),
@@ -229,10 +345,17 @@ class SimHasher:
         return pa.table({"doc_id": pa.array(ids), "simhash": pa.array(sh, pa.uint64())})
 
 
-def simhash_dups(docs_ds, hamming_thresh: int = 3, seed: int = 42):
+def simhash_dups(docs_ds, hamming_thresh: int = 3, seed: int = 42,
+                 verify_strategy: str = "auto", broadcast_limit: int = 50_000_000,
+                 num_partitions: int | None = None):
     """Near-dup pairs by SimHash banding (4 x 16-bit chunks: hamming<=3
     implies at least one identical chunk) + hamming verification.
-    Returns Dataset (a, b, hamming) sorted."""
+    Returns Dataset (a, b, hamming) sorted.
+
+    Verification joins the 8-byte signatures back to the candidate
+    pairs ('join', the scale path) or broadcasts the signature dict
+    ('broadcast', fast while it fits worker heap — ~8 B/doc, so the
+    auto threshold is much higher than the text-carrying MinHash one)."""
     sigs = docs_ds.map_batches(
         SimHasher(seed=seed), batch_format="pyarrow",
     ).materialize()  # reused: banding + verification lookup
@@ -262,6 +385,40 @@ def simhash_dups(docs_ds, hamming_thresh: int = 3, seed: int = 42):
     cand = dedup_edges(
         pairs.map_batches(lambda t: pa.table({"src": t["a"], "dst": t["b"]}), batch_format="pyarrow")
     )
+
+    def _hamming_filter(a, b, ha, hb, thr):
+        ham = np.array([bin(int(x ^ y)).count("1") for x, y in zip(ha, hb)])
+        keep = ham <= thr
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep]),
+                         "hamming": pa.array(ham[keep].astype(np.int32))})
+
+    if verify_strategy == "auto":
+        verify_strategy = "broadcast" if docs_ds.count() <= broadcast_limit else "join"
+
+    if verify_strategy == "join":
+        from ..stages.shuffle import safe_join
+
+        sa_ds = sigs.rename_columns({"doc_id": "a_id", "simhash": "sim_a"})
+        sb_ds = sigs.rename_columns({"doc_id": "b_id", "simhash": "sim_b"})
+        joined = safe_join(
+            safe_join(cand, sa_ds, on=("src",), right_on=("a_id",),
+                      num_partitions=num_partitions),
+            sb_ds, on=("dst",), right_on=("b_id",), num_partitions=num_partitions,
+        )
+
+        def verify_joined(t: pa.Table, thr=hamming_thresh) -> pa.Table:
+            if t.num_rows == 0 or "src" not in t.schema.names:
+                return _empty_pairs("hamming", pa.int32())
+            return _hamming_filter(
+                t["src"].to_numpy(zero_copy_only=False),
+                t["dst"].to_numpy(zero_copy_only=False),
+                t["sim_a"].to_numpy(zero_copy_only=False).astype(np.uint64),
+                t["sim_b"].to_numpy(zero_copy_only=False).astype(np.uint64),
+                thr,
+            )
+
+        return joined.map_batches(verify_joined, batch_format="pyarrow").sort(["a", "b"])
+
     lookup = {}
     for blk in ray.get(sigs.to_arrow_refs()):
         for i, s in zip(blk["doc_id"].to_pylist(), blk["simhash"].to_pylist()):
@@ -277,10 +434,7 @@ def simhash_dups(docs_ds, hamming_thresh: int = 3, seed: int = 42):
             b = t["dst"].to_numpy(zero_copy_only=False)
             ha = np.array([self.lk[int(x)] for x in a], dtype=np.uint64)
             hb = np.array([self.lk[int(x)] for x in b], dtype=np.uint64)
-            ham = np.array([bin(int(x ^ y)).count("1") for x, y in zip(ha, hb)])
-            keep = ham <= self.thr
-            return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep]),
-                             "hamming": pa.array(ham[keep].astype(np.int32))})
+            return _hamming_filter(a, b, ha, hb, self.thr)
 
     return cand.map_batches(
         Verify, fn_constructor_kwargs={"r": ref, "thr": hamming_thresh},
@@ -292,9 +446,16 @@ def simhash_dups(docs_ds, hamming_thresh: int = 3, seed: int = 42):
 # Embedding near-dup (cosine)
 # --------------------------------------------------------------------------
 
-def embedding_dups(emb_ds, threshold: float = 0.95, n_planes: int = 16, seed: int = 42):
+def embedding_dups(emb_ds, threshold: float = 0.95, n_planes: int = 16, seed: int = 42,
+                   verify_strategy: str = "auto", broadcast_limit: int = 200_000,
+                   num_partitions: int | None = None):
     """Near-dup vector pairs: random-hyperplane LSH bucket -> within-bucket
-    cosine verify.  Dataset (a, b, cosine) with a < b, sorted."""
+    cosine verify.  Dataset (a, b, cosine) with a < b, sorted.
+
+    Verification attaches the two vectors to each candidate pair either
+    by broadcast dict (fast path below `broadcast_limit` vectors) or by
+    two hash joins on vec_id — the scale path: driver memory stays
+    O(1) regardless of corpus size."""
     # draw hyperplanes deterministically; dim probed from first block
     first = ray.get(emb_ds.limit(1).to_arrow_refs())[0]
     dim = len(first["embedding"][0].as_py())
@@ -326,11 +487,62 @@ def embedding_dups(emb_ds, threshold: float = 0.95, n_planes: int = 16, seed: in
         return pa.table({"a": pa.array(ids[i]), "b": pa.array(ids[j])})
 
     cand = buckets.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+    from ..stages.edges import dedup_edges
+
+    cand = dedup_edges(
+        cand.map_batches(lambda t: pa.table({"src": t["a"], "dst": t["b"]}), batch_format="pyarrow")
+    )
+    if verify_strategy == "auto":
+        verify_strategy = "broadcast" if emb_ds.count() <= broadcast_limit else "join"
+
+    def _norm_vec(v) -> np.ndarray:
+        a = np.asarray(v, dtype=np.float64)
+        return a / (np.linalg.norm(a) or 1.0)
+
+    if verify_strategy == "join":
+        from ..stages.shuffle import safe_join
+
+        # acero hash joins reject list-typed non-key columns, so the
+        # vector rides through the join as a float64 byte blob
+        def _pack(t: pa.Table, idc: str, embc: str) -> pa.Table:
+            return pa.table({
+                idc: t["vec_id"],
+                embc: pa.array(
+                    [np.asarray(v, dtype=np.float64).tobytes() for v in t["embedding"].to_pylist()],
+                    pa.large_binary(),
+                ),
+            })
+
+        va = emb_ds.map_batches(lambda t: _pack(t, "a_id", "emb_a"), batch_format="pyarrow")
+        vb = emb_ds.map_batches(lambda t: _pack(t, "b_id", "emb_b"), batch_format="pyarrow")
+        joined = safe_join(
+            safe_join(cand, va, on=("src",), right_on=("a_id",),
+                      num_partitions=num_partitions),
+            vb, on=("dst",), right_on=("b_id",), num_partitions=num_partitions,
+        )
+
+        def verify_joined(t: pa.Table, thr=threshold) -> pa.Table:
+            if t.num_rows == 0 or "src" not in t.schema.names:
+                return _empty_pairs("cosine")
+            a = t["src"].to_numpy(zero_copy_only=False)
+            b = t["dst"].to_numpy(zero_copy_only=False)
+            cos = np.array([
+                float(_norm_vec(np.frombuffer(x)) @ _norm_vec(np.frombuffer(y)))
+                for x, y in zip(t["emb_a"].to_pylist(), t["emb_b"].to_pylist())
+            ]) if len(a) else np.empty(0)
+            keep = cos >= thr
+            return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep]),
+                             "cosine": pa.array(cos[keep])})
+
+        return joined.map_batches(verify_joined, batch_format="pyarrow").sort(["a", "b"])
+
+    cand = cand.map_batches(
+        lambda t: pa.table({"a": t["src"], "b": t["dst"]}), batch_format="pyarrow"
+    )
     vecs = {}
     for blk in ray.get(emb_ds.select_columns(["vec_id", "embedding"]).to_arrow_refs()):
         for i, v in zip(blk["vec_id"].to_pylist(), blk["embedding"].to_pylist()):
-            a = np.asarray(v, dtype=np.float64)
-            vecs[i] = a / (np.linalg.norm(a) or 1.0)
+            vecs[i] = _norm_vec(v)
     vref = ray.put(vecs)
 
     class Verify:
@@ -345,11 +557,6 @@ def embedding_dups(emb_ds, threshold: float = 0.95, n_planes: int = 16, seed: in
             return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep]),
                              "cosine": pa.array(cos[keep])})
 
-    from ..stages.edges import dedup_edges
-
-    cand = dedup_edges(
-        cand.map_batches(lambda t: pa.table({"src": t["a"], "dst": t["b"]}), batch_format="pyarrow")
-    ).map_batches(lambda t: pa.table({"a": t["src"], "b": t["dst"]}), batch_format="pyarrow")
     return cand.map_batches(
         Verify, fn_constructor_kwargs={"r": vref, "thr": threshold},
         batch_format="pyarrow", concurrency=_pool_size(), batch_size=4096,
@@ -357,7 +564,8 @@ def embedding_dups(emb_ds, threshold: float = 0.95, n_planes: int = 16, seed: in
 
 
 def dup_clusters(pairs_ds, ids_ds, id_col: str = "doc_id",
-                 strategy: str = "auto", distributed_threshold: int = 2_000_000):
+                 strategy: str = "auto", distributed_threshold: int = 2_000_000,
+                 sort: bool = True):
     """Cluster verified dup pairs into groups: connected components with
     label = min member id.
 
@@ -383,16 +591,13 @@ def dup_clusters(pairs_ds, ids_ds, id_col: str = "doc_id",
         with GraphHandle.from_edges(symmetrize(edges), n, P=8) as h:
             labels, _ = connected_components(h)
             lab = labels.rename_columns({"node_id": id_col, "label": "cluster"})
-            # restrict to ids present in ids_ds (the CC handle covers 0..n-1)
-            want = set()
-            for blk in ray.get(ids_ds.select_columns([id_col]).to_arrow_refs()):
-                want.update(blk[id_col].to_pylist())
-            return lab.map_batches(
-                lambda t, w=want: t.filter(
-                    pa.array([i in w for i in t[id_col].to_pylist()])
-                ),
-                batch_format="pyarrow",
-            ).sort(id_col)
+            # restrict to ids present in ids_ds (the CC handle covers
+            # 0..n-1) via a hash join — no driver-side id set
+            out = lab.join(
+                ids_ds.select_columns([id_col]), join_type="inner",
+                num_partitions=16, on=(id_col,),
+            )
+            return out.sort(id_col) if sort else out
     pairs = pairs_ds.to_pandas()
     parent: dict[int, int] = {}
 
@@ -414,4 +619,5 @@ def dup_clusters(pairs_ds, ids_ds, id_col: str = "doc_id",
         id_col: pa.array([r[0] for r in rows], pa.int64()),
         "cluster": pa.array([r[1] for r in rows], pa.int64()),
     })
-    return ray.data.from_arrow(t).sort(id_col)
+    ds = ray.data.from_arrow(t)
+    return ds.sort(id_col) if sort else ds

@@ -122,8 +122,9 @@ def fingerprint_batch(t: pa.Table, window: int = 8) -> pa.Table:
     return pa.table({"doc_id": t["doc_id"], "fingerprint": pa.array(np.array(fps, dtype=np.uint64), pa.uint64())})
 
 
-def language_id(docs_ds):
-    return docs_ds.map_batches(LanguageId, batch_format="pyarrow", concurrency=(1, 4)).sort("doc_id")
+def language_id(docs_ds, sort: bool = True):
+    out = docs_ds.map_batches(LanguageId, batch_format="pyarrow", concurrency=(1, 4))
+    return out.sort("doc_id") if sort else out
 
 
 def token_counts(docs_ds):

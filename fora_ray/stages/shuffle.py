@@ -25,6 +25,65 @@ def default_buckets() -> int:
         return 32
 
 
+def join_partitions(requested: int | None = None) -> int:
+    """Partition count for Dataset.join sized to the session: each hash
+    join reserves aggregator actors per partition, and a plan with two
+    chained joins at 32 partitions deadlocks an 8-CPU session (measured
+    — the actors starve each other).  2x the CPU count keeps both joins
+    schedulable while still scaling with the cluster."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    cap = max(4, 2 * cpus)
+    return min(requested, cap) if requested else cap
+
+
+@ray.remote(num_cpus=0)
+def _block_nonempty(t: pa.Table) -> bool:
+    return t.num_rows > 0
+
+
+def drop_empty_blocks(ds, schema: "pa.Schema"):
+    """Remove schema-less empty blocks before a Dataset.join.
+
+    Ray's sort-based shuffles (sort / groupby.aggregate / map_groups)
+    emit zero-column empty blocks for empty partitions, and map
+    operators SKIP empty blocks so they cannot be repaired in-stream;
+    pyarrow's acero hash join rejects them ("No match ... for key
+    field") when a join aggregator partition receives only such blocks.
+    This materializes the dataset (blocks stay in the object store —
+    only the ref list is driver-side) and rebuilds it from the
+    non-empty blocks; a fully-empty dataset becomes one empty block
+    carrying `schema` so the join still sees its key columns."""
+    refs = ds.to_arrow_refs()
+    keep = ray.get([_block_nonempty.remote(r) for r in refs])
+    kept = [r for r, k in zip(refs, keep) if k]
+    if not kept:
+        return ray.data.from_arrow(schema.empty_table())
+    return ray.data.from_arrow_refs(kept)
+
+
+def _arrow_schema(ds) -> "pa.Schema":
+    sch = ds.schema()
+    return pa.schema(list(zip(sch.names, sch.types)))
+
+
+def safe_join(left, right, on, right_on=None, num_partitions: int | None = None,
+              join_type: str = "inner"):
+    """Dataset.join with both sides stripped of schema-less empty blocks
+    (see drop_empty_blocks) and a session-sized partition count (see
+    join_partitions).  Join OUTPUTS can themselves contain schema-less
+    empty partitions, so chained joins must route through this wrapper
+    on both sides."""
+    left = drop_empty_blocks(left, _arrow_schema(left))
+    right = drop_empty_blocks(right, _arrow_schema(right))
+    return left.join(
+        right, join_type=join_type, num_partitions=join_partitions(num_partitions),
+        on=on, right_on=right_on,
+    )
+
+
 def bucket_apply(ds, key_col: str, group_fn, B: int | None = None):
     """Hash `key_col` (integer) into B buckets and apply `group_fn`
     (pa.Table -> pa.Table) once per bucket.  group_fn must not rely on

@@ -97,3 +97,80 @@ def test_dup_clusters_distributed_matches_unionfind():
     a = dup_clusters(pairs, _dup_corpus(), strategy="unionfind").to_pandas()
     b = dup_clusters(pairs, _dup_corpus(), strategy="distributed").to_pandas()
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def _sorted_pairs(df):
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def test_minhash_verify_join_matches_broadcast():
+    a = _sorted_pairs(minhash_lsh_dups(_docs(), threshold=0.6,
+                                       verify_strategy="broadcast").to_pandas())
+    b = _sorted_pairs(minhash_lsh_dups(_docs(), threshold=0.6,
+                                       verify_strategy="join").to_pandas())
+    assert a.equals(b)
+
+
+def test_simhash_verify_join_matches_broadcast():
+    a = _sorted_pairs(simhash_dups(_docs(), hamming_thresh=3,
+                                   verify_strategy="broadcast").to_pandas())
+    b = _sorted_pairs(simhash_dups(_docs(), hamming_thresh=3,
+                                   verify_strategy="join").to_pandas())
+    assert a.equals(b)
+
+
+def test_embedding_verify_join_matches_broadcast():
+    rng = np.random.default_rng(5)
+    V = rng.standard_normal((40, 16))
+    V[7] = V[3]  # planted exact dups
+    V[21] = V[3] + 1e-4 * rng.standard_normal(16)
+    emb = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(40, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, r)) for r in V]),
+    }))
+    a = _sorted_pairs(embedding_dups(emb, threshold=0.95,
+                                     verify_strategy="broadcast").to_pandas())
+    b = _sorted_pairs(embedding_dups(emb, threshold=0.95,
+                                     verify_strategy="join").to_pandas())
+    assert len(a) > 0
+    assert a.equals(b)
+
+
+def test_bucket_cap_bounds_pairs_and_keeps_connectivity():
+    from fora_ray.pipelines.dedup import _bucket_pairs
+
+    n = 2000
+    g = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64))})
+    t = _bucket_pairs(g, cap=100)
+    # far below the n^2/2 blow-up (the uncapped count would be 1_999_000)
+    assert t.num_rows < 150_000
+    # the sub-shard bridge pairs keep the bucket one connected component
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(t["a"].to_pylist(), t["b"].to_pylist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    assert len({find(i) for i in range(n)}) == 1
+
+
+def test_hot_bucket_pipeline_completes_bounded():
+    """1200 identical docs = one hot LSH bucket in every band; the cap
+    must keep candidate generation bounded and dup_clusters must still
+    collapse everything into a single cluster via the bridge pairs."""
+    text = "identical boilerplate content repeated across the corpus " * 4
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(1200, dtype=np.int64)),
+        "text": pa.array([text] * 1200),
+    }))
+    pairs = minhash_lsh_dups(docs, threshold=0.9).materialize()
+    # bounded: sub-sharded buckets, not the 719_400 all-pairs
+    assert 0 < pairs.count() < 400_000
+    clusters = dup_clusters(pairs, docs).to_pandas()
+    assert clusters["cluster"].nunique() == 1
