@@ -191,7 +191,10 @@ def _queries_documents():
         return out.select_columns(["query_id", "rank", "vec_id"])  # scores float-compared in tests
 
     def ann_ivf(sf_dir):
-        return ivf_topk(_emb(sf_dir), _queries_matrix(sf_dir), k=10, nlist=16, nprobe=4)
+        out = ivf_topk(_emb(sf_dir), _queries_matrix(sf_dir), k=10, nlist=16, nprobe=4)
+        # ints only in the oracled output (scores are BLAS-shape-sensitive
+        # in the last ulp); score correctness is covered by the recall test
+        return out.select_columns(["query_id", "rank", "vec_id"])
 
     def curation(sf_dir):
         from fora_ray.pipelines.curate import curate_documents
@@ -608,6 +611,12 @@ def oracle_sql() -> dict[str, str]:
             FROM sess GROUP BY user_id, sid
             ORDER BY user_id, session_start
         """,
-        # ann_ivf / curation: composite pipelines -> rows-only driver
-        # check for now; exact/statistical assertions live in tests/.
+        "ann_ivf": (
+            f"SELECT query_id, rank, vec_id FROM read_parquet('{gold['ann_ivf']}') "
+            "ORDER BY query_id, rank"
+        ),
+        "curation": (
+            f"SELECT doc_id, lang_pred FROM read_parquet('{gold['curation']}') "
+            "ORDER BY doc_id"
+        ),
     }

@@ -41,7 +41,7 @@ from .oracle import lpa_oracle, ppr_column_oracle, ppr_power_iteration
 
 ROUND = 9
 _WORD = re.compile(r"\w+")
-_VERSION = 2
+_VERSION = 3
 
 
 def _round_col(x: np.ndarray) -> np.ndarray:
@@ -151,16 +151,17 @@ def _read_docs(sf_dir: str) -> tuple[list[int], list[str]]:
     return t["doc_id"].to_pylist(), t["text"].to_pylist()
 
 
-def langid_golden(sf_dir: str) -> pa.Table:
+_PROFILES_REF = [
+    ("en", {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"}),
+    ("de", {"der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"}),
+    ("fr", {"le", "la", "les", "et", "est", "un", "une", "des", "pas", "pour"}),
+    ("es", {"el", "la", "los", "y", "es", "un", "una", "de", "no", "por"}),
+]
+
+
+def _langid_texts(texts: list) -> list[str]:
     """Stopword-ratio argmax, first-profile-wins on ties, >0.02 floor —
     the documented heuristic, recomputed with plain counting loops."""
-    profiles = [
-        ("en", {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"}),
-        ("de", {"der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"}),
-        ("fr", {"le", "la", "les", "et", "est", "un", "une", "des", "pas", "pour"}),
-        ("es", {"el", "la", "los", "y", "es", "un", "una", "de", "no", "por"}),
-    ]
-    ids, texts = _read_docs(sf_dir)
     preds = []
     for txt in texts:
         toks = _WORD.findall((txt or "").lower())
@@ -168,7 +169,7 @@ def langid_golden(sf_dir: str) -> pa.Table:
             preds.append("unknown")
             continue
         best, best_score = "unknown", 0.0
-        for lang, stop in profiles:
+        for lang, stop in _PROFILES_REF:
             hits = 0
             for w in toks:
                 if w in stop:
@@ -177,8 +178,13 @@ def langid_golden(sf_dir: str) -> pa.Table:
             if score > best_score:
                 best, best_score = lang, score
         preds.append(best if best_score > 0.02 else "unknown")
+    return preds
+
+
+def langid_golden(sf_dir: str) -> pa.Table:
+    ids, texts = _read_docs(sf_dir)
     return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                     "lang_pred": pa.array(preds, pa.string())})
+                     "lang_pred": pa.array(_langid_texts(texts), pa.string())})
 
 
 def fingerprints_golden(sf_dir: str, window: int = 8) -> pa.Table:
@@ -241,12 +247,12 @@ def _shingle_set(words: list[str], k: int) -> frozenset:
     )
 
 
-def minhash_pairs_golden(sf_dir: str, threshold: float = 0.6, num_perm: int = 64,
-                         bands: int = 16, shingle_k: int = 5, seed: int = 42) -> pa.Table:
+def _minhash_pairs_core(ids, texts, threshold: float, num_perm: int = 64,
+                        bands: int = 16, shingle_k: int = 5, seed: int = 42
+                        ) -> list[tuple[int, int]]:
     """MinHash-LSH near-dup pairs: per-doc signature, banded buckets,
     all-pairs candidates, exact-Jaccard verification — one process, one
     dict of buckets, no sharding anywhere."""
-    ids, texts = _read_docs(sf_dir)
     rows_per_band = num_perm // bands
     perm_seeds = mix64(np.uint64(seed), np.arange(num_perm, dtype=np.uint64))
     shingles: dict[int, frozenset] = {}
@@ -264,7 +270,7 @@ def minhash_pairs_golden(sf_dir: str, threshold: float = 0.6, num_perm: int = 64
             chunk = sig[b * rows_per_band: (b + 1) * rows_per_band]
             h = int(mix64(chunk, np.uint64(b)).sum() & np.uint64(0xFFFFFFFFFFFFFFFF))
             buckets.setdefault((b, h), set()).add(int(did))
-    out_a, out_b = [], []
+    out = []
     for a, b in _bucket_pair_set(buckets):
         sa, sb = shingles[a], shingles[b]
         if not sa and not sb:
@@ -273,9 +279,15 @@ def minhash_pairs_golden(sf_dir: str, threshold: float = 0.6, num_perm: int = 64
             inter = len(sa & sb)
             jac = inter / (len(sa) + len(sb) - inter)
         if jac >= threshold:
-            out_a.append(a)
-            out_b.append(b)
-    return pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64())})
+            out.append((a, b))
+    return out
+
+
+def minhash_pairs_golden(sf_dir: str, threshold: float = 0.6) -> pa.Table:
+    ids, texts = _read_docs(sf_dir)
+    pairs = _minhash_pairs_core(ids, texts, threshold)
+    return pa.table({"a": pa.array([p[0] for p in pairs], pa.int64()),
+                     "b": pa.array([p[1] for p in pairs], pa.int64())})
 
 
 def simhash_pairs_golden(sf_dir: str, hamming_thresh: int = 3, seed: int = 42) -> pa.Table:
@@ -306,6 +318,111 @@ def simhash_pairs_golden(sf_dir: str, hamming_thresh: int = 3, seed: int = 42) -
     return pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64())})
 
 
+def _quality_texts(texts: list) -> list[float]:
+    """Mirror of the documented quality heuristic (length / stopword /
+    punctuation / digit composite), plain python loops."""
+    stop = set()
+    for _, s in _PROFILES_REF:
+        stop |= s
+    punct = re.compile(r"[^\w\s]")
+    digit = re.compile(r"\d")
+    out = []
+    for txt in texts:
+        s = txt or ""
+        toks = _WORD.findall(s.lower())
+        nc, nt = len(s), len(toks)
+        pr = len(punct.findall(s)) / max(nc, 1)
+        sr = (sum(1 for w in toks if w in stop) / nt) if nt else 0.0
+        dr = len(digit.findall(s)) / max(nc, 1)
+        sc = (
+            min(nt / 50.0, 1.0) * 0.4
+            + min(sr / 0.2, 1.0) * 0.3
+            + (1.0 - min(pr / 0.3, 1.0)) * 0.2
+            + (1.0 - min(dr / 0.3, 1.0)) * 0.1
+        )
+        out.append(sc)
+    return out
+
+
+def curation_golden(sf_dir: str, min_quality: float = 0.2,
+                    near_dup_threshold: float = 0.7, seed: int = 42) -> pa.Table:
+    """Single-process replay of the curation decisions: quality filter,
+    sha256 exact-dedup winners, MinHash near-dup clusters with
+    best-quality-keeps, language attach.  Mirrors the parameters of the
+    driver's `curation` query."""
+    from .functions.hashing import sha256_hex
+
+    ids, texts = _read_docs(sf_dir)
+    quality = dict(zip(ids, _quality_texts(texts)))
+    text_of = dict(zip(ids, texts))
+    good = [i for i in ids if quality[i] >= min_quality]
+    # exact winners: min doc_id per sha256(text)
+    by_digest: dict[str, int] = {}
+    for i in good:
+        d = sha256_hex(text_of[i] or "")
+        if d not in by_digest or i < by_digest[d]:
+            by_digest[d] = i
+    uniq = sorted(by_digest.values())
+    pairs = _minhash_pairs_core(
+        uniq, [text_of[i] for i in uniq], near_dup_threshold, seed=seed)
+    # union-find clusters, label = min member
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    clusters: dict[int, list[int]] = {}
+    for i in uniq:
+        clusters.setdefault(find(i), []).append(i)
+    kept = sorted(
+        min(members, key=lambda i: (-quality[i], i)) for members in clusters.values()
+    )
+    preds = _langid_texts([text_of[i] for i in kept])
+    return pa.table({"doc_id": pa.array(kept, pa.int64()),
+                     "lang_pred": pa.array(preds, pa.string())})
+
+
+def ann_ivf_golden(sf_dir: str, k: int = 10, nq: int = 8, nlist: int = 16,
+                   nprobe: int = 4, seed: int = 42, sample_size: int = 4096) -> pa.Table:
+    """Single-process IVF replay.  Centroid fitting reuses the engine's
+    _kmeans_lite (the index *configuration*); assignment, probing,
+    per-list search and the global merge are recomputed here with plain
+    numpy over the whole table — what the golden verifies is that the
+    distributed centroid-groupby search returns the same ranking."""
+    from .pipelines.ann import _kmeans_lite, _normalize
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+    C = _kmeans_lite(V[:sample_size], nlist, seed=seed)
+    qsel = np.argsort(ids, kind="stable")[:nq]  # nq smallest vec_ids
+    Q = _normalize(V[qsel])
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
+    Vn = _normalize(V)
+    assign = np.argmax(Vn @ C.T, axis=1)
+    out_q, out_r, out_id = [], [], []
+    for qi in range(Q.shape[0]):
+        mask = np.isin(assign, probe[qi])
+        cids = ids[mask]
+        scores = Vn[mask] @ Q[qi]
+        top = np.lexsort((cids, -scores))[:k]
+        for r, j in enumerate(top, 1):
+            out_q.append(qi)
+            out_r.append(r)
+            out_id.append(int(cids[j]))
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64()),
+                     "vec_id": pa.array(out_id, pa.int64())})
+
+
 # --------------------------------------------------------------------------
 # generation + cache
 # --------------------------------------------------------------------------
@@ -326,6 +443,8 @@ _DOC_GOLDENS = {
     "doc_fingerprints": fingerprints_golden,
     "minhash_dups": minhash_pairs_golden,
     "simhash_dups": simhash_pairs_golden,
+    "curation": curation_golden,
+    "ann_ivf": ann_ivf_golden,
 }
 
 
