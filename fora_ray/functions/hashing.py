@@ -67,7 +67,18 @@ def sha256_hex(value: str | bytes) -> str:
 
 
 def pack_edge(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
-    """Pack (src, dst) int64 pairs into one uint64 key (node ids < 2^32)."""
+    """Pack (src, dst) int64 pairs into one uint64 key.
+
+    Only valid for ids < 2^32 — callers working past that (the north
+    rule's 10^12-file regime) must use the two-column pair paths
+    (stages.shuffle.distinct_pairs, triangles strategy='join').  The
+    guard is loud on purpose: silent truncation here corrupts results.
+    """
+    if src.size and (int(src.max()) >= 1 << 32 or int(dst.max()) >= 1 << 32):
+        raise ValueError(
+            "pack_edge: node id >= 2^32 — use the wide-id pair path "
+            "(distinct_pairs / wide_ids=True) instead of packed u64 keys"
+        )
     return (src.astype(np.uint64) << _U64(32)) | dst.astype(np.uint64)
 
 

@@ -983,6 +983,24 @@ class ShardWorkerImpl:
         self._votes = None
         return True
 
+    @staticmethod
+    def _pair_counts(a: np.ndarray, b: np.ndarray, weights: np.ndarray | None = None):
+        """Aggregate counts per unique (a, b) pair via lexsort — no
+        packed-u64 keys, so labels/ids may span the full int64 range
+        (the previous (dst<<32)|label packing silently corrupted votes
+        past 2^32 ids)."""
+        order = np.lexsort((b, a))
+        a_s, b_s = a[order], b[order]
+        new = np.empty(a_s.size, dtype=bool)
+        new[0] = True
+        new[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+        idx = np.nonzero(new)[0]
+        if weights is None:
+            counts = np.diff(np.append(idx, a_s.size))
+        else:
+            counts = np.add.reduceat(weights[order], idx)
+        return a_s[idx], b_s[idx], counts.astype(np.int64)
+
     def lpa_round(self):
         """Emit (dst, my_label) votes along all out-edges (symmetrized
         graph), pre-counted per (dst, label) pair inside the sender."""
@@ -994,13 +1012,12 @@ class ShardWorkerImpl:
             self._votes = None
             return tuple([meta] + [None] * self.P)
         lab = self.labels[row]  # row indexes into idx == local index
-        packed = (dsts.astype(np.uint64) << np.uint64(32)) | lab.astype(np.uint64)
         owner = dsts % self.P
         self._votes = None
         for p in np.unique(owner):
             m = owner == p
-            keys, counts = np.unique(packed[m], return_counts=True)
-            pl = (keys, counts.astype(np.int64))
+            dk, lk, ck = self._pair_counts(dsts[m] // self.P, lab[m])
+            pl = (dk, lk, ck)
             if p == self.part:
                 self.lpa_vote(pl)
             else:
@@ -1014,9 +1031,8 @@ class ShardWorkerImpl:
             if self._votes is None:
                 self._votes = pl
             else:
-                self._votes = (
-                    np.concatenate([self._votes[0], pl[0]]),
-                    np.concatenate([self._votes[1], pl[1]]),
+                self._votes = tuple(
+                    np.concatenate([v, p]) for v, p in zip(self._votes, pl)
                 )
         return True
 
@@ -1024,12 +1040,7 @@ class ShardWorkerImpl:
         """Merge votes, per-dst argmax with smallest-label tie-break."""
         if self._votes is None:
             return 0
-        keys, counts = self._votes
-        ukeys, inv = np.unique(keys, return_inverse=True)
-        tot = np.zeros(len(ukeys), dtype=np.int64)
-        np.add.at(tot, inv, counts)
-        dst_loc = (ukeys >> np.uint64(32)).astype(np.int64) // self.P
-        lab = (ukeys & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        dst_loc, lab, tot = self._pair_counts(*self._votes[:2], weights=self._votes[2])
         # order by (dst, -count, label); first row per dst wins
         order = np.lexsort((lab, -tot, dst_loc))
         dst_o = dst_loc[order]
@@ -1166,19 +1177,30 @@ class GraphHandle:
 
     @classmethod
     def from_reverse_edges(cls, edges_ds, n: int, P: int = 8, alpha: float = 0.2,
-                           m: int | None = None):
+                           m: int | None = None, strategy: str = "auto"):
         """Weighted reverse-graph handle for backward push (G5/BiPPR).
-        Edge weights = 1/out_deg(original source), baked into the shards."""
-        from ..stages.csr import build_weighted_reverse_shards
-        from ..stages.shuffle import count_by_key
+        Edge weights = 1/out_deg(original source), baked into the shards.
+        strategy='broadcast' ships the degree vector once (fast path);
+        'join' attaches weights by a degrees hash join and derives the
+        dangling self-loops by range anti-join — no O(n) driver array
+        (the 10^12-node path).  'auto' switches on n."""
+        if strategy == "auto":
+            strategy = "broadcast" if n <= 50_000_000 else "join"
+        if strategy == "join":
+            from ..stages.csr import build_weighted_reverse_shards_join
 
-        deg_pd = count_by_key(
-            edges_ds.select_columns(["src"]).rename_columns({"src": "node_id"}),
-            "node_id", alias="deg",
-        ).to_pandas()
-        out_deg = np.zeros(n, dtype=np.int64)
-        out_deg[deg_pd["node_id"].to_numpy()] = deg_pd["deg"].to_numpy()
-        shards = build_weighted_reverse_shards(edges_ds, n, P, out_deg).materialize()
+            shards = build_weighted_reverse_shards_join(edges_ds, n, P).materialize()
+        else:
+            from ..stages.csr import build_weighted_reverse_shards
+            from ..stages.shuffle import count_by_key
+
+            deg_pd = count_by_key(
+                edges_ds.select_columns(["src"]).rename_columns({"src": "node_id"}),
+                "node_id", alias="deg",
+            ).to_pandas()
+            out_deg = np.zeros(n, dtype=np.int64)
+            out_deg[deg_pd["node_id"].to_numpy()] = deg_pd["deg"].to_numpy()
+            shards = build_weighted_reverse_shards(edges_ds, n, P, out_deg).materialize()
         refs = shards.to_arrow_refs()
         parts_per_block = ray.get([_block_parts.remote(r) for r in refs])
         ref_of_part = {}

@@ -7,21 +7,20 @@ smaller endpoint to the larger, so every vertex's oriented out-degree
 is O(sqrt(m)) and each triangle is generated exactly once — from its
 (degree, id)-minimal vertex as the wedge apex.
 
-Stages:
-  1. undirected degrees (from the symmetrized edge table),
-  2. orient edges (vectorized filter; degree vector broadcast once via
-     ray.put — at 10^12-node scale this becomes a join against the
-     degrees table, same shape as stages/edges.resolve_to_ids),
-  3. per-apex wedge generation (groupby(src).map_groups, numpy
-     triu pair expansion),
-  4. adjacency probe of wedge pairs against the undirected edge-key
-     set: hash-partitioned Dataset.join (scale path) or broadcast
-     sorted-array searchsorted (small graphs),
-  5. per-vertex counts: explode each triangle's 3 members ->
-     groupby(node_id).count, zero-filled via the nodes table union.
+Two strategies, same results:
 
-Keys are packed (min,max) id pairs (node ids < 2^32 assumed here;
-SURVEY 1.3 edge-key convention).
+- 'broadcast' (auto below 5M nodes): the degree vector and the oriented
+  edge-key set are numpy arrays shipped once via ray.put; wedge keys are
+  packed (min,max) u64 pairs (ids < 2^32, guarded in pack_edge).
+- 'join' (the 10^12-file scale path): degrees attach to edges via two
+  hash joins for orientation, the adjacency probe is a two-column
+  Dataset.join on (lo, hi), and per-vertex zero-fill comes from the
+  degrees table — no O(n) driver arrays and no packed keys anywhere,
+  so ids may span the full int64 range.
+
+Stages: degrees -> orient -> per-apex wedge generation (degree-bucketed
+groupby, vectorized triu expansion) -> adjacency probe -> per-vertex
+member counts.
 """
 
 from __future__ import annotations
@@ -39,78 +38,116 @@ def _pack_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return pack_edge(lo, hi)
 
 
-def triangle_count(edges_sym_ds, n: int, strategy: str = "auto",
-                   num_partitions: int = 16):
-    """(per_vertex Dataset (node_id, triangles), total int).
+def _degrees_ds(edges_sym_ds):
+    """(node_id, deg) Dataset from the symmetrized edge table."""
+    from ..stages.shuffle import sum_by_key
 
-    edges_sym_ds: symmetrized simple edge table (both directions present).
-    """
-    # 1. undirected degree vector (degree = out-degree in the sym graph)
     def _deg_partial(t: pa.Table) -> pa.Table:
         src = t["src"].to_numpy(zero_copy_only=False)
         v, c = np.unique(src, return_counts=True)
         return pa.table({"node_id": pa.array(v.astype(np.int64)),
                          "deg": pa.array(c.astype(np.int64))})
 
-    from ..stages.shuffle import sum_by_key
-
-    deg_pd = sum_by_key(
+    return sum_by_key(
         edges_sym_ds.map_batches(_deg_partial, batch_format="pyarrow"),
         "node_id", ["deg"],
-    ).to_pandas()
-    deg = np.zeros(n, dtype=np.int64)
-    deg[deg_pd["node_id"].to_numpy()] = deg_pd["deg"].to_numpy()
-    deg_ref = ray.put(deg)
+    )
 
-    # 2. orientation: keep (src -> dst) iff (deg[src], src) < (deg[dst], dst)
-    # plain task stage: the degree vector is fetched zero-copy from the
-    # local object store per task (no actor startup)
-    def orient(t: pa.Table) -> pa.Table:
-        deg_ = ray.get(deg_ref)
-        src = t["src"].to_numpy(zero_copy_only=False)
-        dst = t["dst"].to_numpy(zero_copy_only=False)
-        ds_, dd = deg_[src], deg_[dst]
-        keep = (ds_ < dd) | ((ds_ == dd) & (src < dst))
-        return pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
 
-    oriented = edges_sym_ds.map_batches(
-        orient, batch_format="pyarrow"
-    ).materialize()  # consumed twice (wedges + probe); m/2 rows, pinned
+def _wedge_block_pairs(t: pa.Table) -> pa.Table:
+    """(apex, lo, hi) wedge rows for one src-bucket, degree-bucketed
+    vectorized expansion (see triangle_count docstring)."""
+    src = t["src"].to_numpy(zero_copy_only=False)
+    dst = t["dst"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    uniq, starts, counts = np.unique(src, return_index=True, return_counts=True)
+    out_apex, out_lo, out_hi = [], [], []
+    for d in np.unique(counts):
+        if d < 2:
+            continue
+        sel = counts == d
+        st = starts[sel]
+        M = dst[(st[:, None] + np.arange(d)[None, :])]
+        i, j = np.triu_indices(int(d), 1)
+        a = M[:, i].ravel()
+        b = M[:, j].ravel()
+        out_lo.append(np.minimum(a, b))
+        out_hi.append(np.maximum(a, b))
+        out_apex.append(np.repeat(uniq[sel], i.size))
+    if not out_lo:
+        return pa.table({"apex": pa.array([], pa.int64()),
+                         "lo": pa.array([], pa.int64()),
+                         "hi": pa.array([], pa.int64())})
+    return pa.table({
+        "apex": pa.array(np.concatenate(out_apex).astype(np.int64)),
+        "lo": pa.array(np.concatenate(out_lo).astype(np.int64)),
+        "hi": pa.array(np.concatenate(out_hi).astype(np.int64)),
+    })
 
-    # 3. wedges per apex, degree-bucketed (NO per-vertex map_groups: one
-    # vectorized pass per src-sorted block; vertices of equal oriented
-    # out-degree d are stacked into a (count, d) matrix and expanded with
-    # one triu_indices per distinct d — oriented degrees are O(sqrt(m)),
-    # so there are few distinct values)
-    def _wedges_block(t: pa.Table) -> pa.Table:
-        src = t["src"].to_numpy(zero_copy_only=False)
-        dst = t["dst"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((dst, src))
-        src, dst = src[order], dst[order]
-        uniq, starts, counts = np.unique(src, return_index=True, return_counts=True)
-        out_apex, out_key = [], []
-        for d in np.unique(counts):
-            if d < 2:
-                continue
-            sel = counts == d
-            st = starts[sel]
-            # (n_d, d) neighbor matrix — contiguity guaranteed by the sort
-            M = dst[(st[:, None] + np.arange(d)[None, :])]
-            i, j = np.triu_indices(int(d), 1)
-            a = M[:, i].ravel()
-            b = M[:, j].ravel()
-            out_key.append(_pack_sorted(a, b))
-            out_apex.append(np.repeat(uniq[sel], i.size))
-        if not out_key:
-            return pa.table({"apex": pa.array([], pa.int64()),
-                             "edge_key": pa.array([], pa.uint64())})
-        return pa.table({
-            "apex": pa.array(np.concatenate(out_apex).astype(np.int64)),
-            "edge_key": pa.array(np.concatenate(out_key), pa.uint64()),
-        })
 
-    # co-locate each src's edges (hash-bucket groupby — few large groups,
-    # one vectorized _wedges_block call per bucket)
+def triangle_count(edges_sym_ds, n: int, strategy: str = "auto",
+                   num_partitions: int = 16):
+    """(per_vertex Dataset (node_id, triangles), total int).
+
+    edges_sym_ds: symmetrized simple edge table (both directions present).
+    """
+    from ..stages.shuffle import sum_by_key
+
+    if strategy == "auto":
+        strategy = "broadcast" if n <= 5_000_000 else "join"
+
+    deg_ds = _degrees_ds(edges_sym_ds)
+
+    # ---- orientation: keep (src -> dst) iff (deg[src], src) < (deg[dst], dst)
+    if strategy == "broadcast":
+        deg_pd = deg_ds.to_pandas()
+        deg = np.zeros(n, dtype=np.int64)
+        deg[deg_pd["node_id"].to_numpy()] = deg_pd["deg"].to_numpy()
+        deg_ref = ray.put(deg)
+
+        # plain task stage: the degree vector is fetched zero-copy from
+        # the local object store per task (no actor startup)
+        def orient(t: pa.Table) -> pa.Table:
+            deg_ = ray.get(deg_ref)
+            src = t["src"].to_numpy(zero_copy_only=False)
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            ds_, dd = deg_[src], deg_[dst]
+            keep = (ds_ < dd) | ((ds_ == dd) & (src < dst))
+            return pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
+
+        oriented = edges_sym_ds.map_batches(orient, batch_format="pyarrow")
+    else:
+        # scale path: degrees attach via joins — no O(n) driver array
+        from ..stages.shuffle import safe_join
+
+        with_src = safe_join(
+            edges_sym_ds,
+            deg_ds.rename_columns({"node_id": "s_id", "deg": "deg_src"}),
+            on=("src",), right_on=("s_id",), num_partitions=num_partitions,
+        )
+        with_both = safe_join(
+            with_src,
+            deg_ds.rename_columns({"node_id": "d_id", "deg": "deg_dst"}),
+            on=("dst",), right_on=("d_id",), num_partitions=num_partitions,
+        )
+
+        def orient_joined(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "src" not in t.schema.names:
+                return pa.table({"src": pa.array([], pa.int64()),
+                                 "dst": pa.array([], pa.int64())})
+            src = t["src"].to_numpy(zero_copy_only=False)
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            ds_ = t["deg_src"].to_numpy(zero_copy_only=False)
+            dd = t["deg_dst"].to_numpy(zero_copy_only=False)
+            keep = (ds_ < dd) | ((ds_ == dd) & (src < dst))
+            return pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
+
+        oriented = with_both.map_batches(orient_joined, batch_format="pyarrow")
+
+    oriented = oriented.materialize()  # consumed twice (wedges + probe)
+
+    # ---- wedges per apex, degree-bucketed (no per-vertex map_groups)
     B = max(4, num_partitions)
 
     def _add_bucket(t: pa.Table) -> pa.Table:
@@ -120,18 +157,16 @@ def triangle_count(edges_sym_ds, n: int, strategy: str = "auto",
     wedges = (
         oriented.map_batches(_add_bucket, batch_format="pyarrow")
         .groupby("wpart")
-        .map_groups(_wedges_block, batch_format="pyarrow")
+        .map_groups(_wedge_block_pairs, batch_format="pyarrow")
     )
 
-    # 4. adjacency probe
-    def _edge_keys(t: pa.Table) -> pa.Table:
-        src = t["src"].to_numpy(zero_copy_only=False)
-        dst = t["dst"].to_numpy(zero_copy_only=False)
-        return pa.table({"edge_key": pa.array(_pack_sorted(src, dst), pa.uint64())})
-
-    if strategy == "auto":
-        strategy = "broadcast" if n <= 5_000_000 else "join"
+    # ---- adjacency probe
     if strategy == "broadcast":
+        def _edge_keys(t: pa.Table) -> pa.Table:
+            src = t["src"].to_numpy(zero_copy_only=False)
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            return pa.table({"edge_key": pa.array(_pack_sorted(src, dst), pa.uint64())})
+
         key_blocks = [
             t["edge_key"].to_numpy(zero_copy_only=False)
             for t in ray.get(oriented.map_batches(_edge_keys, batch_format="pyarrow").to_arrow_refs())
@@ -142,37 +177,66 @@ def triangle_count(edges_sym_ds, n: int, strategy: str = "auto",
 
         def probe(t: pa.Table) -> pa.Table:
             keys = ray.get(keys_ref)
-            k = t["edge_key"].to_numpy(zero_copy_only=False)
+            k = _pack_sorted(t["lo"].to_numpy(zero_copy_only=False),
+                             t["hi"].to_numpy(zero_copy_only=False))
             pos = np.searchsorted(keys, k)
             hit = (pos < keys.size) & (keys[np.minimum(pos, keys.size - 1)] == k)
             return t.filter(pa.array(hit))
 
         tri = wedges.map_batches(probe, batch_format="pyarrow")
     else:
-        edge_keys = oriented.map_batches(_edge_keys, batch_format="pyarrow")
-        tri = wedges.join(
-            edge_keys, join_type="inner", num_partitions=num_partitions,
-            on=("edge_key",),
+        # two-column join probe — valid for the full int64 id range
+        from ..stages.shuffle import safe_join
+
+        edge_pairs = oriented.map_batches(
+            lambda t: pa.table({
+                "lo": pa.array(np.minimum(t["src"].to_numpy(zero_copy_only=False),
+                                          t["dst"].to_numpy(zero_copy_only=False))),
+                "hi": pa.array(np.maximum(t["src"].to_numpy(zero_copy_only=False),
+                                          t["dst"].to_numpy(zero_copy_only=False))),
+            }),
+            batch_format="pyarrow",
+        )
+        tri = safe_join(
+            wedges, edge_pairs, on=("lo", "hi"), num_partitions=num_partitions,
         )
 
-    # 5. per-vertex counts (each triangle contributes to apex + both ends)
+    # ---- per-vertex counts (each triangle contributes to apex + both ends)
     def _members(t: pa.Table) -> pa.Table:
-        apex = t["apex"].to_numpy(zero_copy_only=False)
-        key = t["edge_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        lo = (key >> np.uint64(32)).astype(np.int64)
-        hi = (key & np.uint64(0xFFFFFFFF)).astype(np.int64)
-        members = np.concatenate([apex, lo, hi])
+        if t.num_rows == 0 or "apex" not in t.schema.names:
+            return pa.table({"node_id": pa.array([], pa.int64()),
+                             "triangles": pa.array([], pa.int64())})
+        members = np.concatenate([
+            t["apex"].to_numpy(zero_copy_only=False),
+            t["lo"].to_numpy(zero_copy_only=False),
+            t["hi"].to_numpy(zero_copy_only=False),
+        ])
         v, c = np.unique(members, return_counts=True)
         return pa.table({"node_id": pa.array(v.astype(np.int64)),
                          "triangles": pa.array(c.astype(np.int64))})
 
     per_vertex_partial = tri.map_batches(_members, batch_format="pyarrow")
-    zeros = pa.table({
-        "node_id": pa.array(np.arange(n, dtype=np.int64)),
-        "triangles": pa.array(np.zeros(n, dtype=np.int64)),
-    })
+    if strategy == "broadcast":
+        # zero-fill across all n vertices (metadata-sized at this tier)
+        zeros = pa.table({
+            "node_id": pa.array(np.arange(n, dtype=np.int64)),
+            "triangles": pa.array(np.zeros(n, dtype=np.int64)),
+        })
+        zeros_ds = ray.data.from_arrow(zeros)
+    else:
+        # scale path: zero-fill only vertices that exist in the edge
+        # table (isolated vertices come from the caller's nodes table
+        # if a dense result is required — an O(n) driver range here
+        # would defeat the strategy)
+        zeros_ds = deg_ds.map_batches(
+            lambda t: pa.table({
+                "node_id": t["node_id"],
+                "triangles": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            }),
+            batch_format="pyarrow",
+        )
     per_vertex = sum_by_key(
-        per_vertex_partial.union(ray.data.from_arrow(zeros)),
+        per_vertex_partial.union(zeros_ds),
         "node_id", ["triangles"],
     )
     total = tri.count()

@@ -74,12 +74,13 @@ def build_graph_tables(
     # extract/resolve/dedup pipeline (measured 3-4x ingest cost).
     # The edge table is the small derived artifact (two int64 columns),
     # so pinning it in the object store is the right trade at any scale.
-    edges = dedup_edges(raw_edges).materialize()  # M6
+    wide = n >= (1 << 32)  # ids past 2^32 need the two-column distinct
+    edges = dedup_edges(raw_edges, wide_ids=wide).materialize()  # M6
     degrees = compute_degrees(edges, nodes)  # M7
     return {
         "nodes": nodes,
         "edges": edges,
-        "edges_undirected": symmetrize(edges),  # A7 (for CC/LPA/triangles)
+        "edges_undirected": symmetrize(edges, wide_ids=wide),  # A7 (CC/LPA/triangles)
         "degrees": degrees,
         "n_nodes": n,
     }

@@ -71,13 +71,34 @@ def build_csr_shards(edges_ds, n: int, P: int):
     )
 
 
+def _build_weighted_group(group: pa.Table, n: int, P: int) -> pa.Table:
+    """One weighted reverse-CSR shard row from its (src, dst, w) rows."""
+    src = group["src"].to_numpy(zero_copy_only=False)
+    dst = group["dst"].to_numpy(zero_copy_only=False)
+    w = group["w"].to_numpy(zero_copy_only=False)
+    p = int(src[0] % P)
+    n_local = n_local_of(n, P, p)
+    loc = src // P
+    order = np.lexsort((dst, loc))
+    counts = np.bincount(loc[order], minlength=n_local)
+    indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    return pa.table({
+        "part_id": pa.array([p], pa.int32()),
+        "indptr": _large_list(indptr),
+        "indices": _large_list(dst[order].astype(np.int64)),
+        "weights": pa.LargeListArray.from_arrays(
+            pa.array([0, len(w)], pa.int64()), pa.array(w[order], pa.float64())
+        ),
+    })
+
+
 def build_weighted_reverse_shards(edges_ds, n: int, P: int, out_deg: "np.ndarray"):
     """CSR shards of the REVERSE graph with per-edge weights
     1/out_deg(original source) — the operand of backward push (G5):
     pushing r(v) sends (1-alpha)*r(v)/out_deg(u) to each in-neighbor u,
     i.e. a weighted push over reverse edges.  out_deg is the original
-    graph's out-degree vector (broadcast; at 10^12 scale this weight is
-    attached via a degrees join during shard build instead)."""
+    graph's out-degree vector, broadcast once — the small-n fast path;
+    build_weighted_reverse_shards_join is the degrees-join scale path."""
     import ray
 
     deg_ref = ray.put(out_deg.astype(np.float64))
@@ -107,31 +128,67 @@ def build_weighted_reverse_shards(edges_ds, n: int, P: int, out_deg: "np.ndarray
         "part_id": pa.array((dang % P).astype(np.int32)),
     })
 
-    def build(group: pa.Table) -> pa.Table:
-        src = group["src"].to_numpy(zero_copy_only=False)
-        dst = group["dst"].to_numpy(zero_copy_only=False)
-        w = group["w"].to_numpy(zero_copy_only=False)
-        p = int(src[0] % P)
-        n_local = n_local_of(n, P, p)
-        loc = src // P
-        order = np.lexsort((dst, loc))
-        counts = np.bincount(loc[order], minlength=n_local)
-        indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
-        return pa.table({
-            "part_id": pa.array([p], pa.int32()),
-            "indptr": _large_list(indptr),
-            "indices": _large_list(dst[order].astype(np.int64)),
-            "weights": pa.LargeListArray.from_arrays(
-                pa.array([0, len(w)], pa.int64()), pa.array(w[order], pa.float64())
-            ),
-        })
-
     import ray as _ray
 
     rev = edges_ds.map_batches(rev_with_w, batch_format="pyarrow")
     if dang.size:
         rev = rev.union(_ray.data.from_arrow(self_loops))
-    return rev.groupby("part_id").map_groups(build, batch_format="pyarrow")
+    return rev.groupby("part_id").map_groups(
+        lambda g: _build_weighted_group(g, n, P), batch_format="pyarrow"
+    )
+
+
+def build_weighted_reverse_shards_join(edges_ds, n: int, P: int,
+                                       num_partitions: int | None = None):
+    """Scale path for the weighted reverse CSR: the 1/out_deg edge
+    weight is attached by a degrees hash join and the dangling self-loop
+    set comes from a range anti-join — no O(n) driver array anywhere,
+    so this works at the 10^12-node tier where the broadcast vector
+    cannot exist."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .shuffle import count_by_key, safe_join
+
+    deg_ds = count_by_key(
+        edges_ds.select_columns(["src"]).rename_columns({"src": "node_id"}),
+        "node_id", alias="deg",
+    )
+    rev = safe_join(
+        edges_ds, deg_ds.rename_columns({"node_id": "s_id"}),
+        on=("src",), right_on=("s_id",), num_partitions=num_partitions,
+    ).map_batches(
+        lambda t: pa.table({
+            "src": t["dst"],  # reverse direction
+            "dst": t["src"],
+            "w": pa.array(1.0 / np.maximum(
+                t["deg"].to_numpy(zero_copy_only=False).astype(np.float64), 1.0)),
+            "part_id": pa.array(
+                (t["dst"].to_numpy(zero_copy_only=False) % P).astype(np.int32)),
+        }),
+        batch_format="pyarrow",
+    )
+    # dangling = ids 0..n-1 absent from the out-degree table
+    ids = ray.data.range(n)  # column "id", lazy + distributed
+    dang = safe_join(
+        ids, deg_ds, on=("id",), right_on=("node_id",),
+        join_type="left_outer", num_partitions=num_partitions,
+    ).map_batches(
+        lambda t: (lambda d: pa.table({
+            "src": pa.array(d), "dst": pa.array(d),
+            "w": pa.array(np.ones(d.size)),
+            "part_id": pa.array((d % P).astype(np.int32)),
+        }))(
+            t.filter(pc.is_null(t["deg"]))["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ) if t.num_rows and "id" in t.schema.names else pa.table({
+            "src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64()),
+            "w": pa.array([], pa.float64()), "part_id": pa.array([], pa.int32()),
+        }),
+        batch_format="pyarrow",
+    )
+    return rev.union(dang).groupby("part_id").map_groups(
+        lambda g: _build_weighted_group(g, n, P), batch_format="pyarrow"
+    )
 
 
 def save_shards(shards_ds, out_dir: str, n: int, m: int, P: int) -> str:

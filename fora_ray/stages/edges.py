@@ -139,13 +139,21 @@ def _unpack(batch: pa.Table) -> pa.Table:
     return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
 
 
-def dedup_edges(edge_ds, num_partitions: int | None = None):
+def dedup_edges(edge_ds, num_partitions: int | None = None, wide_ids: bool = False):
     """M6 — canonical simple digraph: per-block pre-dedup (combiner),
     then a bucketed global distinct on the packed 64-bit key (one
     hash shuffle into ~2xCPU buckets, vectorized np.unique per bucket —
     measured ~2x faster than the sort-based groupby().count() at this
     scale), unpacked back to (src, dst).  Output order is NOT defined
-    (callers needing determinism sort at the consumption point)."""
+    (callers needing determinism sort at the consumption point).
+
+    wide_ids=True routes through the two-column lexsort distinct
+    (stages.shuffle.distinct_pairs) — required once ids can reach 2^32
+    (the packed path guards loudly against that)."""
+    if wide_ids:
+        from .shuffle import distinct_pairs
+
+        return distinct_pairs(edge_ds, "src", "dst", B=num_partitions)
     from .shuffle import distinct_u64
 
     packed = edge_ds.map_batches(_block_dedup, batch_format="pyarrow")
@@ -153,9 +161,9 @@ def dedup_edges(edge_ds, num_partitions: int | None = None):
     return distinct.map_batches(_unpack, batch_format="pyarrow")
 
 
-def symmetrize(edge_ds):
+def symmetrize(edge_ds, wide_ids: bool = False):
     """A7 — undirected view: edges ∪ reversed(edges), deduped."""
     rev = edge_ds.map_batches(
         lambda t: pa.table({"src": t["dst"], "dst": t["src"]}), batch_format="pyarrow"
     )
-    return dedup_edges(edge_ds.union(rev))
+    return dedup_edges(edge_ds.union(rev), wide_ids=wide_ids)

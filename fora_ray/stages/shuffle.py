@@ -114,6 +114,54 @@ def distinct_u64(ds, key_col: str, B: int | None = None):
     return bucket_apply(ds, key_col, uniq, B)
 
 
+def dedup_pairs_block(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Unique (a, b) pairs via lexsort + adjacent-diff — no packing, so
+    valid for the full int64 id range."""
+    if a.size == 0:
+        return a, b
+    order = np.lexsort((b, a))
+    a_s, b_s = a[order], b[order]
+    new = np.empty(a_s.size, dtype=bool)
+    new[0] = True
+    new[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+    return a_s[new], b_s[new]
+
+
+def distinct_pairs(ds, col_a: str, col_b: str, B: int | None = None):
+    """Distinct (col_a, col_b) int64 pairs — the wide-id twin of
+    distinct_u64: bucket on a 64-bit mix of both ids (one hash shuffle),
+    lexsort-dedup per bucket.  No 2^32 assumption anywhere."""
+    from ..functions.hashing import mix64
+
+    B = B or default_buckets()
+
+    def pre(t: pa.Table) -> pa.Table:
+        a = t[col_a].to_numpy(zero_copy_only=False)
+        b = t[col_b].to_numpy(zero_copy_only=False)
+        a, b = dedup_pairs_block(a, b)  # per-block combiner
+        h = mix64(mix64(a.astype(np.uint64), np.uint64(0xD1B54A32)), b.astype(np.uint64))
+        return pa.table({
+            col_a: pa.array(a), col_b: pa.array(b),
+            "__bucket": pa.array((h % np.uint64(B)).astype(np.int32)),
+        })
+
+    def uniq(g: pa.Table) -> pa.Table:
+        a, b = dedup_pairs_block(
+            g[col_a].to_numpy(zero_copy_only=False),
+            g[col_b].to_numpy(zero_copy_only=False),
+        )
+        return pa.table({col_a: pa.array(a), col_b: pa.array(b)})
+
+    def run(g: pa.Table) -> pa.Table:
+        return uniq(g.drop_columns(["__bucket"]))
+
+    return (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(run, batch_format="pyarrow")
+    )
+
+
 def sum_by_key(ds, key_col: str, value_cols: list[str], B: int | None = None):
     """groupby(key).sum(value_cols) for integer keys via bucketed numpy."""
 
