@@ -429,28 +429,22 @@ def bippr(handle_fwd, handle_rev, source: int, target: int, eps: float = 0.5,
     r_t) + forward alpha-walks from source (endpoint distribution
     ~ pi(s, .)): pi(s,t) ~= reserve_t(s) + E_endpoint[r_t(endpoint)].
 
-    Residual/accumulator vectors are combined on the driver (test-scale;
-    the scale path is a per-shard dot product since both handles share
-    the v % P partitioning)."""
+    The combine term sum_v acc(v)*r_t(v) is computed as P shard-local
+    dot products: both handles share the v % P partitioning, so each
+    reverse shard ships its sparse residual slice (by ObjectRef,
+    worker-to-worker through the object store) to the aligned forward
+    shard, which dots it against its own endpoint accumulator.  The
+    driver only ever sees P floats — no n-sized array anywhere."""
     import math as _math
 
-    import numpy as np
-
     n = handle_fwd.n
+    assert handle_fwd.P == handle_rev.P, "BiPPR combine requires aligned v %% P shards"
     if rmax_b is None:
         rmax_b = eps / _math.sqrt(max(n, 2))
     _scores, bstats = backward_ppr(handle_rev, target, mode="push", rmax_b=rmax_b)
-    # backward reserve at source + residual vector
-    res_tables = ray.get([w.get_scores.remote(True) for w in handle_rev.workers])
-    reserve_t = np.zeros(n)
-    for t in res_tables:
-        if t.num_rows:
-            reserve_t[t["node_id"].to_numpy(zero_copy_only=False)] = t["ppr"].to_numpy(zero_copy_only=False)
-    resid_tables = ray.get([w.get_residuals.remote() for w in handle_rev.workers])
-    r_t = np.zeros(n)
-    for t in resid_tables:
-        if t.num_rows:
-            r_t[t["node_id"].to_numpy(zero_copy_only=False)] = t["residual"].to_numpy(zero_copy_only=False)
+    reserve_t_source = ray.get(
+        handle_rev.workers[source % handle_rev.P].get_state_value.remote("reserve", source)
+    )
     # forward walks: endpoints of W alpha-walks from source ~ pi(s, .)
     W = int(_math.ceil(16.0 * _math.log(max(n, 2)) / (eps * eps)))
     src_e = handle_fwd.to_engine(source)
@@ -464,13 +458,12 @@ def bippr(handle_fwd, handle_rev, source: int, target: int, eps: float = 0.5,
         alive = sum(m["alive"] for m in ms)
         hop += 1
     handle_fwd.call_all("walk_fold")
-    acc_tables = ray.get([w.get_scores.remote(True) for w in handle_fwd.workers])
-    est_mc = 0.0
-    for t in acc_tables:
-        if t.num_rows:
-            ids = t["node_id"].to_numpy(zero_copy_only=False)
-            est_mc += float((t["ppr"].to_numpy(zero_copy_only=False) * r_t[ids]).sum())
-    estimate = float(reserve_t[source]) + est_mc
+    resid_refs = [w.get_residual_sparse.remote() for w in handle_rev.workers]
+    dots = ray.get([
+        fw.dot_state_sparse.remote(ref, "reserve")
+        for fw, ref in zip(handle_fwd.workers, resid_refs)
+    ])
+    estimate = float(reserve_t_source) + float(sum(dots))
     return estimate, {"walks": W, "rmax_b": rmax_b, **bstats}
 
 

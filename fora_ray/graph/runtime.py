@@ -51,7 +51,9 @@ class ShardWorkerImpl:
 
     def __init__(self, part: int, P: int, n: int, shard: pa.Table | None = None,
                  shard_file: str | None = None, alpha: float = 0.2,
-                 logical_ids: np.ndarray | None = None):
+                 logical_ids: np.ndarray | None = None,
+                 logical_block: pa.Table | None = None,
+                 perm_block: pa.Table | None = None):
         self.part, self.P, self.n, self.alpha = part, P, n, alpha
         self.n_local = n_local_of(n, P, part)
         self.global_ids = np.arange(part, n, P, dtype=np.int64)
@@ -59,10 +61,20 @@ class ShardWorkerImpl:
         # Under degree-balanced partitioning (GraphHandle balance='degree')
         # engine ids are a degree-ranked permutation of logical ids; this
         # slice maps local engine rows back.  Identity when not balanced.
+        # logical_block/perm_block are the distributed-balance variants:
+        # one (part_id, vals) row per partition, delivered by ObjectRef so
+        # the permutation never materializes on the driver.
+        if logical_ids is None and logical_block is not None:
+            rows = logical_block.filter(pa.compute.equal(logical_block["part_id"], part))
+            logical_ids = np.asarray(rows["vals"][0].as_py(), dtype=np.int64)
         self.logical_ids = (
             np.asarray(logical_ids, dtype=np.int64) if logical_ids is not None
             else self.global_ids
         )
+        self.perm_slice = None  # engine ids of logical ids p, p+P, ... (lookup_engine)
+        if perm_block is not None:
+            rows = perm_block.filter(pa.compute.equal(perm_block["part_id"], part))
+            self.perm_slice = np.asarray(rows["vals"][0].as_py(), dtype=np.int64)
         indptr = indices = None
         if shard is None and shard_file is not None:
             shard = pq.read_table(shard_file, filters=[("part_id", "=", part)])
@@ -433,6 +445,31 @@ class ShardWorkerImpl:
             "node_id": pa.array(self.logical_ids[nz]),
             "residual": pa.array(self.residual[nz]),
         })
+
+    def get_residual_sparse(self):
+        """(local_ids, values) of the nonzero residual slice — consumed
+        by a PARTITION-ALIGNED peer's dot_state_sparse (BiPPR combine):
+        both handles share v % P, so local indices line up 1:1."""
+        nz = np.nonzero(self.residual)[0]
+        return nz.astype(np.int64), self.residual[nz]
+
+    def dot_state_sparse(self, payload, field: str = "reserve") -> float:
+        """Shard-local <state[field], sparse vector> — the scale path for
+        BiPPR's sum_v acc(v) * r_t(v): each shard dots its own slice,
+        the driver sums P floats (no n-sized array ever leaves a worker)."""
+        ids, vals = payload
+        return float(getattr(self, field)[ids] @ vals)
+
+    def get_state_value(self, field: str, v: int) -> float:
+        """One state entry by engine id (0.0 when this shard doesn't own v)."""
+        if v % self.P != self.part:
+            return 0.0
+        return float(getattr(self, field)[v // self.P])
+
+    def lookup_engine(self, v: int) -> int:
+        """logical id -> engine id under distributed degree balancing
+        (this shard holds the slice for logical ids ≡ part mod P)."""
+        return int(self.perm_slice[v // self.P])
 
     # ---- multi-source batched PPR (SURVEY 4.4: "batch multiple queries
     # per superstep wave" — amortizes the driver barrier over Q queries;
@@ -1089,6 +1126,105 @@ def _block_parts(tbl: pa.Table) -> list[int]:
     return tbl["part_id"].to_pylist()
 
 
+@ray.remote
+def _block_nrows(tbl: pa.Table) -> int:
+    return tbl.num_rows
+
+
+@ray.remote
+def _with_rank(tbl: pa.Table, offset: int, col: str = "engine_id") -> pa.Table:
+    return tbl.append_column(
+        col, pa.array(np.arange(offset, offset + tbl.num_rows, dtype=np.int64))
+    )
+
+
+def _distributed_degree_balance(edges_ds, n: int, P: int,
+                                num_partitions: int | None = None):
+    """Degree-balanced permutation computed with NO O(n) driver array
+    (the scale path behind GraphHandle balance='degree'):
+
+      1. out-degrees by bucketed count; zero-degree nodes restored by a
+         range left-join,
+      2. engine_id = global rank under (deg desc, node_id asc) via a
+         distributed sort + per-block offsets (same recipe as
+         stages/ids.assign_node_ids),
+      3. edges relabeled by two hash joins on the permutation table,
+      4. per-worker id slices ((part_id, vals) rows) delivered as
+         ObjectRefs — logical ids per engine partition for output
+         mapping, engine ids per logical partition for to_engine
+         lookups.
+
+    Returns (relabeled_edges_ds, logical_block_refs, perm_block_refs)."""
+    import pyarrow.compute as pc
+
+    from ..stages.csr import _large_list
+    from ..stages.shuffle import count_by_key, safe_join
+
+    deg_ds = count_by_key(
+        edges_ds.select_columns(["src"]).rename_columns({"src": "node_id"}),
+        "node_id", alias="deg",
+    )
+    full = safe_join(
+        ray.data.range(n), deg_ds, on=("id",), right_on=("node_id",),
+        join_type="left_outer", num_partitions=num_partitions,
+    ).map_batches(
+        lambda t: pa.table({
+            "node_id": t["id"],
+            "deg": pc.fill_null(t["deg"], 0),
+        }) if t.num_rows and "id" in t.schema.names else pa.table({
+            "node_id": pa.array([], pa.int64()), "deg": pa.array([], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    ranked = full.sort(["deg", "node_id"], descending=[True, False]).materialize()
+    refs = ranked.to_arrow_refs()
+    counts = ray.get([_block_nrows.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    perm_ds = ray.data.from_arrow_refs(
+        [_with_rank.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    ).select_columns(["node_id", "engine_id"]).materialize()
+
+    e1 = safe_join(
+        edges_ds, perm_ds.rename_columns({"node_id": "s_id", "engine_id": "src_e"}),
+        on=("src",), right_on=("s_id",), num_partitions=num_partitions,
+    )
+    e2 = safe_join(
+        e1, perm_ds.rename_columns({"node_id": "d_id", "engine_id": "dst_e"}),
+        on=("dst",), right_on=("d_id",), num_partitions=num_partitions,
+    )
+    relabeled = e2.map_batches(
+        lambda t: pa.table({"src": t["src_e"], "dst": t["dst_e"]})
+        if t.num_rows and "src_e" in t.schema.names
+        else pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+    def _slices(key_col: str, val_col: str):
+        def add_part(t: pa.Table) -> pa.Table:
+            k = t[key_col].to_numpy(zero_copy_only=False)
+            return t.append_column("part_id", pa.array((k % P).astype(np.int32)))
+
+        def build(g: pa.Table) -> pa.Table:
+            order = np.argsort(g[key_col].to_numpy(zero_copy_only=False), kind="stable")
+            vals = g[val_col].to_numpy(zero_copy_only=False)[order]
+            return pa.table({
+                "part_id": pa.array([int(g["part_id"][0].as_py())], pa.int32()),
+                "vals": _large_list(vals.astype(np.int64)),
+            })
+
+        slices = (
+            perm_ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part_id").map_groups(build, batch_format="pyarrow")
+            .materialize()
+        )
+        srefs = slices.to_arrow_refs()
+        parts = ray.get([_block_parts.remote(r) for r in srefs])
+        return {p: r for r, ps in zip(srefs, parts) for p in ps}
+
+    logical_refs = _slices("engine_id", "node_id")  # engine part -> logical ids
+    perm_refs = _slices("node_id", "engine_id")     # logical part -> engine ids
+    return relabeled, logical_refs, perm_refs
+
+
 class GraphHandle:
     """Shard manifest + live actor pool for one graph (SURVEY 3.3).
 
@@ -1106,18 +1242,34 @@ class GraphHandle:
         self.perm = perm  # logical -> engine, or None (identity)
 
     def to_engine(self, v: int) -> int:
-        return int(self.perm[v]) if self.perm is not None else int(v)
+        if self.perm is not None:
+            return int(self.perm[v])
+        if getattr(self, "remote_perm", False):
+            # distributed balancing: the permutation lives sharded on the
+            # workers (logical id v's engine id at worker v % P)
+            return int(ray.get(self.workers[int(v) % self.P].lookup_engine.remote(int(v))))
+        return int(v)
 
     @classmethod
     def from_edges(cls, edges_ds, n: int, P: int = 8, alpha: float = 0.2,
                    m: int | None = None, worker_num_cpus: float = 0,
-                   balance: str | None = None):
+                   balance: str | None = None,
+                   balance_threshold: int = 20_000_000):
         """Build CSR shards with one groupby shuffle, hand each actor a
-        zero-copy ref to the block holding its partition."""
+        zero-copy ref to the block holding its partition.
+
+        balance='degree' uses the driver-side permutation while
+        n <= balance_threshold (one O(n) int64 array, metadata-sized at
+        this tier) and switches to the fully distributed sort-rank +
+        join relabel past it (no O(n) driver array; to_engine becomes a
+        sharded worker lookup)."""
         from ..stages.csr import build_csr_shards
 
         perm = inv = None
-        if balance == "degree":
+        logical_refs = perm_refs = None
+        if balance == "degree" and n > balance_threshold:
+            edges_ds, logical_refs, perm_refs = _distributed_degree_balance(edges_ds, n, P)
+        elif balance == "degree":
             from ..stages.shuffle import count_by_key
 
             deg_pd = count_by_key(
@@ -1155,12 +1307,16 @@ class GraphHandle:
             worker_cls.remote(
                 p, P, n, shard=ref_of_part.get(p), alpha=alpha,
                 logical_ids=(inv[p::P] if inv is not None else None),
+                logical_block=(logical_refs.get(p) if logical_refs else None),
+                perm_block=(perm_refs.get(p) if perm_refs else None),
             )
             for p in range(P)
         ]
         if m is None:
             m = edges_ds.count()
-        return cls(workers, n, m, P, alpha, perm=perm)
+        handle = cls(workers, n, m, P, alpha, perm=perm)
+        handle.remote_perm = logical_refs is not None
+        return handle
 
     def close(self):
         """Kill shard actors and release their state."""

@@ -113,3 +113,37 @@ def test_reverse_shards_join_matches_broadcast(ray_session):
     finally:
         hb.close()
         hj.close()
+
+
+def test_distributed_degree_balance_matches_driver_path(ray_session):
+    """balance='degree' past the threshold must produce the identical
+    permutation and identical results with no O(n) driver array."""
+    from fora_ray.graph import algorithms as alg
+    from fora_ray.graph.runtime import GraphHandle
+
+    rng = np.random.default_rng(23)
+    n = 150
+    src = rng.integers(0, n, size=900)
+    dst = rng.integers(0, n, size=900)
+    keep = src != dst
+    edges = dedup_edges(_edge_ds(src[keep], dst[keep])).materialize()
+    hd = GraphHandle.from_edges(edges, n, P=4, balance="degree")
+    hj = GraphHandle.from_edges(edges, n, P=4, balance="degree", balance_threshold=0)
+    try:
+        assert hj.perm is None and hj.remote_perm
+        for v in (0, 1, 17, n - 1):
+            assert hd.to_engine(v) == hj.to_engine(v)
+        sd, _ = alg.pagerank(hd, tol=1e-12)
+        sj, _ = alg.pagerank(hj, tol=1e-12)
+        dd = sd.to_pandas().sort_values("node_id").reset_index(drop=True)
+        dj = sj.to_pandas().sort_values("node_id").reset_index(drop=True)
+        assert dd["node_id"].tolist() == dj["node_id"].tolist()
+        assert np.abs(dd["ppr"].to_numpy() - dj["ppr"].to_numpy()).max() == 0.0
+        # single-source PPR exercises to_engine on the query path
+        pd_, _ = alg.personalized_pagerank(hd, source=3, mode="exact")
+        pj_, _ = alg.personalized_pagerank(hj, source=3, mode="exact")
+        assert pd_.to_pandas().sort_values("node_id").reset_index(drop=True).equals(
+            pj_.to_pandas().sort_values("node_id").reset_index(drop=True))
+    finally:
+        hd.close()
+        hj.close()
