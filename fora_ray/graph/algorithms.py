@@ -297,31 +297,36 @@ def build_local_indexes(handles, eps: float = 0.5, delta: float | None = None,
 
 def local_ppr_batch(handles, sources: list[int], mode: str = "fora",
                     eps: float = 0.5, delta: float | None = None,
-                    pfail: float | None = None, seed: int = 42):
+                    pfail: float | None = None, seed: int = 42,
+                    chunk: int | None = None):
     """Latency-tier query serving: every handle is a P=1 replica holding
-    the whole CSR; each query is ONE actor call (push loop + walks with
-    zero driver barriers), round-robin across replicas.  Actor tasks run
-    in submission order, so the paired get_scores snapshot is taken
-    before the replica starts its next query.
+    the whole CSR; queries run in CHUNKS of one actor call each (push
+    loop + walks with zero driver barriers), round-robin across
+    replicas.  Chunking amortizes the two-object-per-query dispatch
+    overhead that capped throughput scaling at high replica counts;
+    chunk='auto' aims for ~4 waves per replica so stragglers rebalance.
 
+    Per-query results and seeds are identical to single-query calls.
     Returns (list of (source, pyarrow scores table), stats)."""
     for h in handles:
         assert h.P == 1, "local_ppr_batch requires P=1 replicas"
     h0 = handles[0]
     p = fora_params(h0.n, h0.m, eps, delta, pfail)
     R = len(handles)
+    if chunk is None:
+        chunk = max(1, len(sources) // (4 * R))
     pending = []
-    for i, s in enumerate(sources):
-        h = handles[i % R]
-        w = h.workers[0]
-        st = w.local_query.remote(
-            h.to_engine(int(s)), mode, p["rmax"], p["omega"],
-            seed ^ (int(s) * 0x9E3779B9),
+    for ci, start in enumerate(range(0, len(sources), chunk)):
+        h = handles[ci % R]
+        batch = [int(s) for s in sources[start:start + chunk]]
+        fut = h.workers[0].local_query_batch.remote(
+            [h.to_engine(s) for s in batch], mode, p["rmax"], p["omega"], seed,
         )
-        sc = w.get_scores.remote(True)
-        pending.append((int(s), st, sc))
-    results = [(s, ray.get(sc)) for s, _st, sc in pending]
-    return results, {**p, "replicas": R, "queries": len(sources)}
+        pending.append((batch, fut))
+    results = []
+    for batch, fut in pending:
+        results.extend(zip(batch, ray.get(fut)))
+    return results, {**p, "replicas": R, "queries": len(sources), "chunk": chunk}
 
 
 def ppr_batch_replicated(handles, sources: list[int], mode: str = "fora",

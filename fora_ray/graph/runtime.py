@@ -941,6 +941,20 @@ class ShardWorkerImpl:
             stats.update(walks=meta["used"], restart_mass=restart)
         return stats
 
+    def local_query_batch(self, sources, mode: str, rmax: float, omega: float,
+                          seed_base: int) -> list[pa.Table]:
+        """Run a CHUNK of SSPPR queries in one actor call (P=1 serving
+        tier): queries share the warm CSR and pay one task dispatch +
+        one result object per chunk instead of two per query — the
+        per-query driver round-trip was the throughput ceiling at high
+        replica counts.  Per-query seeds match local_query exactly."""
+        out = []
+        for s in sources:
+            self.local_query(int(s), mode, rmax, omega,
+                             seed_base ^ (int(s) * 0x9E3779B9))
+            out.append(self.get_scores(True))
+        return out
+
     def local_build_index(self, walks_per_deg: float, seed: int) -> int:
         """Build the FORA+ walk index fully locally (P=1 shards)."""
         assert self.P == 1
