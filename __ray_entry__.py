@@ -202,8 +202,28 @@ def _queries_documents():
         curated, _stats = curate_documents(_docs(sf_dir), min_quality=0.2)
         return curated.select_columns(["doc_id", "lang_pred"])
 
+    def embedding_dups_q(sf_dir):
+        import pandas as pd
+
+        from fora_ray.pipelines.dedup import embedding_dups
+
+        df = embedding_dups(_emb(sf_dir), threshold=0.8).to_pandas()
+        if "a" not in df.columns:  # empty result loses its schema
+            df = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                               "b": pd.Series(dtype="int64")})
+        return df[["a", "b"]]
+
+    def dup_clusters_q(sf_dir):
+        from fora_ray.pipelines.dedup import dup_clusters
+
+        docs = _docs(sf_dir)
+        pairs = minhash_lsh_dups(docs, threshold=0.6)
+        return dup_clusters(pairs, docs)
+
     return {
         "curation": curation,
+        "embedding_dups": embedding_dups_q,
+        "dup_clusters": dup_clusters_q,
         "docs_exact_dedup": lambda sf: exact_dedup(_docs(sf)),
         "token_counts": lambda sf: token_counts(_docs(sf)),
         "doc_quality": lambda sf: quality_scores(_docs(sf)).select_columns(
@@ -614,6 +634,13 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": (
             f"SELECT query_id, rank, vec_id FROM read_parquet('{gold['ann_ivf']}') "
             "ORDER BY query_id, rank"
+        ),
+        "embedding_dups": (
+            f"SELECT a, b FROM read_parquet('{gold['embedding_dups']}') ORDER BY a, b"
+        ),
+        "dup_clusters": (
+            f"SELECT doc_id, cluster FROM read_parquet('{gold['dup_clusters']}') "
+            "ORDER BY doc_id"
         ),
         "curation": (
             f"SELECT doc_id, lang_pred FROM read_parquet('{gold['curation']}') "

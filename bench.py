@@ -123,7 +123,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     n_local_q = 1024
     local_sources = [int(s) for s in rng.choice(n, size=n_local_q, replace=False)]
     t0 = time.perf_counter()
-    alg.local_ppr_batch(local_reps, local_sources, mode="fora", seed=13)
+    # serving shape: chunked actor calls, top-100 answers trimmed in-actor
+    alg.local_ppr_batch(local_reps, local_sources, mode="fora", seed=13, topk=100)
     timings["ppr_local"] = time.perf_counter() - t0
     for h in local_reps:
         h.close()
@@ -276,13 +277,139 @@ def run_graph_scale(num_cpus: int, n: int = 1_000_000, m: int = 10_000_000) -> d
     return out
 
 
+def run_ingest_only(n_files: int, num_cpus: int) -> dict:
+    """Edge-scan throughput at a corpus large enough that per-op fixed
+    costs amortize (the sf0.1 suite's ingest is 6-9 s total — too small
+    for strong-scaling to mean anything)."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    from fora_ray.fixtures import fixture_dir
+    from fora_ray.pipelines.ingest import ingest_fixture
+
+    fix = fixture_dir(n_files)
+    corpus_bytes = sum(
+        os.path.getsize(os.path.join(fix, "corpus", f))
+        for f in os.listdir(os.path.join(fix, "corpus"))
+    )
+    rd.read_parquet(f"{fix}/corpus").count()  # page cache + worker pool warm
+    rd.range(num_cpus * 8, override_num_blocks=num_cpus * 8).map_batches(lambda b: b).count()
+    t0 = time.perf_counter()
+    t = ingest_fixture(fix)
+    m = t["edges"].count()
+    dt = time.perf_counter() - t0
+    out = {
+        "metric": "ingest edge-scan", "n_files": n_files, "num_cpus": num_cpus,
+        "sec": round(dt, 2), "m_edges": int(m),
+        "edge_scan_MBps": round(corpus_bytes / 1e6 / dt, 2),
+    }
+    ray.shutdown()
+    return out
+
+
+def _two_level(flag: str, extra_env: dict | None = None) -> tuple[dict, dict]:
+    """Run this script with `flag` in two fresh processes at 8 / 32 CPUs."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), **(extra_env or {}))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), flag],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    return run(8), run(32)
+
+
+def _scaling_ingest(n_files: int) -> None:
+    r8, r32 = _two_level("--ingest-only", {"GRAFT_INGEST_FILES": str(n_files)})
+    eff = (r32["edge_scan_MBps"] / r8["edge_scan_MBps"]) / 4.0
+    print(json.dumps({
+        "metric": "edge-scan scaling (fresh ray.init at 8 vs 32 cpus, same corpus)",
+        "n_files": n_files, "r8": r8, "r32": r32,
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+def _graph_scaling() -> None:
+    r8, r32 = _two_level("--graph-scale")
+    print(json.dumps({
+        "metric": "graph-scale scaling (n=1M, m~10M; fresh ray.init at 8 vs 32 cpus)",
+        "r8": r8, "r32": r32,
+        "pagerank_efficiency": round((r8["pagerank_s"] / r32["pagerank_s"]) / 4.0, 3),
+        "ppr_efficiency": round((r32["ppr_queries_per_s"] / r8["ppr_queries_per_s"]) / 4.0, 3),
+    }))
+
+
+def run_contention(num_cpus: int = 32, per_replica_q: int = 32) -> dict:
+    """Single-box replica-contention curve for the P=1 serving tier:
+    identical independent replicas (no communication, no shared state)
+    slow down as more of them share one machine's memory bus — the
+    measured floor behind the local-tier strong-scaling number (on
+    separate cluster nodes each replica keeps private DRAM)."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import numpy as np
+
+    from fora_ray.fixtures import fixture_dir
+    from fora_ray.graph import algorithms as alg
+
+    fix = fixture_dir(_fixture_files(os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/").rsplit("/", 1)[-1]))
+    import ray.data as rd
+
+    edges = rd.read_parquet(f"{fix}/edges.parquet").materialize()
+    n = rd.read_parquet(f"{fix}/nodes.parquet").count()
+    m = edges.count()
+    rng = np.random.default_rng(7)
+    curve = {}
+    for R in (1, 4, 16, min(32, num_cpus)):
+        reps = alg.make_replicas(edges, n, replicas=R, P=1, m=m)
+        import ray as _ray
+
+        _ray.get([h.workers[0].rsum.remote() for h in reps])
+        nq = per_replica_q * R
+        sources = [int(s) for s in rng.choice(n, size=nq, replace=False)]
+        alg.local_ppr_batch(reps, sources[: 4 * R], mode="fora", seed=13, topk=100)
+        t0 = time.perf_counter()
+        alg.local_ppr_batch(reps, sources, mode="fora", seed=13, topk=100)
+        dt = time.perf_counter() - t0
+        curve[R] = {"qps_total": round(nq / dt, 1), "qps_per_replica": round(nq / dt / R, 1)}
+        for h in reps:
+            h.close()
+    out = {"metric": "P=1 serving-tier replica contention (one box)",
+           "num_cpus": num_cpus, "curve": curve}
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if "--scaling" in sys.argv:
         _scaling(sf_dir)
+    elif "--scaling-ingest" in sys.argv:
+        _scaling_ingest(int(os.environ.get("GRAFT_INGEST_FILES", "600000")))
+    elif "--ingest-only" in sys.argv:
+        ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        print(json.dumps(run_ingest_only(int(os.environ.get("GRAFT_INGEST_FILES", "600000")), ncpu)))
+    elif "--graph-scaling" in sys.argv:
+        _graph_scaling()
     elif "--graph-scale" in sys.argv:
         ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
         print(json.dumps(run_graph_scale(ncpu)))
+    elif "--contention" in sys.argv:
+        print(json.dumps(run_contention()))
     else:
         ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
         print(json.dumps(run_bench(sf_dir, ncpu)))

@@ -41,7 +41,7 @@ from .oracle import lpa_oracle, ppr_column_oracle, ppr_power_iteration
 
 ROUND = 9
 _WORD = re.compile(r"\w+")
-_VERSION = 3
+_VERSION = 4
 
 
 def _round_col(x: np.ndarray) -> np.ndarray:
@@ -389,6 +389,59 @@ def curation_golden(sf_dir: str, min_quality: float = 0.2,
                      "lang_pred": pa.array(preds, pa.string())})
 
 
+def embedding_dups_golden(sf_dir: str, threshold: float = 0.8, n_bands: int = 8,
+                          planes_per_band: int = 8, seed: int = 42) -> pa.Table:
+    """Single-process replay of embedding near-dup detection: banded
+    random-hyperplane signatures, capped buckets (same sub-shard +
+    bridge policy), exact cosine verification."""
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((V.shape[1], n_bands * planes_per_band))
+    sig = (V @ planes > 0).astype(np.uint64)
+    buckets: dict[tuple[int, int], set[int]] = {}
+    shifts = np.arange(planes_per_band, dtype=np.uint64)
+    for b in range(n_bands):
+        chunk = sig[:, b * planes_per_band:(b + 1) * planes_per_band]
+        key = (chunk << shifts[None, :]).sum(axis=1)
+        for r, k_ in enumerate(key):
+            buckets.setdefault((b, int(k_)), set()).add(int(ids[r]))
+    norms = np.linalg.norm(V, axis=1)
+    norms[norms == 0] = 1.0
+    Vn = V / norms[:, None]
+    row_of = {int(i): r for r, i in enumerate(ids)}
+    out_a, out_b = [], []
+    for a, b in _bucket_pair_set(buckets):
+        if float(Vn[row_of[a]] @ Vn[row_of[b]]) >= threshold:
+            out_a.append(a)
+            out_b.append(b)
+    return pa.table({"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64())})
+
+
+def dup_clusters_golden(sf_dir: str, threshold: float = 0.6) -> pa.Table:
+    """Union-find over the MinHash golden pairs; every doc gets a
+    cluster label = min member id (singletons label themselves)."""
+    ids, texts = _read_docs(sf_dir)
+    pairs = _minhash_pairs_core(ids, texts, threshold)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    labels = [find(int(i)) if int(i) in parent else int(i) for i in ids]
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "cluster": pa.array(labels, pa.int64())})
+
+
 def ann_ivf_golden(sf_dir: str, k: int = 10, nq: int = 8, nlist: int = 16,
                    nprobe: int = 4, seed: int = 42, sample_size: int = 4096) -> pa.Table:
     """Single-process IVF replay.  Centroid fitting reuses the engine's
@@ -445,6 +498,8 @@ _DOC_GOLDENS = {
     "simhash_dups": simhash_pairs_golden,
     "curation": curation_golden,
     "ann_ivf": ann_ivf_golden,
+    "embedding_dups": embedding_dups_golden,
+    "dup_clusters": dup_clusters_golden,
 }
 
 

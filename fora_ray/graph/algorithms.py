@@ -298,7 +298,7 @@ def build_local_indexes(handles, eps: float = 0.5, delta: float | None = None,
 def local_ppr_batch(handles, sources: list[int], mode: str = "fora",
                     eps: float = 0.5, delta: float | None = None,
                     pfail: float | None = None, seed: int = 42,
-                    chunk: int | None = None):
+                    chunk: int | None = None, topk: int | None = None):
     """Latency-tier query serving: every handle is a P=1 replica holding
     the whole CSR; queries run in CHUNKS of one actor call each (push
     loop + walks with zero driver barriers), round-robin across
@@ -321,6 +321,7 @@ def local_ppr_batch(handles, sources: list[int], mode: str = "fora",
         batch = [int(s) for s in sources[start:start + chunk]]
         fut = h.workers[0].local_query_batch.remote(
             [h.to_engine(s) for s in batch], mode, p["rmax"], p["omega"], seed,
+            topk,
         )
         pending.append((batch, fut))
     results = []

@@ -942,17 +942,28 @@ class ShardWorkerImpl:
         return stats
 
     def local_query_batch(self, sources, mode: str, rmax: float, omega: float,
-                          seed_base: int) -> list[pa.Table]:
+                          seed_base: int, topk: int | None = None) -> list[pa.Table]:
         """Run a CHUNK of SSPPR queries in one actor call (P=1 serving
         tier): queries share the warm CSR and pay one task dispatch +
         one result object per chunk instead of two per query — the
         per-query driver round-trip was the throughput ceiling at high
-        replica counts.  Per-query seeds match local_query exactly."""
+        replica counts.  Per-query seeds match local_query exactly.
+
+        topk trims each result to its k best rows (ppr desc, node_id
+        asc) INSIDE the actor — the serving answer is a top-k list, and
+        shipping full score vectors to the caller was the next
+        bottleneck after dispatch overhead."""
         out = []
         for s in sources:
             self.local_query(int(s), mode, rmax, omega,
                              seed_base ^ (int(s) * 0x9E3779B9))
-            out.append(self.get_scores(True))
+            t = self.get_scores(True)
+            if topk is not None and t.num_rows > topk:
+                ppr = t["ppr"].to_numpy(zero_copy_only=False)
+                ids = t["node_id"].to_numpy(zero_copy_only=False)
+                sel = np.lexsort((ids, -ppr))[:topk]
+                t = t.take(sel)
+            out.append(t)
         return out
 
     def local_build_index(self, walks_per_deg: float, seed: int) -> int:

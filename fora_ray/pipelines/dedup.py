@@ -446,11 +446,17 @@ def simhash_dups(docs_ds, hamming_thresh: int = 3, seed: int = 42,
 # Embedding near-dup (cosine)
 # --------------------------------------------------------------------------
 
-def embedding_dups(emb_ds, threshold: float = 0.95, n_planes: int = 16, seed: int = 42,
+def embedding_dups(emb_ds, threshold: float = 0.95, n_bands: int = 8,
+                   planes_per_band: int = 8, seed: int = 42,
                    verify_strategy: str = "auto", broadcast_limit: int = 200_000,
                    num_partitions: int | None = None):
-    """Near-dup vector pairs: random-hyperplane LSH bucket -> within-bucket
-    cosine verify.  Dataset (a, b, cosine) with a < b, sorted.
+    """Near-dup vector pairs: BANDED random-hyperplane LSH -> within-
+    bucket cosine verify.  Dataset (a, b, cosine) with a < b, sorted.
+
+    Banding matters for recall: a single 16-plane signature catches a
+    cos=0.95 pair with probability ~(1-acos(.95)/pi)^16 ~= 0.18, while
+    8 bands of 8 planes give 1-(1-0.43)^8 ~= 0.99 — same collision math
+    as MinHash banding.  Exact duplicates always collide in every band.
 
     Verification attaches the two vectors to each candidate pair either
     by broadcast dict (fast path below `broadcast_limit` vectors) or by
@@ -460,33 +466,39 @@ def embedding_dups(emb_ds, threshold: float = 0.95, n_planes: int = 16, seed: in
     first = ray.get(emb_ds.limit(1).to_arrow_refs())[0]
     dim = len(first["embedding"][0].as_py())
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes))
+    planes = rng.standard_normal((dim, n_bands * planes_per_band))
     planes_ref = ray.put(planes)
 
     class Bucket:
-        def __init__(self, ref):
-            self.planes = ray.get(ref)
+        def __init__(self, ref, nb, ppb):
+            self.planes, self.nb, self.ppb = ray.get(ref), nb, ppb
 
         def __call__(self, t: pa.Table) -> pa.Table:
             ids = t["vec_id"].to_numpy(zero_copy_only=False)
             vecs = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
-            sig = (vecs @ self.planes > 0).astype(np.uint64)
-            key = (sig << np.arange(self.planes.shape[1], dtype=np.uint64)[None, :]).sum(axis=1)
-            return pa.table({"bucket": pa.array(key, pa.uint64()), "vec_id": pa.array(ids)})
+            sig = (vecs @ self.planes > 0).astype(np.uint64)  # (n, nb*ppb)
+            shifts = np.arange(self.ppb, dtype=np.uint64)
+            bands, hashes, out_ids = [], [], []
+            for b in range(self.nb):
+                chunk = sig[:, b * self.ppb:(b + 1) * self.ppb]
+                key = (chunk << shifts[None, :]).sum(axis=1)
+                bands.append(np.full(ids.size, b, np.int32))
+                hashes.append(key)
+                out_ids.append(ids)
+            return pa.table({
+                "band_id": pa.array(np.concatenate(bands)),
+                "band_hash": pa.array(np.concatenate(hashes).astype(np.uint64), pa.uint64()),
+                "doc_id": pa.array(np.concatenate(out_ids)),
+            })
 
     buckets = emb_ds.map_batches(
-        Bucket, fn_constructor_kwargs={"ref": planes_ref},
+        Bucket, fn_constructor_kwargs={"ref": planes_ref, "nb": n_bands, "ppb": planes_per_band},
         batch_format="pyarrow", concurrency=(1, 4),
     )
-
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = np.unique(group["vec_id"].to_numpy(zero_copy_only=False))
-        if ids.size < 2:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-        i, j = np.triu_indices(ids.size, 1)
-        return pa.table({"a": pa.array(ids[i]), "b": pa.array(ids[j])})
-
-    cand = buckets.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+    # capped/sub-sharded pair generation, same policy as the text LSH —
+    # a hot hyperplane bucket must not go quadratic either
+    cand = buckets.groupby(["band_id", "band_hash"]).map_groups(
+        _bucket_pairs, batch_format="pyarrow")
     from ..stages.edges import dedup_edges
 
     cand = dedup_edges(

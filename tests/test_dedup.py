@@ -86,7 +86,7 @@ def test_embedding_dups():
         ],
     }
     ds = ray.data.from_arrow(pa.table(rows))
-    pairs = embedding_dups(ds, threshold=0.95, n_planes=8).to_pandas()
+    pairs = embedding_dups(ds, threshold=0.95, n_bands=4, planes_per_band=4).to_pandas()
     got = set(map(tuple, pairs[["a", "b"]].to_numpy()))
     assert (0, 1) in got
     assert all((2 not in p) for p in got)
