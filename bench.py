@@ -98,7 +98,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     replicas = max(1, num_cpus // 8)
     t0 = time.perf_counter()
     handle = GraphHandle.from_edges(edges, n, P=P, m=m, balance="degree")
-    rep_handles = alg.make_replicas(edges, n, replicas, P=4, m=m)
+    rep_handles = alg.make_replicas(edges, n, replicas, P=4, m=m, balance="degree")
     # spin replica actors up (first call pays actor start; untimed)
     for h in rep_handles:
         h.call_all("ppr_init", 0)
@@ -250,28 +250,41 @@ def run_graph_scale(num_cpus: int, n: int = 1_000_000, m: int = 10_000_000) -> d
     # dense-frontier algorithms pay (P-1) x n message volume per round:
     # shards are sized fat (>=2.5M edges) rather than one per CPU
     P = max(4, min(num_cpus // 2, int(m_real) // 2_500_000))
+    # SSPPR throughput in the deployment shape: independent engine
+    # replicas (one per ~8 CPUs), each running batched superstep waves —
+    # aggregate q/s scales with replicas, the N -> 4N cluster story.
+    # Shards + permutation built ONCE and shared across replicas.
+    replicas = max(1, num_cpus // 8)
     t0 = time.perf_counter()
-    h = GraphHandle.from_edges(edges, n, P=P, m=m_real, balance="degree")
+    reps = alg.make_replicas(edges, n, replicas, P=P, m=m_real, balance="degree")
+    for hr in reps:
+        hr.call_all("ppr_init", 0)  # spin up (untimed)
     build_s = time.perf_counter() - t0
+    h = reps[0]
     t0 = time.perf_counter()
     _, stats = alg.pagerank(h, tol=1e-10)
     pr_s = time.perf_counter() - t0
     rng = np.random.default_rng(3)
-    sources = [int(s) for s in rng.choice(n, size=8, replace=False)]
+    n_q = 8 * replicas
+    sources = [int(s) for s in rng.choice(n, size=n_q, replace=False)]
     t0 = time.perf_counter()
     # delta=1e-5 keeps the walk budget benchmark-sized; delta=1/n is the
     # paper's whole-graph guarantee and ~10x more work per query
-    scores, _ = alg.ppr_batch(h, sources, mode="fora", seed=7, delta=1e-5)
-    scores.count()
+    results, _ = alg.ppr_batch_replicated(reps, sources, mode="fora", seed=7, delta=1e-5)
+    for r in results:
+        if r is not None:
+            r[0].count()
     ppr_s = time.perf_counter() - t0
-    h.close()
+    for hr in reps:
+        hr.close()
     out = {
         "metric": "graph-scale superstep engine (n=1M, m~10M power-law)",
         "num_cpus": num_cpus, "P": P, "n": n, "m": int(m_real),
         "pagerank_s": round(pr_s, 2), "pagerank_rounds": stats["rounds"],
         "graph_build_s": round(build_s, 2),
-        "ppr8_s": round(ppr_s, 2),
-        "ppr_queries_per_s": round(8.0 / ppr_s, 2),
+        "ppr_replicas": replicas, "ppr_n_q": n_q,
+        "ppr_s": round(ppr_s, 2),
+        "ppr_queries_per_s": round(n_q / ppr_s, 2),
     }
     ray.shutdown()
     return out

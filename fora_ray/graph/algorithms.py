@@ -248,14 +248,21 @@ def ppr_batch(handle, sources: list[int], mode: str = "fora", eps: float = 0.5,
     return _ray.data.from_arrow_refs(refs), stats
 
 
-def make_replicas(edges_ds, n: int, replicas: int, P: int = 4, m: int | None = None):
+def make_replicas(edges_ds, n: int, replicas: int, P: int = 4, m: int | None = None,
+                  balance: str | None = None):
     """Build `replicas` independent engine replicas (each its own
-    P-shard actor set) over the same edge table.  The CSR shards are
-    built ONCE and shared zero-copy through the object store — replica
-    actors only differ in mutable query state."""
+    P-shard actor set) over the same edge table.  The CSR shards (and,
+    with balance='degree', the permutation) are built ONCE and shared
+    zero-copy through the object store — replica actors only differ in
+    mutable query state.  Balancing matters for replicas exactly as for
+    single handles: on a power-law graph, unbalanced mod-P shards leave
+    one actor holding the hubs and every superstep waits on it."""
     from ..stages.csr import build_csr_shards
-    from .runtime import GraphHandle, ShardWorker, _block_parts
+    from .runtime import GraphHandle, ShardWorker, _block_parts, _driver_degree_balance
 
+    perm = inv = None
+    if balance == "degree":
+        edges_ds, perm, inv = _driver_degree_balance(edges_ds, n)
     shards = build_csr_shards(edges_ds, n, P).materialize()
     refs = shards.to_arrow_refs()
     parts_per_block = ray.get([_block_parts.remote(r) for r in refs])
@@ -268,9 +275,13 @@ def make_replicas(edges_ds, n: int, replicas: int, P: int = 4, m: int | None = N
     out = []
     for _ in range(replicas):
         workers = [
-            ShardWorker.remote(p, P, n, shard=ref_of_part.get(p)) for p in range(P)
+            ShardWorker.remote(
+                p, P, n, shard=ref_of_part.get(p),
+                logical_ids=(inv[p::P] if inv is not None else None),
+            )
+            for p in range(P)
         ]
-        out.append(GraphHandle(workers, n, m, P))
+        out.append(GraphHandle(workers, n, m, P, perm=perm))
     return out
 
 

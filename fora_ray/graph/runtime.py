@@ -1163,6 +1163,32 @@ def _with_rank(tbl: pa.Table, offset: int, col: str = "engine_id") -> pa.Table:
     )
 
 
+def _driver_degree_balance(edges_ds, n: int):
+    """Degree-descending rank permutation built on the driver (one O(n)
+    int64 array — the fast path below GraphHandle's balance_threshold).
+    Returns (relabeled_edges_ds, perm logical->engine, inv engine->logical)."""
+    from ..stages.shuffle import count_by_key
+
+    deg_pd = count_by_key(
+        edges_ds.select_columns(["src"]).rename_columns({"src": "node_id"}),
+        "node_id", alias="deg",
+    ).to_pandas()
+    deg = np.zeros(n, dtype=np.int64)
+    deg[deg_pd["node_id"].to_numpy()] = deg_pd["deg"].to_numpy()
+    order = np.lexsort((np.arange(n), -deg))  # degree desc, id asc
+    perm = np.empty(n, dtype=np.int64)
+    perm[order] = np.arange(n)  # logical -> engine (rank)
+    perm_ref = ray.put(perm)
+
+    def relabel(t: pa.Table) -> pa.Table:
+        pm = ray.get(perm_ref)
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(pm[src]), "dst": pa.array(pm[dst])})
+
+    return edges_ds.map_batches(relabel, batch_format="pyarrow"), perm, order
+
+
 def _distributed_degree_balance(edges_ds, n: int, P: int,
                                 num_partitions: int | None = None):
     """Degree-balanced permutation computed with NO O(n) driver array
@@ -1295,27 +1321,7 @@ class GraphHandle:
         if balance == "degree" and n > balance_threshold:
             edges_ds, logical_refs, perm_refs = _distributed_degree_balance(edges_ds, n, P)
         elif balance == "degree":
-            from ..stages.shuffle import count_by_key
-
-            deg_pd = count_by_key(
-                edges_ds.select_columns(["src"]).rename_columns({"src": "node_id"}),
-                "node_id", alias="deg",
-            ).to_pandas()
-            deg = np.zeros(n, dtype=np.int64)
-            deg[deg_pd["node_id"].to_numpy()] = deg_pd["deg"].to_numpy()
-            order = np.lexsort((np.arange(n), -deg))  # degree desc, id asc
-            perm = np.empty(n, dtype=np.int64)
-            perm[order] = np.arange(n)  # logical -> engine (rank)
-            inv = order  # engine -> logical
-            perm_ref = ray.put(perm)
-
-            def relabel(t: pa.Table) -> pa.Table:
-                pm = ray.get(perm_ref)
-                src = t["src"].to_numpy(zero_copy_only=False)
-                dst = t["dst"].to_numpy(zero_copy_only=False)
-                return pa.table({"src": pa.array(pm[src]), "dst": pa.array(pm[dst])})
-
-            edges_ds = edges_ds.map_batches(relabel, batch_format="pyarrow")
+            edges_ds, perm, inv = _driver_degree_balance(edges_ds, n)
 
         shards = build_csr_shards(edges_ds, n, P).materialize()
         refs = shards.to_arrow_refs()
