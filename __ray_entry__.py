@@ -397,6 +397,11 @@ def _queries_events():
             ["window_start", "n_events"]
         )
 
+    def events_props(sf_dir):
+        from fora_ray.pipelines.events import parse_props
+
+        return parse_props(_ev(sf_dir), ["k"]).sort("event_id")
+
     def events_sessions(sf_dir):
         # (user_id, session_start, n_events): enough to pin each session
         # exactly; sum_value is float and verified with tolerance in tests
@@ -409,6 +414,7 @@ def _queries_events():
         "events_sliding": events_sliding,
         "events_top_users": events_top_users,
         "events_sessions": events_sessions,
+        "events_props": events_props,
     }
 
 
@@ -543,6 +549,10 @@ def oracle_sql() -> dict[str, str]:
         "events_top_users": (
             "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events FROM events "
             "GROUP BY user_id ORDER BY sum(value) DESC, user_id LIMIT 10"
+        ),
+        "events_props": (
+            "SELECT event_id, json_extract_string(props, '$.k') AS props_k "
+            "FROM events ORDER BY event_id"
         ),
         "ingest_nodes": nodes_sql + " ORDER BY node_id",
         "ingest_edges": f"SELECT src, dst FROM read_parquet('{golden_edges}') ORDER BY src, dst",

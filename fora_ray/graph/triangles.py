@@ -54,15 +54,15 @@ def _degrees_ds(edges_sym_ds):
     )
 
 
-def _wedge_block_pairs(t: pa.Table) -> pa.Table:
-    """(apex, lo, hi) wedge rows for one src-bucket, degree-bucketed
-    vectorized expansion (see triangle_count docstring)."""
+def _wedge_arrays(t: pa.Table):
+    """Vectorized per-src-bucket wedge expansion: returns (apex, a, b)
+    numpy arrays, degree-bucketed (see triangle_count docstring)."""
     src = t["src"].to_numpy(zero_copy_only=False)
     dst = t["dst"].to_numpy(zero_copy_only=False)
     order = np.lexsort((dst, src))
     src, dst = src[order], dst[order]
     uniq, starts, counts = np.unique(src, return_index=True, return_counts=True)
-    out_apex, out_lo, out_hi = [], [], []
+    out_apex, out_a, out_b = [], [], []
     for d in np.unique(counts):
         if d < 2:
             continue
@@ -70,19 +70,35 @@ def _wedge_block_pairs(t: pa.Table) -> pa.Table:
         st = starts[sel]
         M = dst[(st[:, None] + np.arange(d)[None, :])]
         i, j = np.triu_indices(int(d), 1)
-        a = M[:, i].ravel()
-        b = M[:, j].ravel()
-        out_lo.append(np.minimum(a, b))
-        out_hi.append(np.maximum(a, b))
+        out_a.append(M[:, i].ravel())
+        out_b.append(M[:, j].ravel())
         out_apex.append(np.repeat(uniq[sel], i.size))
-    if not out_lo:
-        return pa.table({"apex": pa.array([], pa.int64()),
-                         "lo": pa.array([], pa.int64()),
-                         "hi": pa.array([], pa.int64())})
+    if not out_a:
+        z = np.empty(0, np.int64)
+        return z, z, z
+    return (np.concatenate(out_apex).astype(np.int64),
+            np.concatenate(out_a), np.concatenate(out_b))
+
+
+def _wedge_block_pairs(t: pa.Table) -> pa.Table:
+    """(apex, lo, hi) wedge rows — the full-int64-range representation
+    used by the 'join' strategy."""
+    apex, a, b = _wedge_arrays(t)
     return pa.table({
-        "apex": pa.array(np.concatenate(out_apex).astype(np.int64)),
-        "lo": pa.array(np.concatenate(out_lo).astype(np.int64)),
-        "hi": pa.array(np.concatenate(out_hi).astype(np.int64)),
+        "apex": pa.array(apex),
+        "lo": pa.array(np.minimum(a, b).astype(np.int64)),
+        "hi": pa.array(np.maximum(a, b).astype(np.int64)),
+    })
+
+
+def _wedge_block_packed(t: pa.Table) -> pa.Table:
+    """(apex, edge_key) wedge rows — packed u64 keys halve the wedge
+    shuffle volume; broadcast-strategy only (ids < 2^32, guarded)."""
+    apex, a, b = _wedge_arrays(t)
+    return pa.table({
+        "apex": pa.array(apex),
+        "edge_key": pa.array(_pack_sorted(a, b) if a.size else np.empty(0, np.uint64),
+                             pa.uint64()),
     })
 
 
@@ -154,10 +170,11 @@ def triangle_count(edges_sym_ds, n: int, strategy: str = "auto",
         src = t["src"].to_numpy(zero_copy_only=False)
         return t.append_column("wpart", pa.array((src % B).astype(np.int32)))
 
+    wedge_fn = _wedge_block_packed if strategy == "broadcast" else _wedge_block_pairs
     wedges = (
         oriented.map_batches(_add_bucket, batch_format="pyarrow")
         .groupby("wpart")
-        .map_groups(_wedge_block_pairs, batch_format="pyarrow")
+        .map_groups(wedge_fn, batch_format="pyarrow")
     )
 
     # ---- adjacency probe
@@ -177,8 +194,7 @@ def triangle_count(edges_sym_ds, n: int, strategy: str = "auto",
 
         def probe(t: pa.Table) -> pa.Table:
             keys = ray.get(keys_ref)
-            k = _pack_sorted(t["lo"].to_numpy(zero_copy_only=False),
-                             t["hi"].to_numpy(zero_copy_only=False))
+            k = t["edge_key"].to_numpy(zero_copy_only=False)
             pos = np.searchsorted(keys, k)
             hit = (pos < keys.size) & (keys[np.minimum(pos, keys.size - 1)] == k)
             return t.filter(pa.array(hit))
@@ -206,10 +222,15 @@ def triangle_count(edges_sym_ds, n: int, strategy: str = "auto",
         if t.num_rows == 0 or "apex" not in t.schema.names:
             return pa.table({"node_id": pa.array([], pa.int64()),
                              "triangles": pa.array([], pa.int64())})
+        if "edge_key" in t.schema.names:  # broadcast path: packed (lo, hi)
+            key = t["edge_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            lo = (key >> np.uint64(32)).astype(np.int64)
+            hi = (key & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        else:
+            lo = t["lo"].to_numpy(zero_copy_only=False)
+            hi = t["hi"].to_numpy(zero_copy_only=False)
         members = np.concatenate([
-            t["apex"].to_numpy(zero_copy_only=False),
-            t["lo"].to_numpy(zero_copy_only=False),
-            t["hi"].to_numpy(zero_copy_only=False),
+            t["apex"].to_numpy(zero_copy_only=False), lo, hi,
         ])
         v, c = np.unique(members, return_counts=True)
         return pa.table({"node_id": pa.array(v.astype(np.int64)),
