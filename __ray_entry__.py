@@ -213,6 +213,38 @@ def _queries_documents():
                                "b": pd.Series(dtype="int64")})
         return df[["a", "b"]]
 
+    def multimodal_features_q(sf_dir):
+        """Documents' text bytes as opaque media payloads through the
+        real multimodal actor-pool pipeline (fake decode: the container
+        has no codecs; features = sha256-derived uint16 words)."""
+        import pyarrow as pa
+
+        from fora_ray.pipelines.multimodal import ImageDecoder, decode_images
+
+        def to_media(t: pa.Table) -> pa.Table:
+            texts = t["text"].to_pylist()
+            return pa.table({
+                "media_id": t["doc_id"],
+                "kind": pa.array(["image"] * t.num_rows, pa.string()),
+                "payload": pa.array([(x or "").encode() for x in texts], pa.binary()),
+            })
+
+        media = _docs(sf_dir).map_batches(to_media, batch_format="pyarrow")
+        feats = decode_images(media, fake=True)
+        dim = ImageDecoder.FEATURE_DIM
+
+        def widen(t: pa.Table) -> pa.Table:
+            M = np.rint(
+                np.stack([np.asarray(v, dtype=np.float64) for v in t["features"].to_pylist()])
+                * 65535.0
+            ).astype(np.int64) if t.num_rows else np.zeros((0, dim), np.int64)
+            out = {"media_id": t["media_id"]}
+            for i in range(dim):
+                out[f"f{i}"] = pa.array(M[:, i])
+            return pa.table(out)
+
+        return feats.map_batches(widen, batch_format="pyarrow").sort("media_id")
+
     def dup_clusters_q(sf_dir):
         from fora_ray.pipelines.dedup import dup_clusters
 
@@ -224,6 +256,7 @@ def _queries_documents():
         "curation": curation,
         "embedding_dups": embedding_dups_q,
         "dup_clusters": dup_clusters_q,
+        "multimodal_features": multimodal_features_q,
         "docs_exact_dedup": lambda sf: exact_dedup(_docs(sf)),
         "token_counts": lambda sf: token_counts(_docs(sf)),
         "doc_quality": lambda sf: quality_scores(_docs(sf)).select_columns(
@@ -651,6 +684,10 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": (
             f"SELECT doc_id, cluster FROM read_parquet('{gold['dup_clusters']}') "
             "ORDER BY doc_id"
+        ),
+        "multimodal_features": (
+            f"SELECT * FROM read_parquet('{gold['multimodal_features']}') "
+            "ORDER BY media_id"
         ),
         "curation": (
             f"SELECT doc_id, lang_pred FROM read_parquet('{gold['curation']}') "

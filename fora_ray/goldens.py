@@ -41,7 +41,7 @@ from .oracle import lpa_oracle, ppr_column_oracle, ppr_power_iteration
 
 ROUND = 9
 _WORD = re.compile(r"\w+")
-_VERSION = 4
+_VERSION = 5
 
 
 def _round_col(x: np.ndarray) -> np.ndarray:
@@ -442,6 +442,26 @@ def dup_clusters_golden(sf_dir: str, threshold: float = 0.6) -> pa.Table:
                      "cluster": pa.array(labels, pa.int64())})
 
 
+def multimodal_features_golden(sf_dir: str, dim: int = 16) -> pa.Table:
+    """Deterministic fake-decode feature oracle: sha256(payload) ->
+    `dim` uint16 words.  Verifies the multimodal actor-pool plumbing
+    (schema, batching, filter, output layout) end-to-end; the real
+    codec is environment-blocked and stubbed by design."""
+    import hashlib
+
+    ids, texts = _read_docs(sf_dir)
+    cols: dict[str, list[int]] = {f"f{i}": [] for i in range(dim)}
+    for txt in texts:
+        d = hashlib.sha256((txt or "").encode()).digest()
+        words = np.frombuffer(d[: dim * 2], dtype=np.uint16)
+        for i in range(dim):
+            cols[f"f{i}"].append(int(words[i]))
+    out = {"media_id": pa.array(ids, pa.int64())}
+    for i in range(dim):
+        out[f"f{i}"] = pa.array(cols[f"f{i}"], pa.int64())
+    return pa.table(out)
+
+
 def ann_ivf_golden(sf_dir: str, k: int = 10, nq: int = 8, nlist: int = 16,
                    nprobe: int = 4, seed: int = 42, sample_size: int = 4096) -> pa.Table:
     """Single-process IVF replay.  Centroid fitting reuses the engine's
@@ -500,6 +520,7 @@ _DOC_GOLDENS = {
     "ann_ivf": ann_ivf_golden,
     "embedding_dups": embedding_dups_golden,
     "dup_clusters": dup_clusters_golden,
+    "multimodal_features": multimodal_features_golden,
 }
 
 
