@@ -250,8 +250,9 @@ def minhash_lsh_dups(docs_ds, threshold: float = 0.7, num_perm: int = 64,
         tb = texts.rename_columns({"doc_id": "b_id", "text": "text_b"})
         joined = safe_join(
             safe_join(cand, ta, on=("src",), right_on=("a_id",),
-                      num_partitions=num_partitions),
+                      num_partitions=num_partitions, drop=("left",)),
             tb, on=("dst",), right_on=("b_id",), num_partitions=num_partitions,
+            drop=("left",),
         )
 
         def verify_joined(t: pa.Table, thr=threshold, k=shingle_k) -> pa.Table:
@@ -402,8 +403,9 @@ def simhash_dups(docs_ds, hamming_thresh: int = 3, seed: int = 42,
         sb_ds = sigs.rename_columns({"doc_id": "b_id", "simhash": "sim_b"})
         joined = safe_join(
             safe_join(cand, sa_ds, on=("src",), right_on=("a_id",),
-                      num_partitions=num_partitions),
+                      num_partitions=num_partitions, drop=("left",)),
             sb_ds, on=("dst",), right_on=("b_id",), num_partitions=num_partitions,
+            drop=("left",),
         )
 
         def verify_joined(t: pa.Table, thr=hamming_thresh) -> pa.Table:
@@ -529,8 +531,9 @@ def embedding_dups(emb_ds, threshold: float = 0.95, n_bands: int = 8,
         vb = emb_ds.map_batches(lambda t: _pack(t, "b_id", "emb_b"), batch_format="pyarrow")
         joined = safe_join(
             safe_join(cand, va, on=("src",), right_on=("a_id",),
-                      num_partitions=num_partitions),
+                      num_partitions=num_partitions, drop=("left",)),
             vb, on=("dst",), right_on=("b_id",), num_partitions=num_partitions,
+            drop=("left",),
         )
 
         def verify_joined(t: pa.Table, thr=threshold) -> pa.Table:

@@ -70,14 +70,23 @@ def _arrow_schema(ds) -> "pa.Schema":
 
 
 def safe_join(left, right, on, right_on=None, num_partitions: int | None = None,
-              join_type: str = "inner"):
-    """Dataset.join with both sides stripped of schema-less empty blocks
-    (see drop_empty_blocks) and a session-sized partition count (see
-    join_partitions).  Join OUTPUTS can themselves contain schema-less
-    empty partitions, so chained joins must route through this wrapper
-    on both sides."""
-    left = drop_empty_blocks(left, _arrow_schema(left))
-    right = drop_empty_blocks(right, _arrow_schema(right))
+              join_type: str = "inner", drop: tuple = ("left", "right")):
+    """Dataset.join with schema-less empty blocks stripped (see
+    drop_empty_blocks) and a session-sized partition count (see
+    join_partitions).
+
+    Empty zero-column blocks only arise from sort-based shuffle lineage
+    (sort / groupby.aggregate / map_groups) and from join outputs; map
+    operators pass them through untouched.  Stripping requires
+    materializing the side, so `drop` lets a caller exempt a side whose
+    lineage is pure read->map (e.g. the corpus-sized text/vector tables
+    attached in the dedup verify joins) — those keep streaming into the
+    join.  Chained joins must keep their left (previous join output) in
+    `drop`."""
+    if "left" in drop:
+        left = drop_empty_blocks(left, _arrow_schema(left))
+    if "right" in drop:
+        right = drop_empty_blocks(right, _arrow_schema(right))
     return left.join(
         right, join_type=join_type, num_partitions=join_partitions(num_partitions),
         on=on, right_on=right_on,
