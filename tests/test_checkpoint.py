@@ -51,3 +51,36 @@ def test_partial_step_not_committed(graph600, tmp_path):
     assert latest_step(ck, 4) == 2
     shutil.rmtree(f"{ck}/step=000002")
     assert latest_step(ck, 4) == 1
+
+
+def test_resume_refuses_mismatched_checkpoint(graph600, tmp_path):
+    """ADVICE r01: a ckpt-dir written for a different source / P / rmax
+    must be refused loudly on resume, never silently restored."""
+    import pytest
+
+    edges, n = graph600
+    ck = str(tmp_path / "ck2")
+    h = GraphHandle.from_edges(to_dataset(edges), n, P=4)
+    try:
+        h.call_all("ppr_init", 5)
+        _push_loop(h, 5, rmax=0.0, sweep_all=True, ckpt_dir=ck, ckpt_every=1, max_rounds=3)
+        # resuming the same dir for a DIFFERENT source must raise
+        with pytest.raises(ValueError, match="source"):
+            alg.personalized_pagerank(h, source=6, mode="exact",
+                                      ckpt_dir=ck, resume=True)
+        # and for a different rmax regime (fora vs exact) must raise too
+        with pytest.raises(ValueError, match="rmax"):
+            alg.personalized_pagerank(h, source=5, mode="fora",
+                                      ckpt_dir=ck, resume=True)
+    finally:
+        h.close()
+    # a handle with different P: the restore guard trips before any
+    # actor state is touched
+    h2 = GraphHandle.from_edges(to_dataset(edges), n, P=2)
+    try:
+        from fora_ray.state.checkpoint import restore_step
+
+        with pytest.raises(ValueError, match="parts"):
+            restore_step(h2, ck, 3, ("reserve", "residual"))
+    finally:
+        h2.close()
