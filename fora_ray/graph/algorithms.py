@@ -188,11 +188,19 @@ def personalized_pagerank(handle, source: int, mode: str = "exact",
 def ppr_batch(handle, sources: list[int], mode: str = "fora", eps: float = 0.5,
               delta: float | None = None, pfail: float | None = None,
               rmax_scale: float = 1.0, seed: int = 42, tol: float = 1e-12,
-              max_rounds: int = 10_000):
+              max_rounds: int = 10_000, ckpt_dir: str | None = None,
+              ckpt_every: int = 1, resume: bool = False):
     """Batched multi-source SSPPR: all Q queries advance in the same
     superstep wave, amortizing the per-round driver barrier Q-fold
     (SURVEY 4.4).  Returns (scores Dataset (query_idx, node_id, ppr),
-    stats).  query_idx indexes into `sources`."""
+    stats).  query_idx indexes into `sources`.
+
+    ckpt_dir enables per-superstep checkpoints of the (n_local, Q)
+    push state (consistent cut: in-flight payloads + dangling flushed
+    first); resume restores the latest committed step after validating
+    the manifest's sources/rmax against this call.  The walk phase is
+    not checkpointed — it re-runs from the restored residuals, which is
+    exactly the deterministic counter-RNG replay."""
     import numpy as np
 
     import ray as _ray
@@ -201,11 +209,18 @@ def ppr_batch(handle, sources: list[int], mode: str = "fora", eps: float = 0.5,
     sources_e = [handle.to_engine(s) for s in sources]
     handle.call_all("ppr_init_batch", sources_e)
     if mode == "exact":
-        rmax, sweep = 0.0, True
+        p, rmax, sweep = None, 0.0, True
     else:
         p = fora_params(handle.n, handle.m, eps, delta, pfail, rmax_scale)
         rmax, sweep = p["rmax"], False
-    rounds, outs, dang = 0, None, None
+    start = 0
+    if resume and ckpt_dir is not None:
+        k = latest_step(ckpt_dir, P)
+        if k is not None:
+            restore_step(handle, ckpt_dir, k, ("reserve", "residual"),
+                         expect={"sources": [int(s) for s in sources_e], "rmax": rmax})
+            start = k
+    rounds, outs, dang = start, None, None
     while rounds < max_rounds:
         calls = []
         for q_, w in enumerate(handle.workers):
@@ -219,6 +234,22 @@ def ppr_batch(handle, sources: list[int], mode: str = "fora", eps: float = 0.5,
         active = sum(m["active"] for m in metas)
         rsum = sum(m["rsum"] for m in metas) + float(dang.sum())
         rounds += 1
+        if ckpt_dir is not None and rounds % ckpt_every == 0:
+            # flush in-flight payloads + dangling so the checkpoint is a
+            # consistent cut (reserve + residual sums to full mass)
+            _ray.get([
+                w.apply_residual_batch.remote(*[outs[r][q_ + 1] for r in range(P) if r != q_])
+                for q_, w in enumerate(handle.workers)
+            ])
+            outs = None
+            if dang.sum() > 0:
+                handle.call_all("add_source_residual_batch", dang)
+                dang = np.zeros(len(sources))
+            checkpoint_step(
+                handle, ckpt_dir, rounds, ("reserve", "residual"),
+                extra={"rsum": rsum, "active": active,
+                       "sources": [int(s) for s in sources_e], "rmax": rmax},
+            )
         if (active == 0 and dang.sum() == 0) or (sweep and rsum < tol * len(sources)):
             if outs is not None:
                 _ray.get([

@@ -1115,9 +1115,17 @@ class ShardWorkerImpl:
 
     # ---- checkpoint / restore (SURVEY 4.3) --------------------------------
     def checkpoint(self, path: str, fields=("reserve", "residual")) -> dict:
+        """Persist state fields.  Batched (n_local, Q) matrices are
+        written as one column per query (`field__q<i>`) so the parquet
+        layout stays flat and restore can rebuild either shape."""
         arrays = {"node_id": self.logical_ids}
         for f in fields:
-            arrays[f] = getattr(self, f if f != "labels" else "labels")
+            v = getattr(self, f if f != "labels" else "labels")
+            if getattr(v, "ndim", 1) == 2:
+                for q in range(v.shape[1]):
+                    arrays[f"{f}__q{q}"] = v[:, q]
+            else:
+                arrays[f] = v
         tmp = path + ".tmp"
         pq.write_table(pa.table({k: pa.array(v) for k, v in arrays.items()}), tmp)
         os.replace(tmp, path)
@@ -1126,10 +1134,21 @@ class ShardWorkerImpl:
     def restore(self, path: str, fields=("reserve", "residual")) -> bool:
         t = pq.read_table(path)
         for f in fields:
-            arr = t[f].to_numpy(zero_copy_only=False).copy()
+            if f in t.column_names:
+                arr = t[f].to_numpy(zero_copy_only=False).copy()
+            else:
+                qcols = sorted(
+                    (c for c in t.column_names if c.startswith(f + "__q")),
+                    key=lambda c: int(c.rsplit("q", 1)[1]),
+                )
+                arr = np.stack(
+                    [t[c].to_numpy(zero_copy_only=False) for c in qcols], axis=1
+                ).copy()
             setattr(self, f, arr)
-        if self.acc is None and "reserve" in fields:
-            self.acc = np.zeros(self.n_local)
+        if "reserve" in fields and (
+            self.acc is None or np.shape(self.acc) != np.shape(self.reserve)
+        ):
+            self.acc = np.zeros_like(self.reserve)
         if "labels" in fields:
             self._changed = np.ones(self.n_local, dtype=bool)
         return True

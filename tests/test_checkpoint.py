@@ -84,3 +84,33 @@ def test_resume_refuses_mismatched_checkpoint(graph600, tmp_path):
             restore_step(h2, ck, 3, ("reserve", "residual"))
     finally:
         h2.close()
+
+
+def test_batch_resume_matches_uninterrupted(graph600, tmp_path):
+    """ppr_batch (the headline batched tier) checkpoints its (n_local, Q)
+    push state and resumes to the same converged answer."""
+    import pytest
+
+    edges, n = graph600
+    ck = str(tmp_path / "ckb")
+    srcs = [0, 1, 2, 3]
+
+    with GraphHandle.from_edges(to_dataset(edges), n, P=4) as h:
+        full, _ = alg.ppr_batch(h, srcs, mode="exact")
+        full_df = full.to_pandas().sort_values(["query_idx", "node_id"]).reset_index(drop=True)
+
+    h = GraphHandle.from_edges(to_dataset(edges), n, P=4)
+    alg.ppr_batch(h, srcs, mode="exact", ckpt_dir=ck, ckpt_every=1, max_rounds=5)
+    h.close()
+    assert latest_step(ck, 4) == 5
+
+    with GraphHandle.from_edges(to_dataset(edges), n, P=4) as h:
+        # mismatched sources must be refused
+        with pytest.raises(ValueError, match="sources"):
+            alg.ppr_batch(h, [0, 1, 2, 9], mode="exact", ckpt_dir=ck, resume=True)
+        res, stats = alg.ppr_batch(h, srcs, mode="exact", ckpt_dir=ck,
+                                   resume=True, ckpt_every=10**6)
+        res_df = res.to_pandas().sort_values(["query_idx", "node_id"]).reset_index(drop=True)
+    assert stats["rounds"] > 5
+    assert full_df["node_id"].tolist() == res_df["node_id"].tolist()
+    assert np.allclose(full_df["ppr"].to_numpy(), res_df["ppr"].to_numpy(), atol=1e-12)
