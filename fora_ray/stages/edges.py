@@ -88,12 +88,25 @@ def resolve_to_ids(candidates_ds, nodes_ds, n_nodes: int, strategy: str = "auto"
     if strategy == "auto":
         strategy = "broadcast" if n_nodes <= 2_000_000 else "join"
     if strategy == "broadcast":
-        all_keys, all_ids = [], []
-        for ref in nodes_ds.to_arrow_refs():
-            t = ray.get(ref)
+        # key hashing runs distributed (one small (key, node_id) table
+        # per block); the driver only concatenates u64/int64 arrays —
+        # hashing 10^6+ strings serially on the driver was a measured
+        # ~1.5 s serial segment at 600k nodes and grows linearly
+        def _keys_block(t: pa.Table) -> pa.Table:
             if t.num_rows == 0 or "repo" not in t.schema.names:
+                return pa.table({"key": pa.array([], pa.uint64()),
+                                 "node_id": pa.array([], pa.int64())})
+            return pa.table({
+                "key": pa.array(_node_key(t["repo"].to_pylist(), t["path"].to_pylist()), pa.uint64()),
+                "node_id": t["node_id"],
+            })
+
+        all_keys, all_ids = [], []
+        for ref in nodes_ds.map_batches(_keys_block, batch_format="pyarrow").to_arrow_refs():
+            t = ray.get(ref)
+            if t.num_rows == 0 or "key" not in t.schema.names:
                 continue
-            all_keys.append(_node_key(t["repo"].to_pylist(), t["path"].to_pylist()))
+            all_keys.append(t["key"].to_numpy(zero_copy_only=False))
             all_ids.append(t["node_id"].to_numpy(zero_copy_only=False))
         if all_keys:
             keys = np.concatenate(all_keys)
