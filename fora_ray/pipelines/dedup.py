@@ -231,13 +231,15 @@ def minhash_lsh_dups(docs_ds, threshold: float = 0.7, num_perm: int = 64,
         sigs.groupby(["band_id", "band_hash"])
         .map_groups(_bucket_pairs, batch_format="pyarrow")
     )
-    # dedup candidate pairs across bands (one groupby on packed key)
+    # dedup candidate pairs across bands; doc ids are arbitrary int64
+    # (snowflake-style ids exceed 2^32) -> always the pair-safe distinct
     from ..stages.edges import dedup_edges
 
     cand = dedup_edges(
         pairs.map_batches(
             lambda t: pa.table({"src": t["a"], "dst": t["b"]}), batch_format="pyarrow"
-        )
+        ),
+        wide_ids=True,
     )
     if verify_strategy == "auto":
         verify_strategy = "broadcast" if docs_ds.count() <= broadcast_limit else "join"
@@ -384,7 +386,8 @@ def simhash_dups(docs_ds, hamming_thresh: int = 3, seed: int = 42,
     from ..stages.edges import dedup_edges
 
     cand = dedup_edges(
-        pairs.map_batches(lambda t: pa.table({"src": t["a"], "dst": t["b"]}), batch_format="pyarrow")
+        pairs.map_batches(lambda t: pa.table({"src": t["a"], "dst": t["b"]}), batch_format="pyarrow"),
+        wide_ids=True,  # arbitrary int64 doc ids
     )
 
     def _hamming_filter(a, b, ha, hb, thr):
@@ -504,7 +507,8 @@ def embedding_dups(emb_ds, threshold: float = 0.95, n_bands: int = 8,
     from ..stages.edges import dedup_edges
 
     cand = dedup_edges(
-        cand.map_batches(lambda t: pa.table({"src": t["a"], "dst": t["b"]}), batch_format="pyarrow")
+        cand.map_batches(lambda t: pa.table({"src": t["a"], "dst": t["b"]}), batch_format="pyarrow"),
+        wide_ids=True,  # arbitrary int64 vec ids
     )
     if verify_strategy == "auto":
         verify_strategy = "broadcast" if emb_ds.count() <= broadcast_limit else "join"

@@ -174,3 +174,17 @@ def test_hot_bucket_pipeline_completes_bounded():
     assert 0 < pairs.count() < 400_000
     clusters = dup_clusters(pairs, docs).to_pandas()
     assert clusters["cluster"].nunique() == 1
+
+
+def test_minhash_handles_huge_doc_ids():
+    """Snowflake-style int64 doc ids (past 2^32) must flow through the
+    whole near-dup pipeline — the candidate dedup takes the pair-safe
+    path, never packed u64 keys."""
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    big = 1 << 40
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([big, big + 1, big + 7], pa.int64()),
+        "text": [base, base, "entirely different text about shuffles " * 6],
+    }))
+    pairs = minhash_lsh_dups(docs, threshold=0.5).to_pandas()
+    assert set(map(tuple, pairs[["a", "b"]].to_numpy())) == {(big, big + 1)}
