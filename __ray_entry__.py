@@ -183,7 +183,10 @@ def _queries_documents():
     )
 
     def _queries_matrix(sf_dir, nq=8):
-        t = _emb(sf_dir).to_pandas().sort_values("vec_id").head(nq)
+        # distributed sort + limit: only nq rows ever reach the driver
+        # (pulling the whole embeddings table here was the one
+        # driver-materialization left in the repo — VERDICT r02 #5)
+        t = _emb(sf_dir).sort("vec_id").limit(nq).to_pandas()
         return np.stack(t["embedding"].to_numpy())
 
     def ann_topk(sf_dir):

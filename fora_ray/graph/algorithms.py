@@ -363,7 +363,7 @@ def local_ppr_batch(handles, sources: list[int], mode: str = "fora",
         batch = [int(s) for s in sources[start:start + chunk]]
         fut = h.workers[0].local_query_batch.remote(
             [h.to_engine(s) for s in batch], mode, p["rmax"], p["omega"], seed,
-            topk,
+            topk, batch,  # logical ids: seeds stay logical-derived
         )
         pending.append((batch, fut))
     results = []
@@ -487,6 +487,18 @@ def bippr(handle_fwd, handle_rev, source: int, target: int, eps: float = 0.5,
 
     n = handle_fwd.n
     assert handle_fwd.P == handle_rev.P, "BiPPR combine requires aligned v %% P shards"
+    # The shard-aligned combine pairs reverse-shard local indices 1:1
+    # with forward-shard local indices, and get_state_value treats
+    # `source` as an engine id — both are only valid under identity
+    # permutations.  A degree-balanced handle would produce a silently
+    # WRONG estimate (ADVICE r02), so refuse loudly.
+    for h, side in ((handle_fwd, "forward"), (handle_rev, "reverse")):
+        if h.perm is not None or getattr(h, "remote_perm", False):
+            raise ValueError(
+                f"bippr requires identity-permutation handles, but the {side} "
+                "handle was built with balance='degree'; rebuild both handles "
+                "without balancing for pairwise BiPPR"
+            )
     if rmax_b is None:
         rmax_b = eps / _math.sqrt(max(n, 2))
     _scores, bstats = backward_ppr(handle_rev, target, mode="push", rmax_b=rmax_b)

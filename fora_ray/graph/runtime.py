@@ -957,7 +957,8 @@ class ShardWorkerImpl:
         return stats
 
     def local_query_batch(self, sources, mode: str, rmax: float, omega: float,
-                          seed_base: int, topk: int | None = None) -> list[pa.Table]:
+                          seed_base: int, topk: int | None = None,
+                          logical: list[int] | None = None) -> list[pa.Table]:
         """Run a CHUNK of SSPPR queries in one actor call (P=1 serving
         tier): queries share the warm CSR and pay one task dispatch +
         one result object per chunk instead of two per query — the
@@ -967,11 +968,19 @@ class ShardWorkerImpl:
         topk trims each result to its k best rows (ppr desc, node_id
         asc) INSIDE the actor — the serving answer is a top-k list, and
         shipping full score vectors to the caller was the next
-        bottleneck after dispatch overhead."""
+        bottleneck after dispatch overhead.
+
+        `sources` are ENGINE ids; `logical` (parallel list, defaults to
+        sources) carries the caller-facing logical ids the per-query
+        seeds derive from — under a degree-balanced replica the seeds
+        must match what single-query calls (seeded from the logical
+        source) produce (ADVICE r02)."""
+        if logical is None:
+            logical = sources
         out = []
-        for s in sources:
+        for s, lg in zip(sources, logical):
             self.local_query(int(s), mode, rmax, omega,
-                             seed_base ^ (int(s) * 0x9E3779B9))
+                             seed_base ^ (int(lg) * 0x9E3779B9))
             t = self.get_scores(True)
             if topk is not None and t.num_rows > topk:
                 ppr = t["ppr"].to_numpy(zero_copy_only=False)

@@ -47,9 +47,14 @@ def curate_documents(docs_ds, min_quality: float = 0.25,
     n_good = good.count()
     stats["dropped_low_quality"] = total - n_good
 
-    # survivors carry their quality column from here on
+    # survivors carry their quality column from here on.  docs_ds is
+    # pure read/map lineage (cannot produce schema-less empty blocks),
+    # so only the right side is stripped — the corpus STREAMS into the
+    # join instead of being materialized by drop_empty_blocks
+    # (ADVICE r02).
     survivors = safe_join(
-        docs_ds, good, on=("doc_id",), num_partitions=num_partitions
+        docs_ds, good, on=("doc_id",), num_partitions=num_partitions,
+        drop=("right",),
     ).materialize()
 
     # exact-dedup winners among quality survivors (min doc_id per text);

@@ -601,22 +601,89 @@ def dup_clusters(pairs_ds, ids_ds, id_col: str = "doc_id",
 
         from ..graph.algorithms import connected_components
         from ..graph.runtime import GraphHandle
+        from ..stages.shuffle import distinct_u64, safe_join
         from ..stages.edges import symmetrize
 
-        n = int(ids_ds.max(id_col)) + 1
-        edges = pairs_ds.map_batches(
-            lambda t: pa.table({"src": t["a"], "dst": t["b"]}), batch_format="pyarrow"
+        # Densify FIRST (ADVICE r02): doc ids are arbitrary int64
+        # (snowflake-style), so sizing worker state by max(doc_id)+1
+        # would OOM and the packed-u64 edge paths would crash.  The
+        # dense id is the ascending RANK of the distinct pair-member
+        # ids — order-preserving, so min-dense-id labels map back to
+        # min-orig-id clusters for free.
+        members = distinct_u64(
+            pairs_ds.map_batches(
+                lambda t: pa.table({id_col: pa.concat_arrays(
+                    [t["a"].combine_chunks(), t["b"].combine_chunks()])}),
+                batch_format="pyarrow",
+            ),
+            id_col,
         )
-        with GraphHandle.from_edges(symmetrize(edges), n, P=8) as h:
+        ranked = members.sort(id_col).materialize()
+        refs = ranked.to_arrow_refs()
+
+        @ray.remote
+        def _nrows(tbl: pa.Table) -> int:
+            return tbl.num_rows
+
+        @ray.remote
+        def _with_dense(tbl: pa.Table, off: int) -> pa.Table:
+            if tbl.num_rows == 0 or id_col not in tbl.schema.names:
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 "dense": pa.array([], pa.int64())})
+            return pa.table({
+                id_col: _pc.cast(tbl[id_col], pa.int64()),
+                "dense": pa.array(np.arange(off, off + tbl.num_rows, dtype=np.int64)),
+            })
+
+        counts = ray.get([_nrows.remote(r) for r in refs])
+        offs = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+        n_mem = int(sum(counts))
+        id_map = ray.data.from_arrow_refs(
+            [_with_dense.remote(r, int(o)) for r, o in zip(refs, offs)]
+        ).materialize()
+
+        edges = safe_join(
+            safe_join(
+                pairs_ds.select_columns(["a", "b"]),
+                id_map.rename_columns({id_col: "a_orig", "dense": "src"}),
+                on=("a",), right_on=("a_orig",), drop=("left",),
+            ),
+            id_map.rename_columns({id_col: "b_orig", "dense": "dst"}),
+            on=("b",), right_on=("b_orig",),
+        ).select_columns(["src", "dst"])
+        wide = n_mem >= (1 << 32)
+        with GraphHandle.from_edges(symmetrize(edges, wide_ids=wide), n_mem, P=8) as h:
             labels, _ = connected_components(h)
-            lab = labels.rename_columns({"node_id": id_col, "label": "cluster"})
-            # restrict to ids present in ids_ds (the CC handle covers
-            # 0..n-1) via a hash join — no driver-side id set
-            out = lab.join(
-                ids_ds.select_columns([id_col]), join_type="inner",
-                num_partitions=16, on=(id_col,),
-            )
-            return out.sort(id_col) if sort else out
+        # dense labels -> original ids: node via the map, cluster label
+        # via the map again (rank is order-preserving, so the dense min
+        # IS the original min)
+        lab = safe_join(
+            safe_join(
+                labels.rename_columns({"node_id": "dense_id", "label": "dense_lab"}),
+                id_map.rename_columns({"dense": "dense_id"}),
+                on=("dense_id",),
+            ),
+            id_map.rename_columns({id_col: "cluster", "dense": "dense_lab"}),
+            on=("dense_lab",),
+        ).select_columns([id_col, "cluster"])
+        # ids never seen in a pair are singleton clusters of themselves
+        out = safe_join(
+            ids_ds.select_columns([id_col]), lab, on=(id_col,),
+            join_type="left_outer",
+        ).map_batches(
+            lambda t: pa.table({
+                id_col: t[id_col],
+                "cluster": _pc.coalesce(
+                    _pc.cast(t["cluster"], pa.int64()),
+                    _pc.cast(t[id_col], pa.int64()),
+                ),
+            }) if t.num_rows and id_col in t.schema.names else pa.table({
+                id_col: pa.array([], pa.int64()),
+                "cluster": pa.array([], pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+        return out.sort(id_col) if sort else out
     pairs = pairs_ds.to_pandas()
     parent: dict[int, int] = {}
 

@@ -37,7 +37,7 @@ def build_graph_tables(
     manifest_ref=None,
     langs: list[str] | None = None,
     join_strategy: str = "auto",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     verify_concurrency: int = 4,
 ):
     """Run M1..M7: returns dict with nodes/edges/edges_undirected/degrees

@@ -73,7 +73,7 @@ class _NodeLookup:
 
 
 def resolve_to_ids(candidates_ds, nodes_ds, n_nodes: int, strategy: str = "auto",
-                   num_partitions: int = 32, concurrency=None):
+                   num_partitions: int | None = None, concurrency=None):
     """(repo, src_path, dst_path) -> (src, dst) id pairs (M4 + M5 apply).
 
     strategy='broadcast' | 'join' | 'auto' (broadcast while nodes is
@@ -118,6 +118,9 @@ def resolve_to_ids(candidates_ds, nodes_ds, n_nodes: int, strategy: str = "auto"
         lookup = _NodeLookup(ray.put(keys), ray.put(ids))
         return candidates_ds.map_batches(lookup, batch_format="pyarrow")
     # scale path: two hash joins on (repo, path)
+    from .shuffle import join_partitions
+
+    num_partitions = join_partitions(num_partitions)
     dst_joined = candidates_ds.join(
         nodes_ds,
         join_type="inner",

@@ -30,13 +30,29 @@ def join_partitions(requested: int | None = None) -> int:
     join reserves aggregator actors per partition, and a plan with two
     chained joins at 32 partitions deadlocks an 8-CPU session (measured
     — the actors starve each other).  2x the CPU count keeps both joins
-    schedulable while still scaling with the cluster."""
+    schedulable while still scaling with the cluster.
+
+    An EXPLICIT `requested` is honored as-is (a caller raising
+    partitions to bound per-aggregator memory on a huge join must not
+    be silently overridden — ADVICE r02); the session cap applies only
+    to the default.  A warning notes requests above the cap, since on
+    a small session they can deadlock chained joins."""
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
     cap = max(4, 2 * cpus)
-    return min(requested, cap) if requested else cap
+    if requested:
+        if requested > cap:
+            import warnings
+
+            warnings.warn(
+                f"join num_partitions={requested} exceeds the session-sized "
+                f"cap {cap}; honoring it, but chained joins may starve on "
+                f"a small CPU budget", stacklevel=2,
+            )
+        return max(2, requested)
+    return cap
 
 
 @ray.remote(num_cpus=0)

@@ -188,3 +188,24 @@ def test_minhash_handles_huge_doc_ids():
     }))
     pairs = minhash_lsh_dups(docs, threshold=0.5).to_pandas()
     assert set(map(tuple, pairs[["a", "b"]].to_numpy())) == {(big, big + 1)}
+
+
+def test_dup_clusters_distributed_sparse_snowflake_ids():
+    """ADVICE r03: the distributed path must densify arbitrary int64 ids
+    (max(id) >> count) instead of sizing worker state by max(id)+1, and
+    singleton ids must come back as their own cluster."""
+    big = 3_000_000_000_000  # far past 2^32
+    ids = [big + 1, big + 5, big + 9, big + 12, big + 50]
+    pairs = ray.data.from_arrow(pa.table({
+        "a": pa.array([big + 1, big + 5], pa.int64()),
+        "b": pa.array([big + 5, big + 9], pa.int64()),
+        "jaccard": pa.array([0.9, 0.8]),
+    }))
+    ids_ds = ray.data.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+    got = dup_clusters(pairs, ids_ds, strategy="distributed").to_pandas()
+    c = dict(zip(got["doc_id"], got["cluster"]))
+    assert c[big + 1] == c[big + 5] == c[big + 9] == big + 1
+    assert c[big + 12] == big + 12 and c[big + 50] == big + 50
+    # matches the driver union-find path exactly
+    uf = dup_clusters(pairs, ids_ds, strategy="unionfind").to_pandas()
+    assert got.reset_index(drop=True).equals(uf.reset_index(drop=True))
