@@ -17,6 +17,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
+from ..stages.shuffle import pool_size
+
 
 def _to_matrix(col) -> np.ndarray:
     return np.stack([np.asarray(v, dtype=np.float64) for v in col.to_pylist()])
@@ -95,7 +97,7 @@ def brute_force_topk(emb_ds, queries: np.ndarray, k: int = 10):
     q_ref = ray.put(_normalize(np.asarray(queries, dtype=np.float64)))
     local = emb_ds.map_batches(
         _BatchTopK, fn_constructor_kwargs={"q_ref": q_ref, "k": k},
-        batch_format="pyarrow", concurrency=(1, 4),
+        batch_format="pyarrow", concurrency=pool_size(),
     )
     merged = local.groupby("query_id").map_groups(_merge_topk(k), batch_format="pyarrow")
     return merged.select_columns(["query_id", "rank", "vec_id", "score"]).sort(
@@ -138,7 +140,7 @@ def ivf_topk(emb_ds, queries: np.ndarray, k: int = 10, nlist: int = 16,
 
     assigned = emb_ds.map_batches(
         Assign, fn_constructor_kwargs={"ref": c_ref},
-        batch_format="pyarrow", concurrency=(1, 4),
+        batch_format="pyarrow", concurrency=pool_size(),
     )
 
     def search_list(g: pa.Table) -> pa.Table:

@@ -104,9 +104,14 @@ class FrameSampler:
         )
 
 
-def decode_images(media_ds, fake: bool = False, batch_size: int = 64, concurrency=(1, 4)):
+def decode_images(media_ds, fake: bool = False, batch_size: int = 64, concurrency=None):
     """Images are wide binary rows: small batch_size keeps batch x
-    concurrency within worker heap (task brief memory note)."""
+    concurrency within worker heap (task brief memory note).
+    concurrency=None sizes the decode pool to the session."""
+    if concurrency is None:
+        from ..stages.shuffle import pool_size
+
+        concurrency = pool_size()
     imgs = media_ds.map_batches(
         lambda t: t.filter(pa.compute.equal(t["kind"], "image")), batch_format="pyarrow"
     )
@@ -120,6 +125,8 @@ def decode_images(media_ds, fake: bool = False, batch_size: int = 64, concurrenc
 
 
 def sample_frames(media_ds, fps: float = 1.0, fake: bool = False):
+    from ..stages.shuffle import pool_size
+
     vids = media_ds.map_batches(
         lambda t: t.filter(pa.compute.equal(t["kind"], "video")), batch_format="pyarrow"
     )
@@ -128,5 +135,5 @@ def sample_frames(media_ds, fps: float = 1.0, fake: bool = False):
         fn_constructor_kwargs={"fps": fps, "fake": fake},
         batch_format="pyarrow",
         batch_size=64,
-        concurrency=(1, 2),
+        concurrency=pool_size(),
     )

@@ -17,6 +17,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.hashing import hash_str_u64, mix64
+from ..stages.shuffle import pool_size
 
 _WORD = re.compile(r"\w+")
 
@@ -123,7 +124,7 @@ def fingerprint_batch(t: pa.Table, window: int = 8) -> pa.Table:
 
 
 def language_id(docs_ds, sort: bool = True):
-    out = docs_ds.map_batches(LanguageId, batch_format="pyarrow", concurrency=(1, 4))
+    out = docs_ds.map_batches(LanguageId, batch_format="pyarrow", concurrency=pool_size())
     return out.sort("doc_id") if sort else out
 
 
@@ -132,7 +133,7 @@ def token_counts(docs_ds):
 
 
 def quality_scores(docs_ds):
-    return docs_ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=(1, 4)).sort("doc_id")
+    return docs_ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=pool_size()).sort("doc_id")
 
 
 def fingerprints(docs_ds):

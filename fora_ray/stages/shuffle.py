@@ -55,6 +55,32 @@ def join_partitions(requested: int | None = None) -> int:
     return cap
 
 
+def pool_size(min_actors: int = 1) -> tuple[int, int]:
+    """Actor-pool concurrency sized to the session: autoscale from
+    `min_actors` up to the CPU count.  Fixed small caps like (1, 4)
+    serialize a stage at 32 CPUs (VERDICT r02 #3); fixed pools equal to
+    the CPU budget deadlock Dataset stages (round-1 measurement), so
+    the (min, max) autoscaling form is the only safe shape."""
+    try:
+        return (min_actors, max(4, int(ray.cluster_resources().get("CPU", 8))))
+    except Exception:
+        return (min_actors, 8)
+
+
+def broadcast_fits(ds, budget_bytes: int) -> bool:
+    """True when `ds` is small enough to ship to every worker as a
+    broadcast dict.  Decides on BYTES (Dataset.size_bytes(), i.e.
+    parquet/block metadata), not row counts — a row threshold is
+    byte-blind and lets a wide-text corpus blow the driver and every
+    verify actor (VERDICT r02 #2).  Unknown size -> False (join path:
+    always correct, never OOM)."""
+    try:
+        sz = ds.size_bytes()
+    except Exception:
+        return False
+    return sz is not None and sz <= budget_bytes
+
+
 @ray.remote(num_cpus=0)
 def _block_nonempty(t: pa.Table) -> bool:
     return t.num_rows > 0

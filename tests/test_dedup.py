@@ -209,3 +209,27 @@ def test_dup_clusters_distributed_sparse_snowflake_ids():
     # matches the driver union-find path exactly
     uf = dup_clusters(pairs, ids_ds, strategy="unionfind").to_pandas()
     assert got.reset_index(drop=True).equals(uf.reset_index(drop=True))
+
+
+def test_broadcast_threshold_is_byte_metered():
+    """VERDICT r03 #3: 'auto' verify routing must be decided on BYTES.
+    A wide-text corpus with few rows must fail the broadcast budget, and
+    the auto-join route must produce identical pairs to broadcast."""
+    from fora_ray.stages.shuffle import broadcast_fits
+
+    wide = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(8), pa.int64()),
+        "text": pa.array(["lorem ipsum " * 50_000] * 8),  # ~600 KB/doc
+    }))
+    assert not broadcast_fits(wide, 1 << 20)   # 8 rows but > 1 MB
+    assert broadcast_fits(wide, 1 << 30)
+    # auto with a tiny byte budget must route to the join path and
+    # still match the explicit broadcast results
+    via_auto_join = minhash_lsh_dups(
+        _dup_corpus(), threshold=0.5, broadcast_bytes=1
+    ).to_pandas()
+    via_broadcast = minhash_lsh_dups(
+        _dup_corpus(), threshold=0.5, verify_strategy="broadcast"
+    ).to_pandas()
+    assert via_auto_join.reset_index(drop=True).equals(
+        via_broadcast.reset_index(drop=True))
