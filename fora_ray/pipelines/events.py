@@ -5,7 +5,7 @@ Ray Data has no event-time windowing; the batch equivalents follow the
 ordered-partitioned-log pattern: assign a window key per row
 (vectorized), then aggregate — a tumbling window is just a groupby on
 the bucketed timestamp (SQL-expressible, oracled); session windows are
-per-user map_groups over ts-sorted groups.
+a hash-bucketed Arrow kernel over (user, ts)-sorted runs.
 """
 
 from __future__ import annotations
@@ -13,7 +13,6 @@ from __future__ import annotations
 import json
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data.aggregate import Count, Mean, Sum
@@ -67,29 +66,47 @@ def sliding_window_counts(events_ds, window_s: int = 3600, slide_s: int = 900):
 
 def session_windows(events_ds, gap_s: int = 1800):
     """Per-user sessionization: events sorted by ts; a gap > gap_s starts
-    a new session.  groupby(user).map_groups over sorted groups (the
-    ordered-partitioned-log pattern).  Output: one row per session."""
+    a new session.  Output: one row per session.
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        ts = g["ts"].astype("int64").to_numpy()
-        new = np.concatenate([[True], np.diff(ts) > gap_s * 1_000_000])
-        sid = np.cumsum(new) - 1
-        out = (
-            g.assign(session=sid)
-            .groupby("session")
-            .agg(
-                user_id=("user_id", "first"),
-                session_start=("ts", "min"),
-                session_end=("ts", "max"),
-                n_events=("event_id", "count"),
-                sum_value=("value", "sum"),
-            )
-            .reset_index(drop=True)
-        )
-        return out
+    Shuffle shape: users are HASH-BUCKETED (~2x CPUs groups), and one
+    vectorized Arrow/numpy kernel handles ALL users in a bucket —
+    lexsort by (user, ts), a boundary wherever the user changes or the
+    gap exceeds gap_s, then reduceat per session.  The previous
+    one-pandas-frame-per-user map_groups meant millions of tiny groups
+    at scale and was the last pandas stage in the repo (VERDICT r02 #4)."""
+    from ..stages.shuffle import bucket_apply
 
-    return events_ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    gap_us = gap_s * 1_000_000
+    _empty = pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "session_start": pa.array([], pa.timestamp("us")),
+        "session_end": pa.array([], pa.timestamp("us")),
+        "n_events": pa.array([], pa.int64()),
+        "sum_value": pa.array([], pa.float64()),
+    })
+
+    def sessions(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "user_id" not in g.schema.names:
+            return _empty
+        user = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        val = g["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((ts, user))
+        user, ts, val = user[order], ts[order], val[order]
+        new = np.empty(user.size, dtype=bool)
+        new[0] = True
+        new[1:] = (user[1:] != user[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+        idx = np.nonzero(new)[0]
+        ends = np.append(idx[1:], user.size) - 1
+        return pa.table({
+            "user_id": pa.array(user[idx]),
+            "session_start": pa.array(ts[idx].astype("datetime64[us]")),
+            "session_end": pa.array(ts[ends].astype("datetime64[us]")),
+            "n_events": pa.array(np.diff(np.append(idx, user.size)).astype(np.int64)),
+            "sum_value": pa.array(np.add.reduceat(val, idx)),
+        })
+
+    return bucket_apply(events_ds, "user_id", sessions)
 
 
 def parse_props(events_ds, keys: list[str]):
