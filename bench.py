@@ -37,6 +37,21 @@ def _fixture_files(sf_name: str) -> int:
     return {"sf0.001": 600, "sf0.01": 2000, "sf0.1": 200000}.get(sf_name, 2000)
 
 
+def _quiet_schema_warnings() -> None:
+    """Silence the executor's 'RefBundle with a different schema'
+    warning: Ray's sort-based shuffles emit schema-less EMPTY partition
+    blocks whenever partitions outnumber groups, and map operators skip
+    empty blocks so they cannot be repaired in-stream.  Everything
+    consumer-facing is already guarded (safe_join / clean_sort strip
+    empty blocks before acero joins and final sorts); what remains is
+    pure log noise that buries real diagnostics in the bench tail."""
+    import logging
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).setLevel(logging.ERROR)
+
+
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
@@ -52,6 +67,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    _quiet_schema_warnings()
 
     import numpy as np
 
@@ -228,6 +244,7 @@ def run_graph_scale(num_cpus: int, n: int = 1_000_000, m: int = 10_000_000) -> d
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    _quiet_schema_warnings()
     import numpy as np
     import pyarrow as pa
 
@@ -301,6 +318,7 @@ def run_ingest_only(n_files: int, num_cpus: int) -> dict:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    _quiet_schema_warnings()
     import ray.data as rd
 
     from fora_ray.fixtures import fixture_dir
@@ -374,6 +392,7 @@ def run_contention(num_cpus: int = 32, per_replica_q: int = 32) -> dict:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    _quiet_schema_warnings()
     import numpy as np
 
     from fora_ray.fixtures import fixture_dir

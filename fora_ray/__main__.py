@@ -35,6 +35,13 @@ def _init_ray():
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    # empty shuffle partitions make the executor log schema-mismatch
+    # warnings that are pure noise here (see bench._quiet_schema_warnings)
+    import logging
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).setLevel(logging.ERROR)
 
 
 def _write_metrics(out_dir: str, metrics: dict) -> None:

@@ -17,7 +17,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
-from ..stages.shuffle import pool_size
+from ..stages.shuffle import clean_sort, pool_size
 
 
 def _to_matrix(col) -> np.ndarray:
@@ -95,13 +95,20 @@ def brute_force_topk(emb_ds, queries: np.ndarray, k: int = 10):
     Ties broken by smaller vec_id so results are deterministic and
     comparable to a SQL oracle."""
     q_ref = ray.put(_normalize(np.asarray(queries, dtype=np.float64)))
+    nq = int(np.asarray(queries).shape[0])
     local = emb_ds.map_batches(
         _BatchTopK, fn_constructor_kwargs={"q_ref": q_ref, "k": k},
         batch_format="pyarrow", concurrency=pool_size(),
     )
-    merged = local.groupby("query_id").map_groups(_merge_topk(k), batch_format="pyarrow")
-    return merged.select_columns(["query_id", "rank", "vec_id", "score"]).sort(
-        ["query_id", "rank"]
+    # candidate set is tiny (blocks x nq x k rows): coalesce to <=nq
+    # blocks so the merge groupby's sort has no empty partitions —
+    # schema-less empties are what the executor warns about and what
+    # acero joins downstream reject (VERDICT r02 #7)
+    merged = local.repartition(max(1, min(nq, pool_size()[1]))).groupby(
+        "query_id").map_groups(_merge_topk(k), batch_format="pyarrow")
+    return clean_sort(
+        merged.select_columns(["query_id", "rank", "vec_id", "score"]),
+        ["query_id", "rank"],
     )
 
 
@@ -171,7 +178,10 @@ def ivf_topk(emb_ds, queries: np.ndarray, k: int = 10, nlist: int = 16,
         })
 
     local = assigned.groupby("centroid").map_groups(search_list, batch_format="pyarrow")
-    merged = local.groupby("query_id").map_groups(_merge_topk(k), batch_format="pyarrow")
-    return merged.select_columns(["query_id", "rank", "vec_id", "score"]).sort(
-        ["query_id", "rank"]
+    nq = Q.shape[0]
+    merged = local.repartition(max(1, min(nq, pool_size()[1]))).groupby(
+        "query_id").map_groups(_merge_topk(k), batch_format="pyarrow")
+    return clean_sort(
+        merged.select_columns(["query_id", "rank", "vec_id", "score"]),
+        ["query_id", "rank"],
     )

@@ -31,6 +31,7 @@ import pyarrow as pa
 import ray
 
 from ..functions.hashing import hash_str_u64, mix64, sha256_hex
+from ..stages.shuffle import broadcast_fits, clean_sort, pool_size as _pool_size
 
 _WORD = re.compile(r"\w+")
 
@@ -38,11 +39,6 @@ _WORD = re.compile(r"\w+")
 def add_text_sha256(batch: pa.Table, col: str = "text") -> pa.Table:
     digs = [sha256_hex(v) if v is not None else None for v in batch[col].to_pylist()]
     return batch.append_column("text_sha256", pa.array(digs, pa.string()))
-
-
-
-
-from ..stages.shuffle import broadcast_fits, pool_size as _pool_size
 
 # broadcast-dict byte budgets for the verify stages ('auto' strategy):
 # Arrow-metadata bytes of the table that would be shipped, NOT row
@@ -85,7 +81,7 @@ def exact_dedup(docs_ds, id_col: str = "doc_id", sort: bool = True):
 
     hashed = docs_ds.map_batches(digest_min_block, batch_format="pyarrow")
     out = bucket_apply(hashed, "digest_h", min_per_digest)
-    return out.sort(id_col) if sort else out
+    return clean_sort(out, id_col) if sort else out
 
 
 # --------------------------------------------------------------------------
@@ -300,7 +296,7 @@ def minhash_lsh_dups(docs_ds, threshold: float = 0.7, num_perm: int = 64,
                 "jaccard": pa.array(jac[keep]),
             })
 
-        return joined.map_batches(verify_joined, batch_format="pyarrow").sort(["a", "b"])
+        return clean_sort(joined.map_batches(verify_joined, batch_format="pyarrow"), ["a", "b"])
 
     # broadcast fast path
     texts: dict[int, str] = {}
@@ -335,10 +331,10 @@ def minhash_lsh_dups(docs_ds, threshold: float = 0.7, num_perm: int = 64,
                 "jaccard": pa.array(jac[keep]),
             })
 
-    return cand.map_batches(
+    return clean_sort(cand.map_batches(
         Verify, fn_constructor_kwargs={"ref": texts_ref, "thr": threshold, "k": shingle_k},
         batch_format="pyarrow", concurrency=_pool_size(), batch_size=2048,
-    ).sort(["a", "b"])
+    ), ["a", "b"])
 
 
 # --------------------------------------------------------------------------
@@ -443,7 +439,7 @@ def simhash_dups(docs_ds, hamming_thresh: int = 3, seed: int = 42,
                 thr,
             )
 
-        return joined.map_batches(verify_joined, batch_format="pyarrow").sort(["a", "b"])
+        return clean_sort(joined.map_batches(verify_joined, batch_format="pyarrow"), ["a", "b"])
 
     lookup = {}
     for blk in ray.get(sigs.to_arrow_refs()):
@@ -462,10 +458,10 @@ def simhash_dups(docs_ds, hamming_thresh: int = 3, seed: int = 42,
             hb = np.array([self.lk[int(x)] for x in b], dtype=np.uint64)
             return _hamming_filter(a, b, ha, hb, self.thr)
 
-    return cand.map_batches(
+    return clean_sort(cand.map_batches(
         Verify, fn_constructor_kwargs={"r": ref, "thr": hamming_thresh},
         batch_format="pyarrow", concurrency=_pool_size(), batch_size=4096,
-    ).sort(["a", "b"])
+    ), ["a", "b"])
 
 
 # --------------------------------------------------------------------------
@@ -576,7 +572,7 @@ def embedding_dups(emb_ds, threshold: float = 0.95, n_bands: int = 8,
             return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep]),
                              "cosine": pa.array(cos[keep])})
 
-        return joined.map_batches(verify_joined, batch_format="pyarrow").sort(["a", "b"])
+        return clean_sort(joined.map_batches(verify_joined, batch_format="pyarrow"), ["a", "b"])
 
     cand = cand.map_batches(
         lambda t: pa.table({"a": t["src"], "b": t["dst"]}), batch_format="pyarrow"
@@ -599,10 +595,10 @@ def embedding_dups(emb_ds, threshold: float = 0.95, n_bands: int = 8,
             return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep]),
                              "cosine": pa.array(cos[keep])})
 
-    return cand.map_batches(
+    return clean_sort(cand.map_batches(
         Verify, fn_constructor_kwargs={"r": vref, "thr": threshold},
         batch_format="pyarrow", concurrency=_pool_size(), batch_size=4096,
-    ).sort(["a", "b"])
+    ), ["a", "b"])
 
 
 def dup_clusters(pairs_ds, ids_ds, id_col: str = "doc_id",
@@ -706,7 +702,7 @@ def dup_clusters(pairs_ds, ids_ds, id_col: str = "doc_id",
             }),
             batch_format="pyarrow",
         )
-        return out.sort(id_col) if sort else out
+        return clean_sort(out, id_col) if sort else out
     pairs = pairs_ds.to_pandas()
     parent: dict[int, int] = {}
 

@@ -111,6 +111,17 @@ def _arrow_schema(ds) -> "pa.Schema":
     return pa.schema(list(zip(sch.names, sch.types)))
 
 
+def clean_sort(ds, keys, **sort_kw):
+    """Dataset.sort with schema-less empty blocks stripped first.
+
+    Pipelines ending in groupby/map_groups/join lineage feed the final
+    sort zero-column empty blocks, which makes the streaming executor
+    log 'RefBundle with a different schema' warnings on every run
+    (VERDICT r02 #7) — cosmetic, but they bury real diagnostics in the
+    bench tail.  Stripping is ref-list-only work on the driver."""
+    return drop_empty_blocks(ds, _arrow_schema(ds)).sort(keys, **sort_kw)
+
+
 def safe_join(left, right, on, right_on=None, num_partitions: int | None = None,
               join_type: str = "inner", drop: tuple = ("left", "right")):
     """Dataset.join with schema-less empty blocks stripped (see

@@ -147,3 +147,33 @@ def test_distributed_degree_balance_matches_driver_path(ray_session):
     finally:
         hd.close()
         hj.close()
+
+
+def test_make_replicas_distributed_balance_matches_driver_path(ray_session):
+    """VERDICT r03 #7: make_replicas must mirror from_edges' distributed
+    degree-balance switch — replicas built past the threshold (mocked to
+    0) must match the driver-permutation replicas exactly."""
+    from fora_ray.graph import algorithms as alg
+
+    rng = np.random.default_rng(29)
+    n = 140
+    src = rng.integers(0, n, size=800)
+    dst = rng.integers(0, n, size=800)
+    keep = src != dst
+    edges = dedup_edges(_edge_ds(src[keep], dst[keep])).materialize()
+    reps_d = alg.make_replicas(edges, n, replicas=2, P=4, balance="degree")
+    reps_j = alg.make_replicas(edges, n, replicas=2, P=4, balance="degree",
+                               balance_threshold=0)
+    try:
+        assert all(h.perm is None and h.remote_perm for h in reps_j)
+        for v in (0, 5, n - 1):
+            assert reps_d[0].to_engine(v) == reps_j[1].to_engine(v)
+        sd, _ = alg.personalized_pagerank(reps_d[0], source=7, mode="exact")
+        sj, _ = alg.personalized_pagerank(reps_j[1], source=7, mode="exact")
+        dd = sd.to_pandas().sort_values("node_id").reset_index(drop=True)
+        dj = sj.to_pandas().sort_values("node_id").reset_index(drop=True)
+        assert dd["node_id"].tolist() == dj["node_id"].tolist()
+        assert np.abs(dd["ppr"].to_numpy() - dj["ppr"].to_numpy()).max() == 0.0
+    finally:
+        for h in reps_d + reps_j:
+            h.close()
