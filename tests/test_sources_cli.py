@@ -75,3 +75,69 @@ def test_cli_ingest_and_pagerank(fix600, tmp_path):
     got = np.zeros(600)
     got[scores["node_id"]] = scores["ppr"]
     assert np.allclose(got, want, atol=1e-9)
+
+
+def _write_docs_parquet(path: str):
+    import pyarrow as pa
+
+    base = "the quick brown fox jumps over the lazy dog " * 12
+    texts = [
+        base, base + "extra tail", "completely different short text",
+        base.replace("quick", "rapid"), base,  # doc 4 == doc 0 exactly
+        "eins zwei drei der die das und ist nicht " * 8,
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 5 + ["de"]),
+    })
+    pq.write_table(t, path)
+
+
+def test_cli_dedup_curate_ann(tmp_path):
+    """VERDICT r03 #5: the LLM-pipeline operators must be runnable from
+    the ray-job CLI surface, writing parquet + METRICS.json."""
+    import json
+
+    from fora_ray.__main__ import main
+
+    docs = str(tmp_path / "docs.parquet")
+    _write_docs_parquet(docs)
+
+    d1 = str(tmp_path / "dedup_exact")
+    main(["dedup", "--docs", docs, "--out", d1, "--method", "exact"])
+    kept = ray.data.read_parquet(f"{d1}/kept").to_pandas()
+    assert sorted(kept["doc_id"]) == [0, 1, 2, 3, 5]  # doc 4 is an exact dup of 0
+    m = json.load(open(f"{d1}/METRICS.json"))
+    assert m["n_input"] == 6 and m["n_output"] == 5
+
+    d2 = str(tmp_path / "dedup_minhash")
+    main(["dedup", "--docs", docs, "--out", d2, "--method", "minhash",
+          "--threshold", "0.5", "--clusters"])
+    pairs = ray.data.read_parquet(f"{d2}/pairs").to_pandas()
+    assert {(0, 4)} <= set(map(tuple, pairs[["a", "b"]].to_numpy()))
+    clusters = ray.data.read_parquet(f"{d2}/clusters").to_pandas()
+    c = dict(zip(clusters["doc_id"], clusters["cluster"]))
+    assert c[0] == c[4]
+    assert json.load(open(f"{d2}/METRICS.json"))["n_output"] == len(pairs)
+
+    d3 = str(tmp_path / "curate")
+    main(["curate", "--docs", docs, "--out", d3, "--threshold", "0.5"])
+    curated = ray.data.read_parquet(f"{d3}/curated").to_pandas()
+    assert 0 < len(curated) < 6
+    assert {"doc_id", "text", "quality", "lang_pred"} <= set(curated.columns)
+    assert json.load(open(f"{d3}/METRICS.json"))["curated_docs"] == len(curated)
+
+    emb = str(tmp_path / "emb.parquet")
+    rng = np.random.default_rng(5)
+    import pyarrow as pa
+
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(20), pa.int64()),
+        "embedding": pa.array([rng.standard_normal(16).tolist() for _ in range(20)]),
+    }), emb)
+    d4 = str(tmp_path / "ann")
+    main(["ann", "--embeddings", emb, "--out", d4, "--nq", "3", "--k", "5"])
+    topk = ray.data.read_parquet(f"{d4}/topk").to_pandas()
+    assert len(topk) == 15 and topk["rank"].max() == 5
+    assert json.load(open(f"{d4}/METRICS.json"))["nq"] == 3
