@@ -39,6 +39,7 @@ def build_graph_tables(
     join_strategy: str = "auto",
     num_partitions: int | None = None,
     verify_concurrency: int = 4,
+    id_sort_partitions: int | None = None,
 ):
     """Run M1..M7: returns dict with nodes/edges/edges_undirected/degrees
     Datasets plus n_nodes.  All lazy except nodes (id assignment sorts and
@@ -61,7 +62,7 @@ def build_graph_tables(
             concurrency=(1, verify_concurrency) if isinstance(verify_concurrency, int) else verify_concurrency,
         ).map_batches(lambda t: t.filter(t["ok"]), batch_format="pyarrow")
 
-    nodes, n = assign_node_ids(ds)
+    nodes, n = assign_node_ids(ds, sort_partitions=id_sort_partitions)
 
     refs = ds.map_batches(extract_batch, batch_format="pyarrow")  # M2
     cands = refs.map_batches(resolve_batch, batch_format="pyarrow")  # M3
