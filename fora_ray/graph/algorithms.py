@@ -195,15 +195,21 @@ def ppr_batch(handle, sources: list[int], mode: str = "fora", eps: float = 0.5,
     (SURVEY 4.4).  Returns (scores Dataset (query_idx, node_id, ppr),
     stats).  query_idx indexes into `sources`.
 
-    ckpt_dir enables per-superstep checkpoints of the (n_local, Q)
-    push state (consistent cut: in-flight payloads + dangling flushed
-    first); resume restores the latest committed step after validating
-    the manifest's sources/rmax against this call.  The walk phase is
-    not checkpointed — it re-runs from the restored residuals, which is
-    exactly the deterministic counter-RNG replay."""
+    ckpt_dir enables per-superstep checkpoints of BOTH phases
+    (consistent cut: in-flight payloads + dangling flushed first);
+    resume restores the latest committed step after validating the
+    manifest's sources/rmax (push) or sources/seed (walk) against this
+    call.  Walk-phase checkpoints live under ``{ckpt_dir}/walk`` — per
+    part: the (reserve, acc) matrices plus the pending walker arrays —
+    so a dead driver resumes mid-walk instead of replaying every hop
+    (at 10^9-walk scale replay is the dominant recovery cost)."""
+    import os as _os
+
     import numpy as np
 
     import ray as _ray
+
+    from ..state.checkpoint import checkpoint_walk_step, restore_walk_step
 
     P = handle.P
     sources_e = [handle.to_engine(s) for s in sources]
@@ -213,15 +219,29 @@ def ppr_batch(handle, sources: list[int], mode: str = "fora", eps: float = 0.5,
     else:
         p = fora_params(handle.n, handle.m, eps, delta, pfail, rmax_scale)
         rmax, sweep = p["rmax"], False
+    walk_dir = _os.path.join(ckpt_dir, "walk") if ckpt_dir is not None else None
+    # a committed WALK step supersedes any push step: restore it, skip
+    # the push loop entirely, and continue the walk from that hop
+    resumed_hop = None
+    walk_alive = 0
+    if resume and walk_dir is not None and mode == "fora":
+        wk = latest_step(walk_dir, P)
+        if wk is not None:
+            _, walk_alive = restore_walk_step(
+                handle, walk_dir, wk,
+                expect={"sources": [int(s) for s in sources_e], "seed": seed},
+            )
+            resumed_hop = wk
     start = 0
-    if resume and ckpt_dir is not None:
+    if resumed_hop is None and resume and ckpt_dir is not None:
         k = latest_step(ckpt_dir, P)
         if k is not None:
             restore_step(handle, ckpt_dir, k, ("reserve", "residual"),
                          expect={"sources": [int(s) for s in sources_e], "rmax": rmax})
             start = k
     rounds, outs, dang = start, None, None
-    while rounds < max_rounds:
+    rsum = None
+    while resumed_hop is None and rounds < max_rounds:
         calls = []
         for q_, w in enumerate(handle.workers):
             pls = [outs[r][q_ + 1] for r in range(P) if r != q_] if outs else []
@@ -261,8 +281,12 @@ def ppr_batch(handle, sources: list[int], mode: str = "fora", eps: float = 0.5,
             break
     stats = {"rounds": rounds, "rsum": rsum}
     if mode == "fora":
-        total = sum(handle.call_all("walk_init_batch", p["omega"], seed))
-        hop, alive, wouts = 0, total, None
+        if resumed_hop is not None:
+            hop, alive, wouts, total = resumed_hop, walk_alive, None, walk_alive
+            stats["resumed_walk_hop"] = resumed_hop
+        else:
+            total = sum(handle.call_all("walk_init_batch", p["omega"], seed))
+            hop, alive, wouts = 0, total, None
         while alive > 0:
             calls = []
             for q_, w in enumerate(handle.workers):
@@ -272,6 +296,18 @@ def ppr_batch(handle, sources: list[int], mode: str = "fora", eps: float = 0.5,
             wouts = calls
             alive = sum(m["alive"] for m in ms)
             hop += 1
+            if walk_dir is not None and alive > 0 and hop % ckpt_every == 0:
+                # flush in-flight walker payloads -> consistent cut
+                _ray.get([
+                    w.apply_walkers_batch.remote(*[wouts[r][q_ + 1] for r in range(P) if r != q_])
+                    for q_, w in enumerate(handle.workers)
+                ])
+                wouts = None
+                checkpoint_walk_step(
+                    handle, walk_dir, hop,
+                    extra={"sources": [int(s) for s in sources_e], "seed": seed,
+                           "alive": alive},
+                )
         stats.update(walks=total, hops=hop, **p)
     refs = [w.get_scores_batch.remote() for w in handle.workers]
     import ray as _ray

@@ -1137,6 +1137,47 @@ class ShardWorkerImpl:
         self._votes = None
         return changed
 
+    # ---- walk-phase checkpoint (VERDICT r02 missing #3) -------------------
+    def walk_checkpoint(self, path: str) -> int:
+        """Persist the pending batched walkers (cur, qidx, wt, wkey).
+        Separate file from the state checkpoint because the walker count
+        is unrelated to n_local.  At 10^9-walk scale this is what makes
+        a dead driver resume mid-walk instead of replaying every hop."""
+        if getattr(self, "_bpending", None) is not None:
+            cur, qidx, wt, wkey = self._bpending
+        else:
+            cur = qidx = np.empty(0, np.int64)
+            wt = np.empty(0, np.float64)
+            wkey = np.empty(0, np.uint64)
+        tmp = path + ".tmp"
+        pq.write_table(pa.table({
+            "cur": pa.array(np.asarray(cur, np.int64)),
+            "qidx": pa.array(np.asarray(qidx, np.int64)),
+            "wt": pa.array(np.asarray(wt, np.float64)),
+            "wkey": pa.array(np.asarray(wkey, np.uint64), pa.uint64()),
+        }), tmp)
+        os.replace(tmp, path)
+        return int(len(cur))
+
+    def walk_restore(self, path: str) -> int:
+        t = pq.read_table(path)
+        if t.num_rows == 0:
+            self._bpending = None
+            return 0
+        self._bpending = (
+            t["cur"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["qidx"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["wt"].to_numpy(zero_copy_only=False).astype(np.float64),
+            t["wkey"].to_numpy(zero_copy_only=False).astype(np.uint64),
+        )
+        return t.num_rows
+
+    def set_sources(self, sources: list[int]):
+        """Re-arm _sources after a walk-phase restore (dangling walkers
+        restart at their query's source)."""
+        self._sources = list(sources)
+        return True
+
     # ---- checkpoint / restore (SURVEY 4.3) --------------------------------
     def checkpoint(self, path: str, fields=("reserve", "residual")) -> dict:
         """Persist state fields.  Batched (n_local, Q) matrices are

@@ -114,3 +114,42 @@ def test_batch_resume_matches_uninterrupted(graph600, tmp_path):
     assert stats["rounds"] > 5
     assert full_df["node_id"].tolist() == res_df["node_id"].tolist()
     assert np.allclose(full_df["ppr"].to_numpy(), res_df["ppr"].to_numpy(), atol=1e-12)
+
+
+def test_walk_phase_resume_matches_uninterrupted(graph600, tmp_path):
+    """VERDICT r03: mid-walk checkpoints — a fresh handle must resume
+    from the last committed walk hop (skipping the push phase entirely)
+    and reproduce the uninterrupted run bit-for-bit (counter RNG)."""
+    edges, n = graph600
+    ck = str(tmp_path / "ck_walk")
+    srcs = [3, 17, 42]
+
+    with GraphHandle.from_edges(to_dataset(edges), n, P=4) as h:
+        scores, _ = alg.ppr_batch(h, srcs, mode="fora", seed=11)
+        golden = scores.to_pandas().sort_values(
+            ["query_idx", "node_id"]).reset_index(drop=True)
+
+    # full run with per-hop walk checkpoints: leaves a committed
+    # mid-walk step behind (only hops with walkers still alive commit)
+    with GraphHandle.from_edges(to_dataset(edges), n, P=4) as h:
+        alg.ppr_batch(h, srcs, mode="fora", seed=11, ckpt_dir=ck, ckpt_every=1)
+    wk = latest_step(os.path.join(ck, "walk"), 4)
+    assert wk is not None and wk >= 1
+
+    # fresh actors: resume must restore hop `wk` and finish the walk
+    with GraphHandle.from_edges(to_dataset(edges), n, P=4) as h:
+        scores, stats = alg.ppr_batch(h, srcs, mode="fora", seed=11,
+                                      ckpt_dir=ck, resume=True, ckpt_every=1000)
+        resumed = scores.to_pandas().sort_values(
+            ["query_idx", "node_id"]).reset_index(drop=True)
+    assert stats.get("resumed_walk_hop") == wk
+    assert golden["node_id"].tolist() == resumed["node_id"].tolist()
+    assert np.abs(golden["ppr"].to_numpy() - resumed["ppr"].to_numpy()).max() == 0.0
+
+    # a walk ckpt written for different sources must refuse on resume
+    import pytest
+
+    with GraphHandle.from_edges(to_dataset(edges), n, P=4) as h:
+        with pytest.raises(ValueError, match="refusing to restore"):
+            alg.ppr_batch(h, [5, 6, 7], mode="fora", seed=11,
+                          ckpt_dir=ck, resume=True)
