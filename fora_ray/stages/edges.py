@@ -86,7 +86,14 @@ def resolve_to_ids(candidates_ds, nodes_ds, n_nodes: int, strategy: str = "auto"
     if concurrency is None:
         concurrency = (1, max(4, int(ray.cluster_resources().get("CPU", 8))))
     if strategy == "auto":
-        strategy = "broadcast" if n_nodes <= 2_000_000 else "join"
+        # the broadcast is two flat arrays (u64 key + i64 id = 16 B per
+        # node), NOT a Python dict — 30M nodes is ~0.5 GB in every
+        # worker's heap, still far cheaper than the hash-join path
+        # (measured 5x slower end-to-end at the 2M tier, and its
+        # aggregator actors starve sessions smaller than the partition
+        # count).  The old 2M row threshold pushed a 2.4M-node corpus
+        # onto the join path and livelocked an 8-CPU session.
+        strategy = "broadcast" if n_nodes <= 30_000_000 else "join"
     if strategy == "broadcast":
         # key hashing runs distributed (one small (key, node_id) table
         # per block); the driver only concatenates u64/int64 arrays —
