@@ -86,7 +86,7 @@ def _block_nonempty(t: pa.Table) -> bool:
     return t.num_rows > 0
 
 
-def drop_empty_blocks(ds, schema: "pa.Schema"):
+def drop_empty_blocks(ds, schema: "pa.Schema | None" = None):
     """Remove schema-less empty blocks before a Dataset.join.
 
     Ray's sort-based shuffles (sort / groupby.aggregate / map_groups)
@@ -97,11 +97,19 @@ def drop_empty_blocks(ds, schema: "pa.Schema"):
     This materializes the dataset (blocks stay in the object store —
     only the ref list is driver-side) and rebuilds it from the
     non-empty blocks; a fully-empty dataset becomes one empty block
-    carrying `schema` so the join still sees its key columns."""
+    carrying `schema` so the join still sees its key columns.
+
+    MATERIALIZE FIRST, ask for the schema after: ``ds.schema()`` on a
+    lazy lineage triggers its own execution, so schema-then-refs ran
+    the whole upstream pipeline TWICE (measured +40% on the minhash
+    pipeline).  On a materialized dataset both are metadata-only."""
+    ds = ds.materialize()
     refs = ds.to_arrow_refs()
     keep = ray.get([_block_nonempty.remote(r) for r in refs])
     kept = [r for r, k in zip(refs, keep) if k]
     if not kept:
+        if schema is None:
+            schema = _arrow_schema(ds)
         return ray.data.from_arrow(schema.empty_table())
     return ray.data.from_arrow_refs(kept)
 
@@ -118,8 +126,9 @@ def clean_sort(ds, keys, **sort_kw):
     sort zero-column empty blocks, which makes the streaming executor
     log 'RefBundle with a different schema' warnings on every run
     (VERDICT r02 #7) — cosmetic, but they bury real diagnostics in the
-    bench tail.  Stripping is ref-list-only work on the driver."""
-    return drop_empty_blocks(ds, _arrow_schema(ds)).sort(keys, **sort_kw)
+    bench tail.  Stripping is ref-list-only work on the driver (the
+    single execution happens inside drop_empty_blocks' materialize)."""
+    return drop_empty_blocks(ds).sort(keys, **sort_kw)
 
 
 def safe_join(left, right, on, right_on=None, num_partitions: int | None = None,
@@ -137,9 +146,9 @@ def safe_join(left, right, on, right_on=None, num_partitions: int | None = None,
     join.  Chained joins must keep their left (previous join output) in
     `drop`."""
     if "left" in drop:
-        left = drop_empty_blocks(left, _arrow_schema(left))
+        left = drop_empty_blocks(left)
     if "right" in drop:
-        right = drop_empty_blocks(right, _arrow_schema(right))
+        right = drop_empty_blocks(right)
     return left.join(
         right, join_type=join_type, num_partitions=join_partitions(num_partitions),
         on=on, right_on=right_on,
