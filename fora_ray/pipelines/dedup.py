@@ -137,25 +137,24 @@ class MinHasher:
 BUCKET_CAP = 512  # max docs per LSH bucket before sub-sharding
 
 
-def _bucket_pairs(group: pa.Table, cap: int = BUCKET_CAP) -> pa.Table:
-    """Doc-id pairs within one (band_id, band_hash) bucket.
+def _pairs_for_ids(ids: np.ndarray, cap: int, out_a: list, out_b: list) -> None:
+    """Append capped all-pairs for one LSH bucket's UNIQUE doc ids.
 
     All-pairs is O(b^2): one hot bucket (boilerplate/empty docs sharing
     a signature) would explode without a bound.  Buckets over `cap` are
     sub-sharded by a secondary hash of the doc id — pairs are only
     generated within a sub-shard, bounding work at ~cap^2 per shard
-    while still pairing every doc with ~cap near-neighbors.  The count
+    while still pairing every doc with ~cap near-neighbors; bridge
+    pairs keep the sub-shards connected for dup_clusters.  The count
     of capped buckets is observable via the oversize_buckets column of
     lsh_bucket_stats (A6 counter convention)."""
-    ids = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
     if ids.size < 2:
-        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        return
     if ids.size > cap:
         n_sub = -(-ids.size // cap)  # ceil
         sub = (mix64(ids.astype(np.uint64), np.uint64(0x5CA1AB1E))
                % np.uint64(n_sub)).astype(np.int64)
         root = int(ids.min())
-        out_a, out_b = [], []
         for s in range(n_sub):
             part = ids[sub == s]
             if part.size >= 2:
@@ -170,12 +169,64 @@ def _bucket_pairs(group: pa.Table, cap: int = BUCKET_CAP) -> pa.Table:
                 hi = max(root, int(part.min()))
                 out_a.append(np.array([lo], dtype=np.int64))
                 out_b.append(np.array([hi], dtype=np.int64))
-        if not out_a:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-        return pa.table({"a": pa.array(np.concatenate(out_a)),
-                         "b": pa.array(np.concatenate(out_b))})
+        return
     i, j = np.triu_indices(ids.size, 1)
-    return pa.table({"a": pa.array(ids[i]), "b": pa.array(ids[j])})
+    out_a.append(ids[i])
+    out_b.append(ids[j])
+
+
+def _bucket_pairs(group: pa.Table, cap: int = BUCKET_CAP) -> pa.Table:
+    """Doc-id pairs within one (band_id, band_hash) bucket (map_groups
+    form; the bucketed fast path below is what the pipelines use)."""
+    ids = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
+    out_a: list = []
+    out_b: list = []
+    _pairs_for_ids(ids, cap, out_a, out_b)
+    if not out_a:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    return pa.table({"a": pa.array(np.concatenate(out_a)),
+                     "b": pa.array(np.concatenate(out_b))})
+
+
+def _candidate_pairs(sigs_ds, cap: int = BUCKET_CAP):
+    """(band_id, band_hash, doc_id) rows -> candidate (src, dst) pairs.
+
+    One bucketed u64-hash shuffle (stages/shuffle.bucket_apply) instead
+    of a sort-based groupby over millions of tiny LSH buckets: each of
+    the ~2xCPU bucket groups holds MANY signature buckets, segmented
+    inside one vectorized lexsort pass — the repo's standard pattern,
+    ~2x cheaper than Ray's sort-based map_groups at this shape."""
+    from ..stages.shuffle import bucket_apply
+
+    def add_key(t: pa.Table) -> pa.Table:
+        bh = t["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bi = t["band_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = mix64(bh, bi ^ np.uint64(0xB4B4_1D1D))
+        return pa.table({"key": pa.array(key, pa.uint64()), "doc_id": t["doc_id"]})
+
+    def gen(g: pa.Table) -> pa.Table:
+        key = g["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, key))
+        key, ids = key[order], ids[order]
+        new = np.empty(key.size, dtype=bool)
+        new[0] = True
+        new[1:] = (key[1:] != key[:-1]) | (ids[1:] != ids[:-1])  # unique (key, id)
+        key, ids = key[new], ids[new]
+        seg = np.empty(key.size, dtype=bool)
+        seg[0] = True
+        seg[1:] = key[1:] != key[:-1]
+        bounds = np.append(np.nonzero(seg)[0], key.size)
+        out_a: list = []
+        out_b: list = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            _pairs_for_ids(ids[s:e], cap, out_a, out_b)
+        if not out_a:
+            return pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+        return pa.table({"src": pa.array(np.concatenate(out_a)),
+                         "dst": pa.array(np.concatenate(out_b))})
+
+    return bucket_apply(sigs_ds.map_batches(add_key, batch_format="pyarrow"), "key", gen)
 
 
 def lsh_bucket_stats(sigs_ds, cap: int = BUCKET_CAP):
@@ -241,55 +292,59 @@ def minhash_lsh_dups(docs_ds, threshold: float = 0.7, num_perm: int = 64,
         MinHasher(num_perm=num_perm, bands=bands, shingle_k=shingle_k, seed=seed),
         batch_format="pyarrow",
     )  # plain-callable task stage: setup is trivial, tasks reuse warm workers
-    pairs = (
-        sigs.groupby(["band_id", "band_hash"])
-        .map_groups(_bucket_pairs, batch_format="pyarrow")
-    )
     # dedup candidate pairs across bands; doc ids are arbitrary int64
     # (snowflake-style ids exceed 2^32) -> always the pair-safe distinct
     from ..stages.edges import dedup_edges
 
-    cand = dedup_edges(
-        pairs.map_batches(
-            lambda t: pa.table({"src": t["a"], "dst": t["b"]}), batch_format="pyarrow"
-        ),
-        wide_ids=True,
-    )
+    cand = dedup_edges(_candidate_pairs(sigs), wide_ids=True)
     if verify_strategy == "auto":
         verify_strategy = "broadcast" if broadcast_fits(docs_ds, broadcast_bytes) else "join"
+
+    # shingle each doc ONCE, distributed, as a sorted-unique uint64
+    # array packed to bytes.  The previous verify re-shingled every doc
+    # inside every verify actor that saw it (per-actor caches): at 32
+    # actors that was up to 32x the shingling work and dominated the
+    # verify stage (measured ~8.5 s of a 15 s minhash run at sf0.1).
+    # Exact Jaccard over sorted arrays via np.intersect1d is identical
+    # to the old frozenset math (same hash sets, deduped both ways).
+    def shingle_block(t: pa.Table, k=shingle_k) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "sh": pa.array(
+                [np.unique(_shingle_hashes(txt or "", k)).tobytes()
+                 for txt in t["text"].to_pylist()],
+                pa.large_binary(),
+            ),
+        })
+
+    sets_ds = docs_ds.map_batches(shingle_block, batch_format="pyarrow")
+
+    def _jac_arrays(sa: np.ndarray, sb: np.ndarray) -> float:
+        if sa.size == 0 and sb.size == 0:
+            return 1.0
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        return inter / (sa.size + sb.size - inter)
 
     if verify_strategy == "join":
         from ..stages.shuffle import safe_join
 
-        texts = docs_ds.select_columns(["doc_id", "text"])
-        ta = texts.rename_columns({"doc_id": "a_id", "text": "text_a"})
-        tb = texts.rename_columns({"doc_id": "b_id", "text": "text_b"})
+        sa_ds = sets_ds.rename_columns({"doc_id": "a_id", "sh": "sh_a"})
+        sb_ds = sets_ds.rename_columns({"doc_id": "b_id", "sh": "sh_b"})
         joined = safe_join(
-            safe_join(cand, ta, on=("src",), right_on=("a_id",),
+            safe_join(cand, sa_ds, on=("src",), right_on=("a_id",),
                       num_partitions=num_partitions, drop=("left",)),
-            tb, on=("dst",), right_on=("b_id",), num_partitions=num_partitions,
+            sb_ds, on=("dst",), right_on=("b_id",), num_partitions=num_partitions,
             drop=("left",),
         )
 
-        def verify_joined(t: pa.Table, thr=threshold, k=shingle_k) -> pa.Table:
+        def verify_joined(t: pa.Table, thr=threshold) -> pa.Table:
             if t.num_rows == 0 or "src" not in t.schema.names:
                 return _empty_pairs("jaccard")
             a = t["src"].to_numpy(zero_copy_only=False)
             b = t["dst"].to_numpy(zero_copy_only=False)
-            cache: dict[int, frozenset] = {}  # batch-local shingle cache
             jac = np.empty(len(a))
-            for i, (x, y, txa, txb) in enumerate(
-                zip(a, b, t["text_a"].to_pylist(), t["text_b"].to_pylist())
-            ):
-                sa = cache.get(int(x))
-                if sa is None:
-                    sa = frozenset(_shingle_hashes(txa or "", k).tolist())
-                    cache[int(x)] = sa
-                sb = cache.get(int(y))
-                if sb is None:
-                    sb = frozenset(_shingle_hashes(txb or "", k).tolist())
-                    cache[int(y)] = sb
-                jac[i] = _jaccard_sets(sa, sb)
+            for i, (xb, yb) in enumerate(zip(t["sh_a"].to_pylist(), t["sh_b"].to_pylist())):
+                jac[i] = _jac_arrays(np.frombuffer(xb, np.uint64), np.frombuffer(yb, np.uint64))
             keep = jac >= thr
             return pa.table({
                 "a": pa.array(a[keep]), "b": pa.array(b[keep]),
@@ -298,33 +353,28 @@ def minhash_lsh_dups(docs_ds, threshold: float = 0.7, num_perm: int = 64,
 
         return clean_sort(joined.map_batches(verify_joined, batch_format="pyarrow"), ["a", "b"])
 
-    # broadcast fast path
-    texts: dict[int, str] = {}
-    for blk in ray.get(docs_ds.select_columns(["doc_id", "text"]).to_arrow_refs()):
-        for i, txt in zip(blk["doc_id"].to_pylist(), blk["text"].to_pylist()):
-            texts[i] = txt
-    texts_ref = ray.put(texts)
+    # broadcast fast path: the precomputed shingle arrays ship once
+    sets: dict[int, np.ndarray] = {}
+    for blk in ray.get(sets_ds.to_arrow_refs()):
+        if blk.num_rows == 0 or "doc_id" not in blk.schema.names:
+            continue
+        for i, sh in zip(blk["doc_id"].to_pylist(), blk["sh"].to_pylist()):
+            sets[i] = np.frombuffer(sh, np.uint64)
+    sets_ref = ray.put(sets)
+    _EMPTY_U64 = np.empty(0, np.uint64)
 
     class Verify:
-        def __init__(self, ref, thr, k):
-            self.texts, self.thr, self.k = ray.get(ref), thr, k
-            self._sets: dict[int, frozenset] = {}  # per-actor shingle cache:
-            # a doc appears in many candidate pairs; shingling it once per
-            # actor instead of once per pair is a ~10x verify speedup
-
-        def _set(self, i: int) -> frozenset:
-            s = self._sets.get(i)
-            if s is None:
-                s = frozenset(_shingle_hashes(self.texts.get(i) or "", self.k).tolist())
-                self._sets[i] = s
-            return s
+        def __init__(self, ref, thr):
+            self.sets, self.thr = ray.get(ref), thr
 
         def __call__(self, t: pa.Table) -> pa.Table:
             a = t["src"].to_numpy(zero_copy_only=False)
             b = t["dst"].to_numpy(zero_copy_only=False)
             jac = np.empty(len(a))
             for i, (x, y) in enumerate(zip(a, b)):
-                jac[i] = _jaccard_sets(self._set(int(x)), self._set(int(y)))
+                jac[i] = _jac_arrays(
+                    self.sets.get(int(x), _EMPTY_U64), self.sets.get(int(y), _EMPTY_U64)
+                )
             keep = jac >= self.thr
             return pa.table({
                 "a": pa.array(a[keep]), "b": pa.array(b[keep]),
@@ -332,7 +382,7 @@ def minhash_lsh_dups(docs_ds, threshold: float = 0.7, num_perm: int = 64,
             })
 
     return clean_sort(cand.map_batches(
-        Verify, fn_constructor_kwargs={"ref": texts_ref, "thr": threshold, "k": shingle_k},
+        Verify, fn_constructor_kwargs={"ref": sets_ref, "thr": threshold},
         batch_format="pyarrow", concurrency=_pool_size(), batch_size=2048,
     ), ["a", "b"])
 
@@ -393,15 +443,10 @@ def simhash_dups(docs_ds, hamming_thresh: int = 3, seed: int = 42,
             "doc_id": pa.array(np.concatenate(out_ids)),
         })
 
-    pairs = (
-        sigs.map_batches(explode_bands, batch_format="pyarrow")
-        .groupby(["band_id", "band_hash"])
-        .map_groups(_bucket_pairs, batch_format="pyarrow")
-    )
     from ..stages.edges import dedup_edges
 
     cand = dedup_edges(
-        pairs.map_batches(lambda t: pa.table({"src": t["a"], "dst": t["b"]}), batch_format="pyarrow"),
+        _candidate_pairs(sigs.map_batches(explode_bands, batch_format="pyarrow")),
         wide_ids=True,  # arbitrary int64 doc ids
     )
 
@@ -521,14 +566,9 @@ def embedding_dups(emb_ds, threshold: float = 0.95, n_bands: int = 8,
     )
     # capped/sub-sharded pair generation, same policy as the text LSH —
     # a hot hyperplane bucket must not go quadratic either
-    cand = buckets.groupby(["band_id", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pyarrow")
     from ..stages.edges import dedup_edges
 
-    cand = dedup_edges(
-        cand.map_batches(lambda t: pa.table({"src": t["a"], "dst": t["b"]}), batch_format="pyarrow"),
-        wide_ids=True,  # arbitrary int64 vec ids
-    )
+    cand = dedup_edges(_candidate_pairs(buckets), wide_ids=True)  # arbitrary int64 vec ids
     if verify_strategy == "auto":
         verify_strategy = "broadcast" if broadcast_fits(emb_ds, broadcast_bytes) else "join"
 
