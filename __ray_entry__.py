@@ -384,6 +384,34 @@ def _queries_graph():
         df["ppr"] = df["ppr"].round(ROUND)
         return df
 
+    def hubppr_q(sf_dir):
+        import pandas as pd
+
+        from fora_ray.goldens import ROUND
+        from fora_ray.graph.runtime import GraphHandle
+
+        g = _graph(sf_dir)
+        if "handle_rev" not in g:
+            g["handle_rev"] = GraphHandle.from_reverse_edges(g["edges"], g["n"], P=4)
+        hf, hr = g["handle"], g["handle_rev"]
+        if "hub_index" not in g:
+            alg.build_hub_index(hf, alg.select_hubs(hf, 16), pool_size=512, seed=42)
+            alg.build_backward_hub_oracle(hr, alg.select_hubs(hr, 16), rmax_hub=1e-4)
+            g["hub_index"] = True
+        deg = g["degrees"].to_pandas()
+        targets = [
+            int(t) for t in deg.sort_values(
+                ["in_deg", "node_id"], ascending=[False, True]
+            )["node_id"].head(2)
+        ]
+        rows = [
+            (s, t, alg.hubppr(hf, hr, s, t, eps=0.5, seed=42)[0])
+            for t in targets for s in (0, 1, 2, 3)
+        ]
+        df = pd.DataFrame(rows, columns=["source", "target", "ppr"])
+        df["ppr"] = df["ppr"].round(ROUND)
+        return df
+
     return {
         "ingest_nodes": ingest_nodes,
         "ingest_edges": ingest_edges,
@@ -395,6 +423,7 @@ def _queries_graph():
         "monte_carlo_ppr": monte_carlo_q,
         "fora_indexed": fora_indexed_q,
         "backward_ppr": backward_ppr_q,
+        "hubppr": hubppr_q,
         "topk_ppr": topk_ppr_q,
         "cc": cc_q,
         "lpa": lpa_q,
@@ -640,6 +669,10 @@ def oracle_sql() -> dict[str, str]:
         "fora_ppr": (
             f"SELECT node_id, ppr FROM read_parquet('{gold['fora_ppr']}') "
             "ORDER BY node_id"
+        ),
+        "hubppr": (
+            f"SELECT source, target, ppr FROM read_parquet('{gold['hubppr']}') "
+            "ORDER BY target, source"
         ),
         "monte_carlo_ppr": (
             f"SELECT node_id, ppr FROM read_parquet('{gold['monte_carlo_ppr']}') "

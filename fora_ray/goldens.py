@@ -41,7 +41,7 @@ from .oracle import lpa_oracle, ppr_column_oracle, ppr_power_iteration
 
 ROUND = 9
 _WORD = re.compile(r"\w+")
-_VERSION = 5
+_VERSION = 6
 
 
 def _round_col(x: np.ndarray) -> np.ndarray:
@@ -130,6 +130,25 @@ def topk_ppr_golden(fix_dir: str, k: int = 10) -> pa.Table:
     ids, vals = _sim_for(fix_dir).topk_ppr(0, k=k, seed=42)
     return pa.table({"node_id": pa.array(ids.astype(np.int64)),
                      "ppr": pa.array(_round_col(vals))})
+
+
+def hubppr_golden(fix_dir: str) -> pa.Table:
+    """G6 pairwise HubPPR replay — pair set, hub counts, pool size and
+    rmax_hub must mirror __ray_entry__.hubppr_q exactly."""
+    sim = _sim_for(fix_dir)
+    sim.build_hub_index(sim.select_hubs_fwd(16), 512, seed=42)
+    sim.build_backward_hub_oracle(sim.select_hubs_bwd(16), 1e-4)
+    deg = pq.read_table(os.path.join(fix_dir, "degrees.parquet"))
+    in_deg = deg["in_deg"].to_numpy()
+    ids = deg["node_id"].to_numpy()
+    targets = [int(t) for t in ids[np.lexsort((ids, -in_deg))[:2]]]
+    rows = [(s, t, sim.hubppr(s, t, eps=0.5, seed=42))
+            for t in targets for s in (0, 1, 2, 3)]
+    return pa.table({
+        "source": pa.array([r[0] for r in rows], pa.int64()),
+        "target": pa.array([r[1] for r in rows], pa.int64()),
+        "ppr": pa.array(_round_col(np.array([r[2] for r in rows]))),
+    })
 
 
 def lpa_golden(fix_dir: str, max_rounds: int = 20) -> pa.Table:
@@ -510,6 +529,7 @@ _GRAPH_GOLDENS = {
     "ppr_batch": ppr_batch_golden,
     "fora_indexed": fora_indexed_golden,
     "topk_ppr": topk_ppr_golden,
+    "hubppr": hubppr_golden,
 }
 _DOC_GOLDENS = {
     "langid": langid_golden,

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 import ray
 
 from ..state.checkpoint import checkpoint_step, latest_step, restore_step
@@ -578,6 +579,141 @@ def bippr(handle_fwd, handle_rev, source: int, target: int, eps: float = 0.5,
     ])
     estimate = float(reserve_t_source) + float(sum(dots))
     return estimate, {"walks": W, "rmax_b": rmax_b, **bstats}
+
+
+# ---- G6 HubPPR (Wang/Tang/Xiao VLDB'16, re-expressed on the superstep
+# runtime; SURVEY 2.4 G6 — supersedes the round-1/2 documented skip) -----
+
+def _require_identity(handles) -> None:
+    for h, side in handles:
+        if h.perm is not None or getattr(h, "remote_perm", False):
+            raise ValueError(
+                f"hubppr requires identity-permutation handles, but the {side} "
+                "handle was built with balance='degree'; rebuild without "
+                "balancing for pairwise queries"
+            )
+
+
+def select_hubs(handle, H: int) -> np.ndarray:
+    """Top-H nodes by shard out-degree (deg desc, id asc — deterministic
+    under ties).  Per-shard exact top-H + driver merge of P*H candidates
+    (every global-top element is in its shard's top-H under the same
+    total order), so no n-sized degree vector touches the driver.  On
+    the forward handle this ranks by out-degree (the paper's degree
+    heuristic for frequently-visited nodes); on a reverse handle the
+    shard out-degree IS the original in-degree, i.e. backward-push
+    cost."""
+    if H <= 0:
+        return np.empty(0, np.int64)
+    parts = handle.call_all("top_degree_local", H)
+    ids = np.concatenate([p[0] for p in parts])
+    degs = np.concatenate([p[1] for p in parts])
+    if ids.size == 0:
+        return ids
+    order = np.lexsort((ids, -degs))[:H]
+    return np.sort(ids[order])
+
+
+def build_hub_index(handle, hub_ids, pool_size: int = 1024, seed: int = 42) -> dict:
+    """Forward hub walk pools: `pool_size` complete alpha-walk endpoints
+    per hub, generated by the FORA+ index walk machinery under the
+    BiPPR absorb-dangling convention (index_walk_round absorb=True)."""
+    hub_ids = np.asarray(hub_ids, dtype=np.int64)
+    total = sum(handle.call_all("hub_index_init", hub_ids, pool_size, seed))
+    hop, alive = 0, total
+    while alive > 0:
+        metas, _ = handle._exchange("index_walk_round", "apply_index_walkers", hop, True)
+        alive = sum(m["alive"] for m in metas)
+        hop += 1
+    handle._exchange("index_endpoint_exchange", "apply_endpoints")
+    sizes = handle.call_all("hub_index_build")
+    return {"hubs": int(hub_ids.size), "pool_size": pool_size,
+            "stored": int(sum(sizes)), "hops": hop}
+
+
+def build_backward_hub_oracle(handle_rev, hub_ids, rmax_hub: float,
+                              max_rounds: int = 10_000) -> dict:
+    """Backward hub oracles: one fine-rmax backward push per hub (hub
+    id ascending); each shard captures ITS OWN sparse (reserve,
+    residual) slice in place — the oracle never moves through the
+    driver or the object store."""
+    hub_ids = np.sort(np.asarray(hub_ids, dtype=np.int64))
+    entries = 0
+    for h in hub_ids:
+        _scores, _stats = backward_ppr(handle_rev, int(h), mode="push",
+                                       rmax_b=rmax_hub, max_rounds=max_rounds)
+        entries += sum(handle_rev.call_all("bpush_oracle_capture", int(h)))
+    handle_rev.call_all("bpush_oracle_finalize", hub_ids)
+    return {"hubs": int(hub_ids.size), "rmax_hub": rmax_hub, "entries": entries}
+
+
+def hubppr(handle_fwd, handle_rev, source: int, target: int, eps: float = 0.5,
+           rmax_b: float | None = None, seed: int = 42,
+           max_rounds: int = 10_000) -> tuple[float, dict]:
+    """G6 — HubPPR pairwise estimate, same estimator as bippr
+    (pi(s,t) ~= reserve_t(s) + E_endpoint[r_t(endpoint)]) with both
+    phases hub-accelerated: backward push short-circuits hub residuals
+    through pre-stored fine-rmax oracles (exact — invariant
+    substitution), forward walks terminate at hubs by consuming stored
+    endpoints (unbiased; slot drawn from the walker's own key, see
+    runtime.walk_round).  Call build_hub_index(handle_fwd, ...) and
+    build_backward_hub_oracle(handle_rev, ...) first; with no hubs
+    prepared this degrades to exactly bippr's behavior."""
+    import math as _math
+
+    n = handle_fwd.n
+    assert handle_fwd.P == handle_rev.P, "HubPPR combine requires aligned v %% P shards"
+    _require_identity(((handle_fwd, "forward"), (handle_rev, "reverse")))
+    if rmax_b is None:
+        rmax_b = eps / _math.sqrt(max(n, 2))
+    P = handle_rev.P
+    handle_rev.call_all("ppr_init", target)
+    consumed: list = []
+    outs = None
+    rounds = hub_applies = 0
+    while rounds < max_rounds:
+        calls = []
+        for p, w in enumerate(handle_rev.workers):
+            pls = [outs[q][p + 1] for q in range(P) if q != p] if outs else []
+            calls.append(
+                w.bpush_round_hub.options(num_returns=P + 1).remote(rmax_b, consumed, *pls)
+            )
+        metas = ray.get([c[0] for c in calls])
+        outs = calls
+        consumed = [pair for m in metas for pair in m["consumed"]]
+        hub_applies += len(consumed)
+        active = sum(m["active"] for m in metas)
+        rounds += 1
+        if active == 0 and not consumed:
+            ray.get([
+                w.apply_residual.remote(*[outs[q][p + 1] for q in range(P) if q != p])
+                for p, w in enumerate(handle_rev.workers)
+            ])
+            break
+    reserve_t_source = ray.get(
+        handle_rev.workers[source % P].get_state_value.remote("reserve", source)
+    )
+    W = int(_math.ceil(16.0 * _math.log(max(n, 2)) / (eps * eps)))
+    handle_fwd.call_all("ppr_init", source)
+    handle_fwd.call_all("spawn_live_walks", source, 1.0, W, seed ^ (source * 0x85EBCA6B))
+    hop, alive = 0, W
+    while alive > 0:
+        ms, _ = handle_fwd._exchange("walk_round", "apply_walkers", hop, -1, True)
+        alive = sum(m["alive"] for m in ms)
+        hop += 1
+    tmetas, _ = handle_fwd._exchange("hub_term_exchange", "apply_acc")
+    handle_fwd.call_all("walk_fold")
+    resid_refs = [w.get_residual_sparse.remote() for w in handle_rev.workers]
+    dots = ray.get([
+        fw.dot_state_sparse.remote(ref, "reserve")
+        for fw, ref in zip(handle_fwd.workers, resid_refs)
+    ])
+    estimate = float(reserve_t_source) + float(sum(dots))
+    return estimate, {
+        "walks": W, "rmax_b": rmax_b, "rounds": rounds,
+        "hub_oracle_applies": hub_applies,
+        "hub_hits": sum(m["n"] for m in tmetas),
+    }
 
 
 def build_walk_index(handle, eps: float = 0.5, delta: float | None = None,

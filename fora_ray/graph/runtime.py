@@ -183,6 +183,7 @@ class ShardWorkerImpl:
         self.reserve = np.zeros(self.n_local)
         self.residual = np.zeros(self.n_local)
         self.acc = np.zeros(self.n_local)
+        self._hub_term = []
         if source is None:
             self.residual[:] = 1.0 / self.n
         elif source % self.P == self.part:
@@ -332,17 +333,42 @@ class ShardWorkerImpl:
         self.counters["walks"] += total
         return total
 
-    def walk_round(self, hop: int, source: int | None):
+    def walk_round(self, hop: int, source: int | None, use_hubs: bool = False):
         """Advance all pending walkers one hop.  Terminating walkers add
         their weight to the local accumulator; survivors are routed to
         the owner of their next node.  Walk payloads are (cur, wt, key)
-        triples (not aggregatable — each walker has its own RNG stream)."""
+        triples (not aggregatable — each walker has its own RNG stream).
+
+        use_hubs (G6 HubPPR): before the stop draw, a walker sitting at a
+        local hub with a stored endpoint pool terminates by drawing a
+        pool slot from its own key (stream key^0x4855B, counter=hop) —
+        the stored walk includes its own hop-0 stop draw at the hub, so
+        substitution is exactly an alpha-walk future.  Endpoint weights
+        are buffered and routed by hub_term_exchange after the loop."""
         meta = {"alive": 0}
         if self._pending is None:
             return tuple([meta] + [None] * self.P)
         cur, wt, wkey = self._pending
         self._pending = None
         loc = cur // self.P
+        if use_hubs and getattr(self, "hub_indptr", None) is not None:
+            pool = self.hub_indptr[loc + 1] - self.hub_indptr[loc]
+            hit = pool > 0
+            if hit.any():
+                slot = (
+                    mix64(wkey[hit] ^ np.uint64(0x4855B),
+                          np.full(int(hit.sum()), np.uint64(hop), np.uint64))
+                    % pool[hit].astype(np.uint64)
+                ).astype(np.int64)
+                ep = self.hub_endpoints[self.hub_indptr[loc[hit]] + slot]
+                if getattr(self, "_hub_term", None) is None:
+                    self._hub_term = []
+                self._hub_term.append((ep, wt[hit].copy()))
+                self.counters["hub_hits"] = self.counters.get("hub_hits", 0) + int(hit.sum())
+                keep = ~hit
+                cur, wt, wkey, loc = cur[keep], wt[keep], wkey[keep], loc[keep]
+                if cur.size == 0:
+                    return tuple([meta] + [None] * self.P)
         h = np.uint64(2 * hop)
         stop = rng_uniform(mix64(wkey, np.full(len(wkey), h, np.uint64))) < self.alpha
         if stop.any():
@@ -690,10 +716,14 @@ class ShardWorkerImpl:
         self._ipending = (origin.copy(), origin, kidx, wkey)  # (cur, origin, kidx, key)
         return total
 
-    def index_walk_round(self, hop: int):
+    def index_walk_round(self, hop: int, absorb: bool = False):
         """Advance index walkers one hop.  Dangling nodes are recorded as
         endpoint -1 (restart marker): the query re-runs those walks live
-        from its source, keeping semantics identical to mode='fora'."""
+        from its source, keeping semantics identical to mode='fora'.
+        absorb=True (hub index, G6): a dangling node stores ITSELF — the
+        BiPPR self-loop convention, so a stored walk is a complete
+        alpha-walk future under the same dangling semantics the pairwise
+        query walks use (source=-1)."""
         meta = {"alive": 0}
         if self._ipending is None:
             return tuple([meta] + [None] * self.P)
@@ -705,7 +735,7 @@ class ShardWorkerImpl:
         dang = (~stop) & (d == 0)
         done = stop | dang
         if done.any():
-            ep = np.where(stop, cur, -1)[done]
+            ep = (cur if absorb else np.where(stop, cur, -1))[done]
             self._endpoint_buf.append((origin[done], kidx[done], ep))
         alive = ~done
         cur, origin, kidx, wkey, loc, d = (
@@ -768,10 +798,9 @@ class ShardWorkerImpl:
                 self._ep_in.append(pl)
         return True
 
-    def index_build(self):
-        """Assemble the per-vertex endpoint index (CSR layout, walks in
-        kidx order so the first omega_v endpoints are a deterministic
-        prefix)."""
+    def _assemble_endpoint_index(self):
+        """Collected (origin, kidx, endpoint) triples -> per-vertex CSR
+        (walks in kidx order so prefixes / slots are deterministic)."""
         if getattr(self, "_ep_in", None):
             origin = np.concatenate([p[0] for p in self._ep_in])
             kidx = np.concatenate([p[1] for p in self._ep_in])
@@ -782,9 +811,15 @@ class ShardWorkerImpl:
         loc = origin // self.P
         counts = np.bincount(loc, minlength=self.n_local) if loc.size else np.zeros(self.n_local, np.int64)
         order = np.lexsort((kidx, loc)) if loc.size else np.empty(0, np.int64)
-        self.idx_indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
-        self.idx_endpoints = ep[order]
-        return int(ep.size)
+        indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        return indptr, ep[order]
+
+    def index_build(self):
+        """Assemble the per-vertex endpoint index (CSR layout, walks in
+        kidx order so the first omega_v endpoints are a deterministic
+        prefix)."""
+        self.idx_indptr, self.idx_endpoints = self._assemble_endpoint_index()
+        return int(self.idx_endpoints.size)
 
     def index_save(self, path: str):
         from ..stages.csr import _large_list
@@ -868,6 +903,145 @@ class ShardWorkerImpl:
         wkey = mix64(np.uint64(seed) ^ np.uint64(0xABCD), mix64(cur.astype(np.uint64), kidx.astype(np.uint64)))
         self._append_walkers((cur, wt, wkey))
         return k
+
+    # ---- G6 HubPPR: forward hub walk pool + backward hub oracle -----------
+    # (Wang/Tang/Xiao, "HubPPR", VLDB'16 — re-expressed on the superstep
+    # runtime.  SURVEY 2.4 G6.)  Forward: hub nodes pre-store a pool of
+    # alpha-walk endpoints; a live walker arriving at a hub terminates by
+    # drawing a stored endpoint WITH REPLACEMENT, slot selected from the
+    # walker's own counter-RNG key — order-free, hence deterministic at
+    # any parallelism (the paper's at-most-once bookkeeping would make
+    # results depend on distributed arrival order; with-replacement keeps
+    # the estimator unbiased since each stored endpoint is an iid draw of
+    # the walk-from-hub termination law, at a small variance cost that
+    # shrinks with pool size).  Backward: hubs pre-store a fine-rmax
+    # backward push result (rho_h, sigma_h); pushing residual r at hub h
+    # applies reserve += r*rho_h, residual += r*sigma_h instead of an
+    # in-degree-sized edge push — exact by the backward invariant
+    # pi(v,h) = rho_h(v) + sum_u sigma_h(u) pi(v,u).
+
+    def hub_index_init(self, hub_ids, pool_size: int, seed: int):
+        """Spawn `pool_size` index walks from each LOCAL hub.  Reuses the
+        FORA+ walk machinery (index_walk_round with absorb=True).  Key
+        stream seed^0x4855 is disjoint from the FORA+ index (^0xF0F0)
+        and live-walk (^0xABCD) streams."""
+        hub_ids = np.asarray(hub_ids, dtype=np.int64)
+        mine = np.sort(hub_ids[hub_ids % self.P == self.part])
+        self._endpoint_buf = []
+        if mine.size == 0 or pool_size <= 0:
+            self._ipending = None
+            return 0
+        origin = np.repeat(mine, pool_size)
+        kidx = np.tile(np.arange(pool_size, dtype=np.int64), mine.size)
+        wkey = mix64(np.uint64(seed) ^ np.uint64(0x4855),
+                     mix64(origin.astype(np.uint64), kidx.astype(np.uint64)))
+        self._ipending = (origin.copy(), origin, kidx, wkey)
+        return int(origin.size)
+
+    def hub_index_build(self):
+        self.hub_indptr, self.hub_endpoints = self._assemble_endpoint_index()
+        return int(self.hub_endpoints.size)
+
+    def hub_term_exchange(self):
+        """Route endpoint weights of hub-consumed walkers into the acc
+        of the endpoints' owners (one superstep after the walk loop)."""
+        if getattr(self, "_hub_term", None):
+            ep = np.concatenate([t[0] for t in self._hub_term])
+            wt = np.concatenate([t[1] for t in self._hub_term])
+        else:
+            ep, wt = np.empty(0, np.int64), np.empty(0)
+        self._hub_term = []
+        meta = {"n": int(ep.size), "mass": float(wt.sum())}
+        payloads = [None] * self.P
+        if ep.size:
+            payloads, _ = self._route_add(ep, wt, lambda ids, v: np.add.at(self.acc, ids, v))
+        return tuple([meta] + payloads)
+
+    def get_state_sparse(self, field: str = "residual"):
+        """Sparse copy of a state vector — detached from the live state,
+        so the caller can keep it across subsequent queries."""
+        v = getattr(self, field)
+        nz = np.nonzero(v)[0]
+        return nz.astype(np.int64), v[nz].copy()
+
+    def bpush_oracle_capture(self, h: int):
+        """Store this shard's slice of the CURRENT backward-push state as
+        hub h's oracle (called right after a fine-rmax push from h) —
+        the slice never leaves the worker that will apply it."""
+        if getattr(self, "hub_oracle", None) is None:
+            self.hub_oracle = {}
+        nzr = np.nonzero(self.reserve)[0]
+        nzd = np.nonzero(self.residual)[0]
+        self.hub_oracle[int(h)] = (
+            nzr.astype(np.int64), self.reserve[nzr].copy(),
+            nzd.astype(np.int64), self.residual[nzd].copy(),
+        )
+        return int(nzr.size + nzd.size)
+
+    def bpush_oracle_finalize(self, hub_ids):
+        self._hub_oracle_ids = np.sort(np.asarray(hub_ids, dtype=np.int64))
+        return True
+
+    def bpush_round_hub(self, rmax: float, consumed, *payloads):
+        """Backward-push superstep with hub short-circuit: (1) apply
+        incoming residual payloads (sender order), (2) apply the hub
+        oracles for the (hub, r) pairs every shard consumed LAST round
+        (driver-broadcast, collected shard-ascending), (3) drain local
+        hub actives by consumption (returned in meta) and non-hub
+        actives by a normal weighted push."""
+        for pl in payloads:
+            self._add_payload(self.residual, pl)
+        for h, rv in consumed:
+            sl = self.hub_oracle.get(int(h)) if getattr(self, "hub_oracle", None) else None
+            if sl is not None:
+                res_ids, res_vals, rsd_ids, rsd_vals = sl
+                if res_ids.size:
+                    self.reserve[res_ids] += rv * res_vals
+                if rsd_ids.size:
+                    self.residual[rsd_ids] += rv * rsd_vals
+        r = self.residual
+        idx = np.nonzero(r > rmax)[0]
+        my_consumed = []
+        if idx.size and getattr(self, "_hub_oracle_ids", None) is not None and self._hub_oracle_ids.size:
+            gid = self.global_ids[idx]
+            is_hub = np.isin(gid, self._hub_oracle_ids)
+            if is_hub.any():
+                for lr in idx[is_hub]:
+                    my_consumed.append((int(self.global_ids[lr]), float(r[lr])))
+                    r[lr] = 0.0
+                idx = idx[~is_hub]
+        meta = {"active": int(idx.size), "consumed": my_consumed, "dangling": 0.0}
+        payloads_out = [None] * self.P
+        if idx.size:
+            ra = r[idx].copy()
+            self.reserve[idx] += self.alpha * ra
+            r[idx] = 0.0
+            self.counters["pushes"] += int(idx.size)
+            counts = self.out_deg[idx]
+            if counts.sum():
+                dsts, row = self._gather_edges(idx)
+                starts = self.indptr[idx]
+                cum = np.concatenate([[0], np.cumsum(counts[:-1])])
+                pos = np.arange(int(counts.sum()), dtype=np.int64)
+                eidx = np.repeat(starts, counts) + (pos - np.repeat(cum, counts))
+                w = self.edge_weights[eidx]
+                per_edge = (1.0 - self.alpha) * ra[row] * w
+                payloads_out, sent = self._route_add(
+                    dsts, per_edge, lambda ids, v: np.add.at(self.residual, ids, v)
+                )
+                meta["sent_mass"] = sent
+        meta["rsum"] = float(r.sum()) + meta.get("sent_mass", 0.0)
+        return tuple([meta] + payloads_out)
+
+    def top_degree_local(self, k: int):
+        """This shard's top-k (out_deg desc, engine id asc) — exact local
+        sort, so the driver merge of P*k candidates is deterministic."""
+        d = self.out_deg
+        k = min(int(k), int(d.size))
+        if k <= 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        order = np.lexsort((self.global_ids, -d))[:k]
+        return self.global_ids[order], d[order].astype(np.int64)
 
     # ---- P=1 local fast path ----------------------------------------------
     def local_query(self, source, mode: str, rmax: float, omega: float,

@@ -152,6 +152,76 @@ class _ShardSim:
         return int(rows.size), dangling_vec, payloads
 
 
+class _RevShardSim:
+    """One weighted reverse-graph partition (backward push, G5/G6):
+    mirrors ShardWorkerImpl with edge_weights + bpush_round_hub's
+    float-op order (flat rmax threshold, no dangling redistribution)."""
+
+    def __init__(self, p: int, P: int, n: int, src: np.ndarray, dst: np.ndarray,
+                 w: np.ndarray, alpha: float):
+        self.p, self.P, self.n, self.alpha = p, P, n, alpha
+        self.n_local = n_local_of(n, P, p)
+        self.global_ids = np.arange(p, n, P, dtype=np.int64)
+        m = (src % P) == p
+        s, d, wv = src[m], dst[m], w[m]
+        loc = s // P
+        order = np.lexsort((d, loc))
+        counts = np.bincount(loc[order], minlength=self.n_local)
+        self.indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        self.indices = d[order].astype(np.int64)
+        self.weights = wv[order].astype(np.float64)
+        self.out_deg = np.diff(self.indptr)
+        self.reserve = self.residual = None
+        self.oracle: dict = {}
+
+    def init_single(self, target: int):
+        self.reserve = np.zeros(self.n_local)
+        self.residual = np.zeros(self.n_local)
+        if target % self.P == self.p:
+            self.residual[target // self.P] = 1.0
+
+    def bpush_hub(self, rmax: float, hubs):
+        """-> (active, consumed [(hub, r)], payloads) — hub rows drained
+        by consumption, others by the weighted push (bpush_round_hub)."""
+        r = self.residual
+        idx = np.nonzero(r > rmax)[0]
+        consumed: list = []
+        if idx.size and hubs is not None and hubs.size:
+            gid = self.global_ids[idx]
+            is_hub = np.isin(gid, hubs)
+            if is_hub.any():
+                for lr in idx[is_hub]:
+                    consumed.append((int(self.global_ids[lr]), float(r[lr])))
+                    r[lr] = 0.0
+                idx = idx[~is_hub]
+        payloads = [None] * self.P
+        if idx.size == 0:
+            return 0, consumed, payloads
+        ra = r[idx].copy()
+        self.reserve[idx] += self.alpha * ra
+        r[idx] = 0.0
+        counts = self.out_deg[idx]
+        if counts.sum():
+            total = int(counts.sum())
+            starts = self.indptr[idx]
+            cum = np.concatenate([[0], np.cumsum(counts[:-1])])
+            pos = np.arange(total, dtype=np.int64)
+            row = np.repeat(np.arange(idx.size, dtype=np.int64), counts)
+            eidx = np.repeat(starts, counts) + (pos - np.repeat(cum, counts))
+            dsts = self.indices[eidx]
+            per_edge = (1.0 - self.alpha) * ra[row] * self.weights[eidx]
+            owner = (dsts % self.P).astype(np.int64)
+            for q in np.unique(owner):
+                m = owner == q
+                uk, inv = np.unique(dsts[m] // self.P, return_inverse=True)
+                acc = np.bincount(inv, weights=per_edge[m])
+                if q == self.p:
+                    np.add.at(r, uk, acc)
+                else:
+                    payloads[int(q)] = (uk.astype(np.int64), acc)
+        return int(idx.size), consumed, payloads
+
+
 class ProtocolSim:
     """P-shard protocol replay over one edge table (engine ids only —
     callers using balance='degree' must translate, as the driver does)."""
@@ -478,3 +548,206 @@ class ProtocolSim:
         nz = np.nonzero(est)[0]
         order = nz[np.lexsort((nz, -est[nz]))][:k]
         return order, est[order]
+
+    # ---- G6 HubPPR replay (runtime hub_index_* / bpush_round_hub /
+    # walk_round(use_hubs=True); invariants: hub-index walk keys
+    # mix64(seed^0x4855, mix64(origin, kidx)) with absorb-dangling
+    # endpoints; consumption slot mix64(key^0x4855B, hop) % pool;
+    # backward rounds apply payloads (q ascending) THEN last round's
+    # consumed (hub, r) pairs (collected shard-ascending), then drain
+    # hubs by consumption and non-hubs by weighted push) ------------------
+
+    def _ensure_reverse(self):
+        """Weighted reverse shard sims (csr.build_weighted_reverse_shards:
+        reversed edges weighted 1/out_deg(orig src), dangling self-loops
+        weight 1, per-shard lexsort (local, dst))."""
+        if getattr(self, "rshards", None) is not None:
+            return
+        src = np.repeat(np.arange(self.n, dtype=np.int64), self.gdeg)
+        dst = self.gindices
+        w = 1.0 / np.maximum(self.gdeg[src], 1.0)
+        dang = np.nonzero(self.gdeg == 0)[0]
+        rsrc = np.concatenate([dst, dang])
+        rdst = np.concatenate([src, dang])
+        rw = np.concatenate([w, np.ones(dang.size)])
+        self.rshards = [
+            _RevShardSim(p, self.P, self.n, rsrc, rdst, rw, self.alpha)
+            for p in range(self.P)
+        ]
+
+    def _select_hubs(self, deg: np.ndarray, H: int) -> np.ndarray:
+        """Top-H by (deg desc, id asc) — the per-shard top-H + merge in
+        algorithms.select_hubs realizes the same global total order."""
+        if H <= 0:
+            return np.empty(0, np.int64)
+        ids = np.arange(deg.size, dtype=np.int64)
+        order = np.lexsort((ids, -deg))[:H]
+        return np.sort(ids[order])
+
+    def select_hubs_fwd(self, H: int) -> np.ndarray:
+        return self._select_hubs(self.gdeg, H)
+
+    def select_hubs_bwd(self, H: int) -> np.ndarray:
+        self._ensure_reverse()
+        rdeg = np.zeros(self.n, dtype=np.int64)
+        for sh in self.rshards:
+            rdeg[sh.global_ids] = sh.out_deg
+        return self._select_hubs(rdeg, H)
+
+    def build_hub_index(self, hub_ids, pool_size: int, seed: int = 42) -> None:
+        curs, origins, kidxs, keys = [], [], [], []
+        hub_ids = np.asarray(hub_ids, dtype=np.int64)
+        for sh in self.shards:
+            mine = np.sort(hub_ids[hub_ids % self.P == sh.p])
+            if mine.size == 0:
+                continue
+            origin = np.repeat(mine, pool_size)
+            kidx = np.tile(np.arange(pool_size, dtype=np.int64), mine.size)
+            keys.append(mix64(np.uint64(seed) ^ np.uint64(0x4855),
+                              mix64(origin.astype(np.uint64), kidx.astype(np.uint64))))
+            curs.append(origin.copy())
+            origins.append(origin)
+            kidxs.append(kidx)
+        if not curs:
+            self.hub_indptr = np.zeros(self.n + 1, np.int64)
+            self.hub_endpoints = np.empty(0, np.int64)
+            return
+        cur = np.concatenate(curs)
+        origin = np.concatenate(origins)
+        kidx = np.concatenate(kidxs)
+        key = np.concatenate(keys)
+        ep_origin, ep_kidx, ep_end = [], [], []
+        hop = 0
+        while cur.size:
+            stop = rng_uniform(mix64(key, np.full(cur.size, np.uint64(2 * hop), np.uint64))) < self.alpha
+            d = self.gdeg[cur]
+            dang = (~stop) & (d == 0)
+            done = stop | dang
+            if done.any():
+                ep_origin.append(origin[done])
+                ep_kidx.append(kidx[done])
+                ep_end.append(cur[done])  # absorb: dangling stores itself
+            alive = ~done
+            cur, origin, kidx, key, d = cur[alive], origin[alive], kidx[alive], key[alive], d[alive]
+            if cur.size:
+                u2 = rng_uniform(mix64(key, np.full(cur.size, np.uint64(2 * hop + 1), np.uint64)))
+                choice = np.minimum((u2 * d).astype(np.int64), d - 1)
+                cur = self.gindices[self.gindptr[cur] + choice]
+            hop += 1
+        o = np.concatenate(ep_origin)
+        k_ = np.concatenate(ep_kidx)
+        e_ = np.concatenate(ep_end)
+        order = np.lexsort((k_, o))
+        o, e_ = o[order], e_[order]
+        counts = np.bincount(o, minlength=self.n)
+        self.hub_indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        self.hub_endpoints = e_
+
+    def build_backward_hub_oracle(self, hub_ids, rmax_hub: float,
+                                  max_rounds: int = 10_000) -> None:
+        self._ensure_reverse()
+        hub_ids = np.sort(np.asarray(hub_ids, dtype=np.int64))
+        self.bwd_hub_ids = hub_ids
+        for sh in self.rshards:
+            sh.oracle = {}
+        for h in hub_ids:
+            self._bpush_loop(int(h), rmax_hub, hubs=None, max_rounds=max_rounds)
+            for sh in self.rshards:
+                nzr = np.nonzero(sh.reserve)[0]
+                nzd = np.nonzero(sh.residual)[0]
+                sh.oracle[int(h)] = (
+                    nzr.astype(np.int64), sh.reserve[nzr].copy(),
+                    nzd.astype(np.int64), sh.residual[nzd].copy(),
+                )
+
+    def _bpush_loop(self, target: int, rmax: float, hubs,
+                    max_rounds: int = 10_000):
+        """Backward push rounds; hubs=array enables oracle short-circuit
+        (mirrors the hubppr driver loop + bpush_round_hub)."""
+        P = self.P
+        for sh in self.rshards:
+            sh.init_single(target)
+        inflight = None
+        consumed: list = []
+        for _ in range(max_rounds):
+            new_out, metas = [], []
+            for p, sh in enumerate(self.rshards):
+                if inflight is not None:
+                    for q in range(P):
+                        if q != p and inflight[q][p] is not None:
+                            ids, vals = inflight[q][p]
+                            np.add.at(sh.residual, ids, vals)
+                for h, rv in consumed:
+                    sl = sh.oracle.get(int(h)) if getattr(sh, "oracle", None) else None
+                    if sl is not None:
+                        res_ids, res_vals, rsd_ids, rsd_vals = sl
+                        if res_ids.size:
+                            sh.reserve[res_ids] += rv * res_vals
+                        if rsd_ids.size:
+                            sh.residual[rsd_ids] += rv * rsd_vals
+                metas.append(sh.bpush_hub(rmax, hubs))
+                new_out.append(metas[-1][2])
+            inflight = new_out
+            consumed = [pair for m in metas for pair in m[1]]
+            active = sum(m[0] for m in metas)
+            if active == 0 and not consumed:
+                break
+
+    def hubppr(self, source: int, target: int, eps: float = 0.5,
+               seed: int = 42) -> float:
+        """Pairwise estimate replay of algorithms.hubppr (call
+        build_hub_index + build_backward_hub_oracle first)."""
+        self._ensure_reverse()
+        n = self.n
+        rmax_b = eps / math.sqrt(max(n, 2))
+        self._bpush_loop(target, rmax_b, hubs=self.bwd_hub_ids)
+        sh_s = self.rshards[source % self.P]
+        reserve_t_source = float(sh_s.reserve[source // self.P])
+        W = int(math.ceil(16.0 * math.log(max(n, 2)) / (eps * eps)))
+        seed2 = seed ^ (source * 0x85EBCA6B)
+        wt = np.full(W, 1.0 / W)
+        cur = np.full(W, source, dtype=np.int64)
+        kidx = np.arange(W, dtype=np.int64)
+        key = mix64(np.uint64(seed2) ^ np.uint64(0xABCD),
+                    mix64(cur.astype(np.uint64), kidx.astype(np.uint64)))
+        acc = np.zeros(n)
+        hop = 0
+        while cur.size:
+            # hub consumption BEFORE the stop draw (walk_round use_hubs)
+            pool = self.hub_indptr[cur + 1] - self.hub_indptr[cur]
+            hit = pool > 0
+            if hit.any():
+                slot = (
+                    mix64(key[hit] ^ np.uint64(0x4855B),
+                          np.full(int(hit.sum()), np.uint64(hop), np.uint64))
+                    % pool[hit].astype(np.uint64)
+                ).astype(np.int64)
+                ep = self.hub_endpoints[self.hub_indptr[cur[hit]] + slot]
+                np.add.at(acc, ep, wt[hit])
+                keep = ~hit
+                cur, wt, key = cur[keep], wt[keep], key[keep]
+                if cur.size == 0:
+                    break
+            stop = rng_uniform(mix64(key, np.full(cur.size, np.uint64(2 * hop), np.uint64))) < self.alpha
+            np.add.at(acc, cur[stop], wt[stop])
+            alive = ~stop
+            cur, wt, key = cur[alive], wt[alive], key[alive]
+            if cur.size == 0:
+                break
+            d = self.gdeg[cur]
+            dang = d == 0
+            if dang.any():  # source=-1: absorb at the dangling node
+                np.add.at(acc, cur[dang], wt[dang])
+                ok = ~dang
+                cur, wt, key, d = cur[ok], wt[ok], key[ok], d[ok]
+                if cur.size == 0:
+                    break
+            u2 = rng_uniform(mix64(key, np.full(cur.size, np.uint64(2 * hop + 1), np.uint64)))
+            choice = np.minimum((u2 * d).astype(np.int64), d - 1)
+            cur = self.gindices[self.gindptr[cur] + choice]
+            hop += 1
+        dots = []
+        for sh in self.rshards:
+            nz = np.nonzero(sh.residual)[0]
+            dots.append(float(acc[sh.global_ids][nz] @ sh.residual[nz]))
+        return float(reserve_t_source) + float(sum(dots))
