@@ -173,6 +173,7 @@ def _queries_documents():
     from fora_ray.pipelines.dedup import (
         exact_dedup,
         minhash_lsh_dups,
+        ngram_jaccard_dups,
         simhash_dups,
     )
     from fora_ray.pipelines.text import (
@@ -268,6 +269,7 @@ def _queries_documents():
         "langid": lambda sf: language_id(_docs(sf)),
         "doc_fingerprints": lambda sf: fingerprints(_docs(sf)),
         "minhash_dups": lambda sf: minhash_lsh_dups(_docs(sf), threshold=0.6).select_columns(["a", "b"]),
+        "ngram_jaccard_dups": lambda sf: ngram_jaccard_dups(_docs(sf), threshold=0.5).select_columns(["a", "b"]),
         "simhash_dups": lambda sf: simhash_dups(_docs(sf), hamming_thresh=3).select_columns(["a", "b"]),
         "ann_topk": ann_topk,
         "ann_ivf": ann_ivf,
@@ -662,6 +664,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "minhash_dups": (
             f"SELECT a, b FROM read_parquet('{gold['minhash_dups']}') ORDER BY a, b"
+        ),
+        "ngram_jaccard_dups": (
+            f"SELECT a, b FROM read_parquet('{gold['ngram_jaccard_dups']}') ORDER BY a, b"
         ),
         "simhash_dups": (
             f"SELECT a, b FROM read_parquet('{gold['simhash_dups']}') ORDER BY a, b"

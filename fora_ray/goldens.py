@@ -41,7 +41,7 @@ from .oracle import lpa_oracle, ppr_column_oracle, ppr_power_iteration
 
 ROUND = 9
 _WORD = re.compile(r"\w+")
-_VERSION = 6
+_VERSION = 7
 
 
 def _round_col(x: np.ndarray) -> np.ndarray:
@@ -309,6 +309,33 @@ def minhash_pairs_golden(sf_dir: str, threshold: float = 0.6) -> pa.Table:
                      "b": pa.array([p[1] for p in pairs], pa.int64())})
 
 
+def ngram_jaccard_pairs_golden(sf_dir: str, threshold: float = 0.5,
+                               shingle_k: int = 3) -> pa.Table:
+    """Brute-force O(n^2) exact n-gram-Jaccard pairs — no LSH, no
+    prefix filter, completely independent of the pipeline's AllPairs
+    candidate generation.  Docs with zero shingles are skipped (same
+    semantic as pipelines.dedup.ngram_jaccard_dups)."""
+    ids, texts = _read_docs(sf_dir)
+    shingles: dict[int, frozenset] = {}
+    for did, txt in zip(ids, texts):
+        words = _WORD.findall((txt or "").lower())
+        ss = _shingle_set(words, shingle_k)
+        if ss:
+            shingles[int(did)] = ss
+    out_a, out_b = [], []
+    sids = sorted(shingles)
+    for i, a in enumerate(sids):
+        sa = shingles[a]
+        for b in sids[i + 1:]:
+            sb = shingles[b]
+            inter = len(sa & sb)
+            if inter / (len(sa) + len(sb) - inter) >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+    return pa.table({"a": pa.array(out_a, pa.int64()),
+                     "b": pa.array(out_b, pa.int64())})
+
+
 def simhash_pairs_golden(sf_dir: str, hamming_thresh: int = 3, seed: int = 42) -> pa.Table:
     """SimHash near-dup pairs: 64-bit sign-aggregated word-hash votes,
     4x16-bit band buckets, hamming verification — single process."""
@@ -535,6 +562,7 @@ _DOC_GOLDENS = {
     "langid": langid_golden,
     "doc_fingerprints": fingerprints_golden,
     "minhash_dups": minhash_pairs_golden,
+    "ngram_jaccard_dups": ngram_jaccard_pairs_golden,
     "simhash_dups": simhash_pairs_golden,
     "curation": curation_golden,
     "ann_ivf": ann_ivf_golden,

@@ -299,15 +299,18 @@ def minhash_lsh_dups(docs_ds, threshold: float = 0.7, num_perm: int = 64,
     cand = dedup_edges(_candidate_pairs(sigs), wide_ids=True)
     if verify_strategy == "auto":
         verify_strategy = "broadcast" if broadcast_fits(docs_ds, broadcast_bytes) else "join"
+    return _verify_jaccard(cand, _shingle_sets(docs_ds, shingle_k), threshold,
+                           verify_strategy, num_partitions)
 
-    # shingle each doc ONCE, distributed, as a sorted-unique uint64
-    # array packed to bytes.  The previous verify re-shingled every doc
-    # inside every verify actor that saw it (per-actor caches): at 32
-    # actors that was up to 32x the shingling work and dominated the
-    # verify stage (measured ~8.5 s of a 15 s minhash run at sf0.1).
-    # Exact Jaccard over sorted arrays via np.intersect1d is identical
-    # to the old frozenset math (same hash sets, deduped both ways).
-    def shingle_block(t: pa.Table, k=shingle_k) -> pa.Table:
+
+def _shingle_sets(docs_ds, k: int):
+    """(doc_id, sh) — each doc shingled ONCE, distributed, as a
+    sorted-unique uint64 hash array packed to bytes.  The previous
+    verify re-shingled every doc inside every verify actor that saw it
+    (per-actor caches): at 32 actors that was up to 32x the shingling
+    work and dominated the verify stage (measured ~8.5 s of a 15 s
+    minhash run at sf0.1)."""
+    def shingle_block(t: pa.Table) -> pa.Table:
         return pa.table({
             "doc_id": t["doc_id"],
             "sh": pa.array(
@@ -317,14 +320,25 @@ def minhash_lsh_dups(docs_ds, threshold: float = 0.7, num_perm: int = 64,
             ),
         })
 
-    sets_ds = docs_ds.map_batches(shingle_block, batch_format="pyarrow")
+    return docs_ds.map_batches(shingle_block, batch_format="pyarrow")
 
-    def _jac_arrays(sa: np.ndarray, sb: np.ndarray) -> float:
-        if sa.size == 0 and sb.size == 0:
-            return 1.0
-        inter = np.intersect1d(sa, sb, assume_unique=True).size
-        return inter / (sa.size + sb.size - inter)
 
+def _jac_arrays(sa: np.ndarray, sb: np.ndarray) -> float:
+    """Exact Jaccard over sorted-unique hash arrays — identical to the
+    frozenset math (same hash sets, deduped both ways)."""
+    if sa.size == 0 and sb.size == 0:
+        return 1.0
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    return inter / (sa.size + sb.size - inter)
+
+
+def _verify_jaccard(cand, sets_ds, threshold: float, verify_strategy: str,
+                    num_partitions: int | None = None):
+    """Exact-Jaccard verification of candidate (src, dst) pairs against
+    precomputed shingle sets; shared by minhash_lsh_dups and
+    ngram_jaccard_dups.  'join' attaches both sets by doc_id hash joins
+    (the 100 TB path — nothing corpus-sized on the driver); 'broadcast'
+    ships the set dict once via ray.put."""
     if verify_strategy == "join":
         from ..stages.shuffle import safe_join
 
@@ -385,6 +399,128 @@ def minhash_lsh_dups(docs_ds, threshold: float = 0.7, num_perm: int = 64,
         Verify, fn_constructor_kwargs={"ref": sets_ref, "thr": threshold},
         batch_format="pyarrow", concurrency=_pool_size(), batch_size=2048,
     ), ["a", "b"])
+
+
+def ngram_jaccard_dups(docs_ds, threshold: float = 0.5, shingle_k: int = 3,
+                       verify_strategy: str = "auto",
+                       broadcast_bytes: int = _TEXT_BROADCAST_BYTES,
+                       num_partitions: int | None = None,
+                       bucket_cap: int = BUCKET_CAP):
+    """EXACT n-gram-Jaccard near-duplicate pairs by prefix-filtered
+    similarity join (AllPairs / PPJoin prefix principle, Bayardo et al.
+    WWW'07 / Xiao et al. WWW'08) — unlike MinHash-LSH this has no
+    recall loss: every pair with Jaccard(shingles) >= threshold shares
+    at least one token of each member's prefix under a global token
+    order, so grouping prefix entries by token is a complete candidate
+    generator.
+
+    Shuffle shape (all linear in corpus token count):
+      1. shingle  -> (doc_id, sorted-unique u64 hashes)          [map]
+      2. token counts -> (token, cnt)            [bucketed u64 groupby]
+      3. counts joined back to exploded tokens   [hash join on token]
+      4. per-doc prefix = the (|d| - ceil(t*|d|) + 1) tokens smallest
+         by (cnt, token) — rarest-first order     [bucketed by doc_id]
+      5. candidates: prefix entries grouped by token, capped all-pairs
+         per token (rare tokens -> small groups; the cap is a hot-key
+         guard that cannot bind below `bucket_cap` docs per token)
+      6. exact-Jaccard verify via the shared join/broadcast dual path.
+
+    Docs with zero shingles (no word tokens) contribute no prefix
+    entries and are never reported as near-dups — 0/0 Jaccard is
+    treated as undefined here, not 1.0.
+    """
+    from ..stages.edges import dedup_edges
+    from ..stages.shuffle import bucket_apply, count_by_key, safe_join
+
+    sets_ds = _shingle_sets(docs_ds, shingle_k)
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        shs = [np.frombuffer(b, np.uint64) for b in t["sh"].to_pylist()]
+        sizes = np.array([s.size for s in shs], dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, sizes)),
+            "token": pa.array(
+                np.concatenate(shs) if shs else np.empty(0, np.uint64),
+                pa.uint64()),
+            "n_tok": pa.array(np.repeat(sizes, sizes)),
+        })
+
+    toks = sets_ds.map_batches(explode, batch_format="pyarrow")
+    counts = count_by_key(
+        toks.select_columns(["token"]), "token", alias="cnt"
+    )
+    with_cnt = safe_join(toks, counts, on=("token",),
+                         num_partitions=num_partitions, drop=("left",))
+
+    def prefix_of(g: pa.Table, t=threshold) -> pa.Table:
+        """Per-doc rarest-first prefix (docs grouped in one bucket)."""
+        if g.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "token": pa.array([], pa.uint64())})
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        tok = g["token"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False)
+        ntk = g["n_tok"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tok, cnt, ids))  # doc, then (cnt, token)
+        ids, tok, ntk = ids[order], tok[order], ntk[order]
+        seg = np.empty(ids.size, dtype=bool)
+        seg[0] = True
+        seg[1:] = ids[1:] != ids[:-1]
+        starts = np.nonzero(seg)[0]
+        lens = np.diff(np.append(starts, ids.size))
+        rank = np.arange(ids.size) - np.repeat(starts, lens)
+        p = ntk - np.ceil(t * ntk).astype(np.int64) + 1
+        keep = rank < p
+        return pa.table({"doc_id": pa.array(ids[keep]),
+                         "token": pa.array(tok[keep], pa.uint64())})
+
+    def add_doc_key(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column(
+            "key", pa.array(mix64(did, np.uint64(0xD0C5_A17)), pa.uint64()))
+
+    prefixes = bucket_apply(
+        with_cnt.map_batches(add_doc_key, batch_format="pyarrow"),
+        "key", prefix_of,
+    )
+
+    def tok_key(t: pa.Table) -> pa.Table:
+        tok = t["token"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table({
+            "key": pa.array(mix64(tok, np.uint64(0x70CC_B1B)), pa.uint64()),
+            "token": t["token"], "doc_id": t["doc_id"],
+        })
+
+    def gen(g: pa.Table, cap=bucket_cap) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64())})
+        tok = g["token"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, tok))
+        tok, ids = tok[order], ids[order]
+        seg = np.empty(tok.size, dtype=bool)
+        seg[0] = True
+        seg[1:] = tok[1:] != tok[:-1]
+        bounds = np.append(np.nonzero(seg)[0], tok.size)
+        out_a: list = []
+        out_b: list = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            _pairs_for_ids(ids[s:e], cap, out_a, out_b)
+        if not out_a:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64())})
+        return pa.table({"src": pa.array(np.concatenate(out_a)),
+                         "dst": pa.array(np.concatenate(out_b))})
+
+    cand = dedup_edges(
+        bucket_apply(prefixes.map_batches(tok_key, batch_format="pyarrow"), "key", gen),
+        wide_ids=True,
+    )
+    if verify_strategy == "auto":
+        verify_strategy = "broadcast" if broadcast_fits(docs_ds, broadcast_bytes) else "join"
+    return _verify_jaccard(cand, sets_ds, threshold, verify_strategy, num_partitions)
 
 
 # --------------------------------------------------------------------------

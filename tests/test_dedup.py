@@ -11,6 +11,7 @@ from fora_ray.pipelines.dedup import (
     exact_dedup,
     minhash_lsh_dups,
     ngram_jaccard,
+    ngram_jaccard_dups,
     simhash_dups,
 )
 
@@ -57,6 +58,35 @@ def test_minhash_lsh_finds_planted_dups():
     assert abs(row["jaccard"] - ngram_jaccard(
         _dup_corpus().take(2)[0]["text"], _dup_corpus().take(2)[1]["text"]
     )) < 1e-12
+
+
+def test_ngram_jaccard_dups_exact_vs_bruteforce():
+    """Prefix-filtered similarity join == O(n^2) brute force on the sf
+    corpus, on BOTH verify strategies (exactness: no LSH recall loss)."""
+    from fora_ray.goldens import ngram_jaccard_pairs_golden
+
+    want = ngram_jaccard_pairs_golden(SF, threshold=0.5).to_pandas()
+    want = list(map(tuple, want[["a", "b"]].to_numpy()))
+    for strat in ("broadcast", "join"):
+        got = (
+            ngram_jaccard_dups(_docs(), threshold=0.5, verify_strategy=strat)
+            .select_columns(["a", "b"])
+            .to_pandas()
+        )
+        assert list(map(tuple, got[["a", "b"]].to_numpy())) == want
+    assert len(want) > 0  # the sf corpus plants real near-dups
+
+
+def test_ngram_jaccard_dups_planted():
+    pairs = ngram_jaccard_dups(_dup_corpus(), threshold=0.5).to_pandas()
+    got = set(map(tuple, pairs[["a", "b"]].to_numpy()))
+    assert (0, 3) in got  # identical
+    assert (0, 1) in got  # near-dup
+    assert all((2 not in p) for p in got)
+    # jaccard column is the exact word-3-gram jaccard
+    row = pairs[(pairs.a == 0) & (pairs.b == 1)].iloc[0]
+    texts = [r["text"] for r in _dup_corpus().take(2)]
+    assert abs(row["jaccard"] - ngram_jaccard(texts[0], texts[1], k=3)) < 1e-12
 
 
 def test_simhash_finds_planted_dups():
