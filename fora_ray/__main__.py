@@ -7,7 +7,7 @@
     python -m fora_ray topk     --graph DIR --source N --k K --out DIR
     python -m fora_ray cc|lpa|triangles --graph DIR --out DIR
     python -m fora_ray build-index --graph DIR --out DIR
-    python -m fora_ray dedup    --docs PATH --out DIR [--method exact|minhash|simhash|embedding]
+    python -m fora_ray dedup    --docs PATH --out DIR [--method exact|minhash|simhash|ngram|embedding]
                                 [--threshold X] [--clusters]
     python -m fora_ray curate   --docs PATH --out DIR [--min-quality X] [--langs en,de]
     python -m fora_ray ann      --embeddings PATH --out DIR [--method brute|ivf] [--k K] [--nq N]
@@ -207,6 +207,9 @@ def cmd_dedup(args):
     elif args.method == "simhash":
         out_ds = dd.simhash_dups(docs, hamming_thresh=args.hamming, seed=args.seed).materialize()
         sub = "pairs"
+    elif args.method == "ngram":
+        out_ds = dd.ngram_jaccard_dups(docs, threshold=args.threshold).materialize()
+        sub = "pairs"
     else:  # embedding: --docs points at a (vec_id, embedding) table
         out_ds = dd.embedding_dups(docs, threshold=args.threshold, seed=args.seed).materialize()
         sub = "pairs"
@@ -345,7 +348,7 @@ def main(argv=None):
     p.add_argument("--docs", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--method", default="exact",
-                   choices=["exact", "minhash", "simhash", "embedding"])
+                   choices=["exact", "minhash", "simhash", "ngram", "embedding"])
     p.add_argument("--threshold", type=float, default=0.7)
     p.add_argument("--hamming", type=int, default=3)
     p.add_argument("--seed", type=int, default=42)

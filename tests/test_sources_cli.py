@@ -121,6 +121,12 @@ def test_cli_dedup_curate_ann(tmp_path):
     assert c[0] == c[4]
     assert json.load(open(f"{d2}/METRICS.json"))["n_output"] == len(pairs)
 
+    d2b = str(tmp_path / "dedup_ngram")
+    main(["dedup", "--docs", docs, "--out", d2b, "--method", "ngram",
+          "--threshold", "0.5"])
+    pairs_ng = ray.data.read_parquet(f"{d2b}/pairs").to_pandas()
+    assert {(0, 4)} <= set(map(tuple, pairs_ng[["a", "b"]].to_numpy()))
+
     d3 = str(tmp_path / "curate")
     main(["curate", "--docs", docs, "--out", d3, "--threshold", "0.5"])
     curated = ray.data.read_parquet(f"{d3}/curated").to_pandas()
