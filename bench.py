@@ -102,6 +102,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     tables = ingest_fixture(fix)
     edges = tables["edges"].materialize()
     sym = tables["edges_undirected"].materialize()
+    degrees = tables["degrees"].materialize()
     n = tables["n_nodes"]
     m = edges.count()
     timings["ingest"] = time.perf_counter() - t0
@@ -113,8 +114,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     P = max(4, min(num_cpus, m // 100_000))
     replicas = max(1, num_cpus // 8)
     t0 = time.perf_counter()
-    handle = GraphHandle.from_edges(edges, n, P=P, m=m, balance="degree")
-    rep_handles = alg.make_replicas(edges, n, replicas, P=4, m=m, balance="degree")
+    # degrees from ingest (no re-count pass) + async sweep-cache prewarm
+    # that overlaps the ppr stages before the first full-sweep call
+    handle = GraphHandle.from_edges(edges, n, P=P, m=m, balance="degree",
+                                    degrees=degrees, prewarm=True)
+    rep_handles = alg.make_replicas(edges, n, replicas, P=4, m=m,
+                                    balance="degree", degrees=degrees)
     # spin replica actors up (first call pays actor start; untimed)
     for h in rep_handles:
         h.call_all("ppr_init", 0)

@@ -318,7 +318,8 @@ def ppr_batch(handle, sources: list[int], mode: str = "fora", eps: float = 0.5,
 
 def make_replicas(edges_ds, n: int, replicas: int, P: int = 4, m: int | None = None,
                   balance: str | None = None,
-                  balance_threshold: int = 20_000_000):
+                  balance_threshold: int = 20_000_000,
+                  degrees=None):
     """Build `replicas` independent engine replicas (each its own
     P-shard actor set) over the same edge table.  The CSR shards (and,
     with balance='degree', the permutation) are built ONCE and shared
@@ -341,9 +342,10 @@ def make_replicas(edges_ds, n: int, replicas: int, P: int = 4, m: int | None = N
     perm = inv = None
     logical_refs = perm_refs = None
     if balance == "degree" and n > balance_threshold:
-        edges_ds, logical_refs, perm_refs = _distributed_degree_balance(edges_ds, n, P)
+        edges_ds, logical_refs, perm_refs = _distributed_degree_balance(
+            edges_ds, n, P, degrees_ds=degrees)
     elif balance == "degree":
-        edges_ds, perm, inv = _driver_degree_balance(edges_ds, n)
+        edges_ds, perm, inv = _driver_degree_balance(edges_ds, n, degrees_ds=degrees)
     shards = build_csr_shards(edges_ds, n, P).materialize()
     refs = shards.to_arrow_refs()
     parts_per_block = ray.get([_block_parts.remote(r) for r in refs])

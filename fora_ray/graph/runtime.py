@@ -218,6 +218,11 @@ class ShardWorkerImpl:
                 cache[p] = (edge_row[m], (self.indices[m] // self.P).astype(np.int64))
         self._sweep_cache = cache
 
+    def warm_sweep_cache(self):
+        """Prewarm hook (see GraphHandle.from_edges prewarm=True)."""
+        self._ensure_sweep_cache()
+        return True
+
     def _push_full_sweep(self):
         """Vectorized full sweep (exact/PageRank mode): every vertex's
         residual pushed in one shot over the cached edge structure."""
@@ -1421,16 +1426,33 @@ def _with_rank(tbl: pa.Table, offset: int, col: str = "engine_id") -> pa.Table:
     )
 
 
-def _driver_degree_balance(edges_ds, n: int):
+def _degrees_frame(degrees_ds):
+    """Normalize a caller-supplied degrees Dataset to (node_id, deg).
+    Accepts the ingest degrees table (node_id, out_deg[, in_deg]) or any
+    (node_id, deg) table."""
+    cols = degrees_ds.schema().names
+    col = "deg" if "deg" in cols else "out_deg"
+    return degrees_ds.select_columns(["node_id", col]).rename_columns(
+        {col: "deg"} if col != "deg" else {}
+    )
+
+
+def _driver_degree_balance(edges_ds, n: int, degrees_ds=None):
     """Degree-descending rank permutation built on the driver (one O(n)
     int64 array — the fast path below GraphHandle's balance_threshold).
+    `degrees_ds` (node_id, out_deg|deg) skips the degree-count pass —
+    at the 100 TB tier recomputing out-degrees is a full extra scan of
+    the edge table, and ingest has already produced them (M7).
     Returns (relabeled_edges_ds, perm logical->engine, inv engine->logical)."""
     from ..stages.shuffle import count_by_key
 
-    deg_pd = count_by_key(
-        edges_ds.select_columns(["src"]).rename_columns({"src": "node_id"}),
-        "node_id", alias="deg",
-    ).to_pandas()
+    if degrees_ds is not None:
+        deg_pd = _degrees_frame(degrees_ds).to_pandas()
+    else:
+        deg_pd = count_by_key(
+            edges_ds.select_columns(["src"]).rename_columns({"src": "node_id"}),
+            "node_id", alias="deg",
+        ).to_pandas()
     deg = np.zeros(n, dtype=np.int64)
     deg[deg_pd["node_id"].to_numpy()] = deg_pd["deg"].to_numpy()
     order = np.lexsort((np.arange(n), -deg))  # degree desc, id asc
@@ -1448,7 +1470,8 @@ def _driver_degree_balance(edges_ds, n: int):
 
 
 def _distributed_degree_balance(edges_ds, n: int, P: int,
-                                num_partitions: int | None = None):
+                                num_partitions: int | None = None,
+                                degrees_ds=None):
     """Degree-balanced permutation computed with NO O(n) driver array
     (the scale path behind GraphHandle balance='degree'):
 
@@ -1469,21 +1492,26 @@ def _distributed_degree_balance(edges_ds, n: int, P: int,
     from ..stages.csr import _large_list
     from ..stages.shuffle import count_by_key, safe_join
 
-    deg_ds = count_by_key(
-        edges_ds.select_columns(["src"]).rename_columns({"src": "node_id"}),
-        "node_id", alias="deg",
-    )
-    full = safe_join(
-        ray.data.range(n), deg_ds, on=("id",), right_on=("node_id",),
-        join_type="left_outer", num_partitions=num_partitions,
-    ).map_batches(
-        lambda t: pa.table({
-            "node_id": t["id"],
-            "deg": pc.fill_null(t["deg"], 0),
-        }) if t.num_rows and "id" in t.schema.names else pa.table({
-            "node_id": pa.array([], pa.int64()), "deg": pa.array([], pa.int64())}),
-        batch_format="pyarrow",
-    )
+    if degrees_ds is not None:
+        # ingest degrees are already zero-filled over all n nodes (M7) —
+        # no count pass, no range anti-join
+        full = _degrees_frame(degrees_ds)
+    else:
+        deg_ds = count_by_key(
+            edges_ds.select_columns(["src"]).rename_columns({"src": "node_id"}),
+            "node_id", alias="deg",
+        )
+        full = safe_join(
+            ray.data.range(n), deg_ds, on=("id",), right_on=("node_id",),
+            join_type="left_outer", num_partitions=num_partitions,
+        ).map_batches(
+            lambda t: pa.table({
+                "node_id": t["id"],
+                "deg": pc.fill_null(t["deg"], 0),
+            }) if t.num_rows and "id" in t.schema.names else pa.table({
+                "node_id": pa.array([], pa.int64()), "deg": pa.array([], pa.int64())}),
+            batch_format="pyarrow",
+        )
     ranked = full.sort(["deg", "node_id"], descending=[True, False]).materialize()
     refs = ranked.to_arrow_refs()
     counts = ray.get([_block_nrows.remote(r) for r in refs])
@@ -1563,7 +1591,8 @@ class GraphHandle:
     def from_edges(cls, edges_ds, n: int, P: int = 8, alpha: float = 0.2,
                    m: int | None = None, worker_num_cpus: float = 0,
                    balance: str | None = None,
-                   balance_threshold: int = 20_000_000):
+                   balance_threshold: int = 20_000_000,
+                   degrees=None, prewarm: bool = False):
         """Build CSR shards with one groupby shuffle, hand each actor a
         zero-copy ref to the block holding its partition.
 
@@ -1571,15 +1600,28 @@ class GraphHandle:
         n <= balance_threshold (one O(n) int64 array, metadata-sized at
         this tier) and switches to the fully distributed sort-rank +
         join relabel past it (no O(n) driver array; to_engine becomes a
-        sharded worker lookup)."""
+        sharded worker lookup).
+
+        `degrees` (node_id, out_deg|deg Dataset, zero-filled — e.g. the
+        ingest degrees table) skips the balance path's degree-count
+        pass: without it, balance='degree' re-scans the full edge table
+        to count out-degrees — an entire extra pass at the 100 TB tier.
+
+        `prewarm=True` fire-and-forgets a sweep-cache build on every
+        worker right after spawn, so the first full-sweep call
+        (PageRank / exact PPR) does not pay actor cold-start + O(m)
+        cache construction inline; the build overlaps whatever the
+        driver does next.  Opt-in because the cache costs ~16 B/edge of
+        worker heap that walk-mode-only handles never need."""
         from ..stages.csr import build_csr_shards
 
         perm = inv = None
         logical_refs = perm_refs = None
         if balance == "degree" and n > balance_threshold:
-            edges_ds, logical_refs, perm_refs = _distributed_degree_balance(edges_ds, n, P)
+            edges_ds, logical_refs, perm_refs = _distributed_degree_balance(
+                edges_ds, n, P, degrees_ds=degrees)
         elif balance == "degree":
-            edges_ds, perm, inv = _driver_degree_balance(edges_ds, n)
+            edges_ds, perm, inv = _driver_degree_balance(edges_ds, n, degrees_ds=degrees)
 
         shards = build_csr_shards(edges_ds, n, P).materialize()
         refs = shards.to_arrow_refs()
@@ -1605,6 +1647,11 @@ class GraphHandle:
             m = edges_ds.count()
         handle = cls(workers, n, m, P, alpha, perm=perm)
         handle.remote_perm = logical_refs is not None
+        if prewarm:
+            # refs kept on the handle so the calls are never cancelled;
+            # nothing awaits them — the first sweep call finds the cache
+            # built (or blocks only on the in-flight build, not a cold one)
+            handle._prewarm_refs = [w.warm_sweep_cache.remote() for w in workers]
         return handle
 
     def close(self):

@@ -275,3 +275,64 @@ def test_local_tier_fora_plus_index(graph600):
     finally:
         for h in reps:
             h.close()
+
+
+def test_degree_balance_with_precomputed_degrees_matches(ray_session):
+    """from_edges(degrees=...) must skip the degree-count pass yet build
+    the identical permutation on BOTH balance paths, and prewarm=True
+    must not change any result."""
+    import pyarrow as pa
+
+    from fora_ray.graph import algorithms as alg
+    from fora_ray.graph.runtime import GraphHandle
+    from fora_ray.stages.edges import dedup_edges
+
+    rng = np.random.default_rng(31)
+    n = 120
+    src = rng.integers(0, n, size=700)
+    dst = rng.integers(0, n, size=700)
+    keep = src != dst
+    edges = dedup_edges(ray.data.from_arrow(pa.table({
+        "src": pa.array(src[keep], pa.int64()),
+        "dst": pa.array(dst[keep], pa.int64()),
+    }))).materialize()
+    # zero-filled out-degrees, ingest-degrees schema (node_id, out_deg, in_deg)
+    e = edges.to_pandas()
+    out_deg = np.zeros(n, dtype=np.int64)
+    np.add.at(out_deg, e["src"].to_numpy(), 1)
+    degrees = ray.data.from_arrow(pa.table({
+        "node_id": pa.array(np.arange(n, dtype=np.int64)),
+        "out_deg": pa.array(out_deg),
+        "in_deg": pa.array(np.zeros(n, dtype=np.int64)),
+    }))
+
+    h_plain = GraphHandle.from_edges(edges, n, P=4, balance="degree")
+    h_deg = GraphHandle.from_edges(edges, n, P=4, balance="degree",
+                                   degrees=degrees, prewarm=True)
+    h_dist = GraphHandle.from_edges(edges, n, P=4, balance="degree",
+                                    degrees=degrees, balance_threshold=0)
+    try:
+        perm_plain = h_plain.perm.copy()
+        assert np.array_equal(h_plain.perm, h_deg.perm)
+        for v in (0, 3, n - 1):
+            assert h_dist.to_engine(v) == h_plain.to_engine(v)
+        sa, _ = alg.personalized_pagerank(h_plain, source=5, mode="exact")
+        sb, _ = alg.personalized_pagerank(h_deg, source=5, mode="exact")
+        da = sa.to_pandas().sort_values("node_id").reset_index(drop=True)
+        db = sb.to_pandas().sort_values("node_id").reset_index(drop=True)
+        assert da["node_id"].tolist() == db["node_id"].tolist()
+        assert np.abs(da["ppr"].to_numpy() - db["ppr"].to_numpy()).max() == 0.0
+    finally:
+        for h in (h_plain, h_deg, h_dist):
+            h.close()
+
+    reps = alg.make_replicas(edges, n, replicas=1, P=4, balance="degree",
+                             degrees=degrees)
+    try:
+        assert np.array_equal(reps[0].perm, perm_plain)
+        sr, _ = alg.personalized_pagerank(reps[0], source=5, mode="exact")
+        dr = sr.to_pandas().sort_values("node_id").reset_index(drop=True)
+        assert np.abs(da["ppr"].to_numpy() - dr["ppr"].to_numpy()).max() == 0.0
+    finally:
+        for h in reps:
+            h.close()
