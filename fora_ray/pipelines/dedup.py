@@ -288,10 +288,12 @@ def minhash_lsh_dups(docs_ds, threshold: float = 0.7, num_perm: int = 64,
       (byte-metered, not row-counted — a wide-text corpus routes to
       the join path regardless of row count).
     """
-    sigs = docs_ds.map_batches(
-        MinHasher(num_perm=num_perm, bands=bands, shingle_k=shingle_k, seed=seed),
-        batch_format="pyarrow",
-    )  # plain-callable task stage: setup is trivial, tasks reuse warm workers
+    # shingle ONCE (materialized: the compact hash-set table feeds both
+    # the signature stage and the verify joins — without the pin, Ray
+    # re-executes the shingling lineage for each consumer, which was
+    # ~2 s of the ~9 s sf0.1 run)
+    sets_ds = _shingle_sets(docs_ds, shingle_k).materialize()
+    sigs = _sigs_from_sets(sets_ds, num_perm, bands, seed)
     # dedup candidate pairs across bands; doc ids are arbitrary int64
     # (snowflake-style ids exceed 2^32) -> always the pair-safe distinct
     from ..stages.edges import dedup_edges
@@ -299,8 +301,40 @@ def minhash_lsh_dups(docs_ds, threshold: float = 0.7, num_perm: int = 64,
     cand = dedup_edges(_candidate_pairs(sigs), wide_ids=True)
     if verify_strategy == "auto":
         verify_strategy = "broadcast" if broadcast_fits(docs_ds, broadcast_bytes) else "join"
-    return _verify_jaccard(cand, _shingle_sets(docs_ds, shingle_k), threshold,
+    return _verify_jaccard(cand, sets_ds, threshold,
                            verify_strategy, num_partitions)
+
+
+def _sigs_from_sets(sets_ds, num_perm: int, bands: int, seed: int):
+    """(doc_id, sh) -> (band_id, band_hash, doc_id) rows, bit-identical
+    to MinHasher over the same docs (min over the unique hash set equals
+    min over the raw shingle list; band hash = wrapping uint64 sum of
+    per-band mix64 values, vectorized across the whole batch)."""
+    assert num_perm % bands == 0
+    rpb = num_perm // bands
+
+    def sig_block(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        if ids.size == 0:
+            return pa.table({"band_id": pa.array([], pa.int32()),
+                             "band_hash": pa.array([], pa.uint64()),
+                             "doc_id": pa.array([], pa.int64())})
+        seeds = mix64(np.uint64(seed), np.arange(num_perm, dtype=np.uint64))
+        sig = np.empty((ids.size, num_perm), dtype=np.uint64)
+        for i, blob in enumerate(t["sh"].to_pylist()):
+            sh = np.frombuffer(blob, np.uint64)
+            sig[i] = (mix64(sh[None, :], seeds[:, None]).min(axis=1)
+                      if sh.size else np.uint64(0xFFFFFFFFFFFFFFFF))
+        band_col = np.repeat(np.arange(bands, dtype=np.uint64), rpb)
+        with np.errstate(over="ignore"):
+            bh = mix64(sig, band_col[None, :]).reshape(ids.size, bands, rpb).sum(axis=2)
+        return pa.table({
+            "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), ids.size)),
+            "band_hash": pa.array(bh.reshape(-1), pa.uint64()),
+            "doc_id": pa.array(np.repeat(ids, bands)),
+        })
+
+    return sets_ds.map_batches(sig_block, batch_format="pyarrow")
 
 
 def _shingle_sets(docs_ds, k: int):
@@ -432,7 +466,8 @@ def ngram_jaccard_dups(docs_ds, threshold: float = 0.5, shingle_k: int = 3,
     from ..stages.edges import dedup_edges
     from ..stages.shuffle import bucket_apply, count_by_key, safe_join
 
-    sets_ds = _shingle_sets(docs_ds, shingle_k)
+    # materialized: feeds both the token explode and the verify joins
+    sets_ds = _shingle_sets(docs_ds, shingle_k).materialize()
 
     def explode(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False)

@@ -60,6 +60,29 @@ def test_minhash_lsh_finds_planted_dups():
     )) < 1e-12
 
 
+def test_sigs_from_sets_matches_minhasher():
+    """The shingle-once signature stage must be bit-identical to the
+    original MinHasher text stage (same bands, hashes, doc ids)."""
+    from fora_ray.pipelines.dedup import MinHasher, _shingle_sets, _sigs_from_sets
+
+    docs = _docs()
+    a = (
+        docs.map_batches(MinHasher(), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["doc_id", "band_id"])
+        .reset_index(drop=True)
+    )
+    b = (
+        _sigs_from_sets(_shingle_sets(docs, 5), num_perm=64, bands=16, seed=42)
+        .to_pandas()
+        .sort_values(["doc_id", "band_id"])
+        .reset_index(drop=True)
+    )
+    assert a[["doc_id", "band_id", "band_hash"]].equals(
+        b[["doc_id", "band_id", "band_hash"]]
+    )
+
+
 def test_ngram_jaccard_dups_exact_vs_bruteforce():
     """Prefix-filtered similarity join == O(n^2) brute force on the sf
     corpus, on BOTH verify strategies (exactness: no LSH recall loss)."""
