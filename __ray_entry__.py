@@ -169,7 +169,7 @@ def _queries_relational():
 
 
 def _queries_documents():
-    from fora_ray.pipelines.ann import brute_force_topk, ivf_topk
+    from fora_ray.pipelines.ann import brute_force_topk, ivf_topk, lsh_topk
     from fora_ray.pipelines.dedup import (
         exact_dedup,
         minhash_lsh_dups,
@@ -198,6 +198,11 @@ def _queries_documents():
         out = ivf_topk(_emb(sf_dir), _queries_matrix(sf_dir), k=10, nlist=16, nprobe=4)
         # ints only in the oracled output (scores are BLAS-shape-sensitive
         # in the last ulp); score correctness is covered by the recall test
+        return out.select_columns(["query_id", "rank", "vec_id"])
+
+    def ann_lsh(sf_dir):
+        out = lsh_topk(_emb(sf_dir), _queries_matrix(sf_dir), k=10,
+                       n_tables=16, n_planes=10, probe_radius=1)
         return out.select_columns(["query_id", "rank", "vec_id"])
 
     def curation(sf_dir):
@@ -273,6 +278,7 @@ def _queries_documents():
         "simhash_dups": lambda sf: simhash_dups(_docs(sf), hamming_thresh=3).select_columns(["a", "b"]),
         "ann_topk": ann_topk,
         "ann_ivf": ann_ivf,
+        "ann_lsh": ann_lsh,
     }
 
 
@@ -717,6 +723,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_ivf": (
             f"SELECT query_id, rank, vec_id FROM read_parquet('{gold['ann_ivf']}') "
+            "ORDER BY query_id, rank"
+        ),
+        "ann_lsh": (
+            f"SELECT query_id, rank, vec_id FROM read_parquet('{gold['ann_lsh']}') "
             "ORDER BY query_id, rank"
         ),
         "embedding_dups": (

@@ -41,7 +41,7 @@ from .oracle import lpa_oracle, ppr_column_oracle, ppr_power_iteration
 
 ROUND = 9
 _WORD = re.compile(r"\w+")
-_VERSION = 7
+_VERSION = 8  # v8: + ann_lsh
 
 
 def _round_col(x: np.ndarray) -> np.ndarray:
@@ -542,6 +542,46 @@ def ann_ivf_golden(sf_dir: str, k: int = 10, nq: int = 8, nlist: int = 16,
                      "vec_id": pa.array(out_id, pa.int64())})
 
 
+def ann_lsh_golden(sf_dir: str, k: int = 10, nq: int = 8, n_tables: int = 16,
+                   n_planes: int = 10, seed: int = 42,
+                   probe_radius: int = 1) -> pa.Table:
+    """Single-process LSH-ANN replay.  Plane generation reuses the
+    engine's _lsh_planes/_lsh_codes (the index *configuration*); the
+    candidate union over probed buckets, scoring and merge are
+    recomputed here with plain numpy over the whole table — the golden
+    verifies that the distributed bucket-groupby search (including the
+    cross-table candidate dedup) returns the same ranking."""
+    from .pipelines.ann import _lsh_codes, _lsh_planes, _normalize
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+    Vn = _normalize(V)
+    qsel = np.argsort(ids, kind="stable")[:nq]  # nq smallest vec_ids
+    Q = Vn[qsel]
+    planes = _lsh_planes(V.shape[1], n_tables, n_planes, seed)
+    codes = _lsh_codes(Vn, planes)   # (n, T)
+    qcodes = _lsh_codes(Q, planes)   # (nq, T)
+    flips = np.concatenate([[np.int64(0)],
+                            (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+                            if probe_radius >= 1 else []]).astype(np.int64)
+    out_q, out_r, out_id = [], [], []
+    for qi in range(Q.shape[0]):
+        probe = qcodes[qi][:, None] ^ flips[None, :]       # (T, 1+p)
+        mask = (codes[:, :, None] == probe[None, :, :]).any(axis=(1, 2))
+        cids = ids[mask]
+        scores = Vn[mask] @ Q[qi]
+        top = np.lexsort((cids, -scores))[:k]
+        for r, j in enumerate(top, 1):
+            out_q.append(qi)
+            out_r.append(r)
+            out_id.append(int(cids[j]))
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64()),
+                     "vec_id": pa.array(out_id, pa.int64())})
+
+
 # --------------------------------------------------------------------------
 # generation + cache
 # --------------------------------------------------------------------------
@@ -566,6 +606,7 @@ _DOC_GOLDENS = {
     "simhash_dups": simhash_pairs_golden,
     "curation": curation_golden,
     "ann_ivf": ann_ivf_golden,
+    "ann_lsh": ann_lsh_golden,
     "embedding_dups": embedding_dups_golden,
     "dup_clusters": dup_clusters_golden,
     "multimodal_features": multimodal_features_golden,

@@ -8,6 +8,12 @@
 - ivf_topk: the scale path — seeded k-means-lite centroids, vectors
   hash to their nearest centroid (one groupby to co-locate), queries
   probe only the nprobe nearest lists.
+- lsh_topk: the other scale path — random-hyperplane LSH tables;
+  vectors land in one sign-bucket per table (one groupby on the packed
+  (table, code) key), queries probe their own bucket plus all radius-1
+  flips (multiprobe).  No training pass at all (IVF needs the k-means
+  sample), at the cost of n_tables-way vector replication through the
+  shuffle.
 """
 
 from __future__ import annotations
@@ -71,12 +77,19 @@ class _BatchTopK:
         })
 
 
-def _merge_topk(k):
+def _merge_topk(k, dedup: bool = False):
     """Per-query global merge as a pyarrow kernel — keeps the whole
     pipeline Arrow-native (a pandas map_groups here caused executor
-    schema-mismatch warnings and a needless conversion)."""
+    schema-mismatch warnings and a needless conversion).
+
+    dedup=True drops repeated (vec_id) rows first — an LSH candidate
+    that collides with the query in several tables arrives once per
+    table with identical exact-cosine scores."""
 
     def merge(g: pa.Table) -> pa.Table:
+        if dedup and g.num_rows:
+            vid = g["vec_id"].to_numpy(zero_copy_only=False)
+            g = g.take(np.sort(np.unique(vid, return_index=True)[1]))
         order = pc.sort_indices(
             g, sort_keys=[("score", "descending"), ("vec_id", "ascending")]
         )[:k]
@@ -181,6 +194,115 @@ def ivf_topk(emb_ds, queries: np.ndarray, k: int = 10, nlist: int = 16,
     nq = Q.shape[0]
     merged = local.repartition(max(1, min(nq, pool_size()[1]))).groupby(
         "query_id").map_groups(_merge_topk(k), batch_format="pyarrow")
+    return clean_sort(
+        merged.select_columns(["query_id", "rank", "vec_id", "score"]),
+        ["query_id", "rank"],
+    )
+
+
+def _lsh_planes(dim: int, n_tables: int, n_planes: int, seed: int) -> np.ndarray:
+    """(n_tables, n_planes, dim) gaussian hyperplanes — the whole
+    'index' (no training pass; shared verbatim by the golden oracle)."""
+    return np.random.default_rng(seed).standard_normal((n_tables, n_planes, dim))
+
+
+def _lsh_codes(V: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign codes (n, n_tables) int64: bit p of table t = [V @ planes[t,p] >= 0]."""
+    proj = np.einsum("nd,tpd->ntp", V, planes) >= 0
+    w = (np.int64(1) << np.arange(planes.shape[1], dtype=np.int64))
+    return proj @ w
+
+
+def lsh_topk(emb_ds, queries: np.ndarray, k: int = 10, n_tables: int = 8,
+             n_planes: int = 10, seed: int = 42, probe_radius: int = 1):
+    """LSH-bucketed ANN: each vector lands in one sign-bucket per table
+    (n_tables rows through ONE groupby on the packed (table, code)
+    key); each query probes its own bucket per table plus, at
+    probe_radius=1, every single-bit flip — multiprobe recovers most of
+    the recall a one-bucket probe loses without adding tables.
+
+    Collision math (random hyperplanes): P[bit agrees] = 1 - theta/pi,
+    so a cos=0.95 neighbor (theta ~= 0.318 rad) agrees on all 10 bits of
+    one table w.p. ~0.35; 8 tables + radius-1 probing push per-table hit
+    probability to ~0.73 and overall recall past 1-(1-0.73)^8 > 0.99.
+
+    Scale shape: the only shuffle moves each vector n_tables times
+    (the classic LSH space/selectivity trade); buckets are searched
+    independently so skew is bounded by the largest bucket, and the
+    per-query merge sees at most buckets x k rows.  Approximate —
+    recall measured vs brute_force_topk in tests; exact replay golden
+    in goldens.ann_lsh_golden."""
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    nq, dim = Q.shape
+    assert n_planes <= 32 and n_tables < 2**31, "packed (table, code) key is int64"
+    planes = _lsh_planes(dim, n_tables, n_planes, seed)
+    p_ref = ray.put(planes)
+
+    # query probe set: (nq, n_tables, 1 + radius*n_planes) codes, tiny —
+    # closed over by the search task
+    qcodes = _lsh_codes(Q, planes)  # (nq, n_tables)
+    flips = np.concatenate([[np.int64(0)],
+                            (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+                            if probe_radius >= 1 else []]).astype(np.int64)
+    probe = qcodes[:, :, None] ^ flips[None, None, :]
+
+    class Assign:
+        """vec -> one (tb, vec_id, embedding) row per table; tb packs
+        (table << 32 | code) so the co-locating groupby has ONE int key."""
+
+        def __init__(self, ref):
+            self.planes = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["vec_id"].to_numpy(zero_copy_only=False)
+            if ids.size == 0:
+                return pa.table({"tb": pa.array([], pa.int64()),
+                                 "vec_id": pa.array([], pa.int64()),
+                                 "embedding": pa.array([], t["embedding"].type)})
+            codes = _lsh_codes(_normalize(_to_matrix(t["embedding"])), self.planes)
+            T = codes.shape[1]
+            tb = (np.arange(T, dtype=np.int64)[None, :] << np.int64(32)) | codes
+            rep = np.repeat(np.arange(ids.size), T)
+            return pa.table({
+                "tb": pa.array(tb.reshape(-1)),
+                "vec_id": pa.array(ids[rep]),
+                "embedding": t["embedding"].take(pa.array(rep)),
+            })
+
+    assigned = emb_ds.map_batches(
+        Assign, fn_constructor_kwargs={"ref": p_ref},
+        batch_format="pyarrow", concurrency=pool_size(),
+    )
+
+    def search_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "vec_id": pa.array([], pa.int64()),
+                          "score": pa.array([], pa.float64())})
+        if g.num_rows == 0:
+            return empty
+        tb = int(g["tb"][0].as_py())
+        t_idx, code = tb >> 32, tb & 0xFFFFFFFF
+        qids = np.nonzero((probe[:, t_idx, :] == code).any(axis=1))[0]
+        if qids.size == 0:
+            return empty
+        ids = g["vec_id"].to_numpy(zero_copy_only=False)
+        V = _normalize(_to_matrix(g["embedding"]))
+        S = V @ Q[qids].T
+        out_q, out_id, out_s = [], [], []
+        for j, qi in enumerate(qids):
+            part = _topk_tie_aware(S[:, j], k, ids)
+            out_q.append(np.full(part.size, qi, np.int64))
+            out_id.append(ids[part])
+            out_s.append(S[part, j])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_id)),
+            "score": pa.array(np.concatenate(out_s)),
+        })
+
+    local = assigned.groupby("tb").map_groups(search_bucket, batch_format="pyarrow")
+    merged = local.repartition(max(1, min(nq, pool_size()[1]))).groupby(
+        "query_id").map_groups(_merge_topk(k, dedup=True), batch_format="pyarrow")
     return clean_sort(
         merged.select_columns(["query_id", "rank", "vec_id", "score"]),
         ["query_id", "rank"],

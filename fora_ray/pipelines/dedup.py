@@ -622,7 +622,10 @@ def simhash_dups(docs_ds, hamming_thresh: int = 3, seed: int = 42,
     )
 
     def _hamming_filter(a, b, ha, hb, thr):
-        ham = np.array([bin(int(x ^ y)).count("1") for x, y in zip(ha, hb)])
+        # vectorized popcount: xor -> bytes -> unpackbits (the per-pair
+        # bin().count() loop was the one Python loop in this verify stage)
+        x = (ha ^ hb).view(np.uint8).reshape(-1, 8)
+        ham = np.unpackbits(x, axis=1).sum(axis=1).astype(np.int64)
         keep = ham <= thr
         return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep]),
                          "hamming": pa.array(ham[keep].astype(np.int32))})
