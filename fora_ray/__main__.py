@@ -10,7 +10,7 @@
     python -m fora_ray dedup    --docs PATH --out DIR [--method exact|minhash|simhash|ngram|embedding]
                                 [--threshold X] [--clusters]
     python -m fora_ray curate   --docs PATH --out DIR [--min-quality X] [--langs en,de]
-    python -m fora_ray ann      --embeddings PATH --out DIR [--method brute|ivf] [--k K] [--nq N]
+    python -m fora_ray ann      --embeddings PATH --out DIR [--method brute|ivf|lsh] [--k K] [--nq N]
 
 --graph DIR is a shard dir written by `ingest` (csr/ + meta.json).
 Every command writes its result as partitioned Parquet plus a
@@ -254,7 +254,7 @@ def cmd_ann(args):
     import numpy as np
     import ray
 
-    from .pipelines.ann import brute_force_topk, ivf_topk
+    from .pipelines.ann import brute_force_topk, ivf_topk, lsh_topk
 
     emb = ray.data.read_parquet(args.embeddings)
     # query matrix: an explicit (vec_id, embedding) parquet, else the
@@ -268,6 +268,9 @@ def cmd_ann(args):
     if args.method == "ivf":
         out_ds = ivf_topk(emb, Q, k=args.k, nlist=args.nlist, nprobe=args.nprobe,
                           seed=args.seed).materialize()
+    elif args.method == "lsh":
+        out_ds = lsh_topk(emb, Q, k=args.k, n_tables=args.n_tables,
+                          n_planes=args.n_planes, seed=args.seed).materialize()
     else:
         out_ds = brute_force_topk(emb, Q, k=args.k).materialize()
     os.makedirs(args.out, exist_ok=True)
@@ -369,11 +372,13 @@ def main(argv=None):
     p.add_argument("--embeddings", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--queries", default=None)
-    p.add_argument("--method", default="brute", choices=["brute", "ivf"])
+    p.add_argument("--method", default="brute", choices=["brute", "ivf", "lsh"])
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--nq", type=int, default=8)
     p.add_argument("--nlist", type=int, default=16)
     p.add_argument("--nprobe", type=int, default=4)
+    p.add_argument("--n-tables", type=int, default=16)
+    p.add_argument("--n-planes", type=int, default=10)
     p.add_argument("--seed", type=int, default=42)
     p.set_defaults(fn=cmd_ann)
 

@@ -147,3 +147,15 @@ def test_cli_dedup_curate_ann(tmp_path):
     topk = ray.data.read_parquet(f"{d4}/topk").to_pandas()
     assert len(topk) == 15 and topk["rank"].max() == 5
     assert json.load(open(f"{d4}/METRICS.json"))["nq"] == 3
+
+    d5 = str(tmp_path / "ann_lsh")
+    main(["ann", "--embeddings", emb, "--out", d5, "--method", "lsh",
+          "--nq", "3", "--k", "5", "--n-tables", "4", "--n-planes", "4"])
+    topk_lsh = ray.data.read_parquet(f"{d5}/topk").to_pandas()
+    assert topk_lsh["rank"].max() <= 5 and len(topk_lsh) > 0
+    # each query's own vector collides with itself in every table and
+    # scores cosine 1.0, so rank 1 is the query itself (queries are the
+    # nq smallest vec_ids: 0, 1, 2)
+    self_hits = topk_lsh[topk_lsh["rank"] == 1].sort_values("query_id")
+    assert self_hits["vec_id"].tolist() == self_hits["query_id"].tolist()
+    assert json.load(open(f"{d5}/METRICS.json"))["method"] == "lsh"
