@@ -13,9 +13,8 @@ import ray
 
 from ..stages.degrees import compute_degrees
 from ..stages.edges import dedup_edges, resolve_to_ids, symmetrize
-from ..stages.extract import extract_batch
 from ..stages.ids import assign_node_ids
-from ..stages.resolve import resolve_batch
+from ..stages.resolve import extract_resolve_batch
 from ..stages.verify import Sha256Verifier
 
 
@@ -64,8 +63,9 @@ def build_graph_tables(
 
     nodes, n = assign_node_ids(ds, sort_partitions=id_sort_partitions)
 
-    refs = ds.map_batches(extract_batch, batch_format="pyarrow")  # M2
-    cands = refs.map_batches(resolve_batch, batch_format="pyarrow")  # M3
+    # M2+M3 fused: one task per block goes corpus -> candidate pairs
+    # without materializing the exploded refs table in between
+    cands = ds.map_batches(extract_resolve_batch, batch_format="pyarrow")
     raw_edges = resolve_to_ids(  # M4 + id apply
         cands, nodes, n, strategy=join_strategy, num_partitions=num_partitions
     )

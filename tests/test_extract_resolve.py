@@ -80,3 +80,39 @@ def test_roundtrip_fixture():
                     got.add((id_of[(r, p)], id_of[(r, cand)]))
     want = set(zip(edges["src"].to_pylist(), edges["dst"].to_pylist()))
     assert got == want
+
+def test_fused_extract_resolve_equivalent():
+    """extract_resolve_batch == extract_batch |> resolve_batch, row for row."""
+    from fora_ray.fixtures import generate_corpus
+    from fora_ray.stages.extract import extract_batch
+    from fora_ray.stages.resolve import extract_resolve_batch, resolve_batch
+
+    corpus = generate_corpus(400, seed=23)["corpus"]
+    chained = resolve_batch(extract_batch(corpus))
+    fused = extract_resolve_batch(corpus)
+    assert fused.equals(chained)
+
+
+def test_fused_extract_resolve_registries():
+    """The fused stage honors both custom registries."""
+    from fora_ray.stages import extract as ex, resolve as rs
+    import pyarrow as pa
+
+    ex.register_extractor("toylang", lambda c: [c.strip()])
+    rs.register_resolver("toylang", lambda repo, src, ref: [ref + ".toy"])
+    try:
+        batch = pa.table(
+            {
+                "repo": ["r1"],
+                "path": ["a/b.toy"],
+                "lang": ["toylang"],
+                "content": ["  target "],
+            }
+        )
+        out = rs.extract_resolve_batch(batch)
+        assert out.to_pylist() == [
+            {"repo": "r1", "src_path": "a/b.toy", "dst_path": "target.toy"}
+        ]
+    finally:
+        ex.EXTRACTORS.pop("toylang", None)
+        rs.RESOLVERS.pop("toylang", None)
