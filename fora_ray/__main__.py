@@ -11,6 +11,8 @@
                                 [--threshold X] [--clusters]
     python -m fora_ray curate   --docs PATH --out DIR [--min-quality X] [--langs en,de]
     python -m fora_ray ann      --embeddings PATH --out DIR [--method brute|ivf|lsh] [--k K] [--nq N]
+    python -m fora_ray events   --events PATH --out DIR [--op tumbling|sliding|sessions|top-users|props]
+                                [--window-s N] [--slide-s N] [--gap-s N] [--k K] [--keys a,b]
 
 --graph DIR is a shard dir written by `ingest` (csr/ + meta.json).
 Every command writes its result as partitioned Parquet plus a
@@ -283,6 +285,39 @@ def cmd_ann(args):
     print(json.dumps({"method": args.method, "nq": int(Q.shape[0]), "out": args.out}))
 
 
+def cmd_events(args):
+    """Windowed event analytics over an events parquet table -> parquet +
+    METRICS.json (completes the ray-job surface: every pipeline family in
+    SURVEY 2 is now drivable without writing Python)."""
+    import ray
+
+    from .pipelines import events as ev
+
+    events = ray.data.read_parquet(args.events)
+    t0 = time.time()
+    if args.op == "tumbling":
+        out_ds = ev.tumbling_window(events, window_s=args.window_s)
+    elif args.op == "sliding":
+        out_ds = ev.sliding_window_counts(
+            events, window_s=args.window_s, slide_s=args.slide_s
+        )
+    elif args.op == "sessions":
+        out_ds = ev.session_windows(events, gap_s=args.gap_s)
+    elif args.op == "top-users":
+        out_ds = ev.top_users_by_value(events, k=args.k)
+    else:  # props
+        out_ds = ev.parse_props(events, args.keys.split(","))
+    out_ds = out_ds.materialize()
+    os.makedirs(args.out, exist_ok=True)
+    out_ds.write_parquet(os.path.join(args.out, args.op.replace("-", "_")))
+    _write_metrics(args.out, {
+        "command": "events", "op": args.op, "events": args.events,
+        "n_input": events.count(), "n_output": out_ds.count(),
+        "wall_s": time.time() - t0,
+    })
+    print(json.dumps({"op": args.op, "n_output": out_ds.count(), "out": args.out}))
+
+
 def cmd_build_index(args):
     from .graph import algorithms as alg
 
@@ -381,6 +416,18 @@ def main(argv=None):
     p.add_argument("--n-planes", type=int, default=10)
     p.add_argument("--seed", type=int, default=42)
     p.set_defaults(fn=cmd_ann)
+
+    p = sub.add_parser("events")
+    p.add_argument("--events", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--op", default="tumbling",
+                   choices=["tumbling", "sliding", "sessions", "top-users", "props"])
+    p.add_argument("--window-s", type=int, default=3600)
+    p.add_argument("--slide-s", type=int, default=900)
+    p.add_argument("--gap-s", type=int, default=1800)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--keys", default="k")
+    p.set_defaults(fn=cmd_events)
 
     args = ap.parse_args(argv)
     _init_ray()

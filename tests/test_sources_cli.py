@@ -159,3 +159,43 @@ def test_cli_dedup_curate_ann(tmp_path):
     self_hits = topk_lsh[topk_lsh["rank"] == 1].sort_values("query_id")
     assert self_hits["vec_id"].tolist() == self_hits["query_id"].tolist()
     assert json.load(open(f"{d5}/METRICS.json"))["method"] == "lsh"
+
+def test_cli_events(tmp_path):
+    """The events family is drivable from the ray-job CLI surface."""
+    import json
+
+    import pandas as pd
+    import pyarrow as pa
+
+    from fora_ray.__main__ import main
+
+    ev = str(tmp_path / "events.parquet")
+    n = 200
+    rng = np.random.default_rng(7)
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(
+            pd.Timestamp("2026-01-01") + pd.to_timedelta(rng.integers(0, 7200, n), unit="s")
+        ),
+        "user_id": pa.array(rng.integers(0, 10, n), pa.int64()),
+        "event_type": pa.array(["click" if i % 2 else "view" for i in range(n)]),
+        "value": pa.array(rng.random(n)),
+        "props": pa.array(['{"k": %d}' % i for i in range(n)]),
+    }), ev)
+
+    d1 = str(tmp_path / "tumbling")
+    main(["events", "--events", ev, "--out", d1, "--op", "tumbling"])
+    out = ray.data.read_parquet(f"{d1}/tumbling").to_pandas()
+    assert out["n_events"].sum() == n
+    assert json.load(open(f"{d1}/METRICS.json"))["n_input"] == n
+
+    d2 = str(tmp_path / "sessions")
+    main(["events", "--events", ev, "--out", d2, "--op", "sessions", "--gap-s", "600"])
+    sess = ray.data.read_parquet(f"{d2}/sessions").to_pandas()
+    assert sess["n_events"].sum() == n
+    assert set(sess["user_id"]) == set(range(10))
+
+    d3 = str(tmp_path / "props")
+    main(["events", "--events", ev, "--out", d3, "--op", "props", "--keys", "k"])
+    props = ray.data.read_parquet(f"{d3}/props").to_pandas()
+    assert len(props) == n
