@@ -3,7 +3,7 @@
 
     python -m fora_ray ingest   --corpus DIR --out DIR
     python -m fora_ray pagerank --graph DIR --out DIR [--resume]
-    python -m fora_ray query    --graph DIR --source N [--mode exact|fora] --out DIR
+    python -m fora_ray query    --graph DIR (--source N | --sources 1,2,3) [--mode exact|fora] --out DIR
     python -m fora_ray topk     --graph DIR --source N --k K --out DIR
     python -m fora_ray cc|lpa|triangles --graph DIR --out DIR
     python -m fora_ray build-index --graph DIR --out DIR
@@ -117,21 +117,44 @@ def cmd_pagerank(args):
 def cmd_query(args):
     from .graph import algorithms as alg
 
+    if (args.source is None) == (not args.sources):
+        raise SystemExit("query: pass exactly one of --source / --sources")
     h = _load_graph(args.graph)
     t0 = time.time()
-    scores, stats = alg.personalized_pagerank(
-        h, args.source, mode=args.mode, eps=args.eps, seed=args.seed,
-        ckpt_dir=args.ckpt_dir, resume=args.resume,
-    )
+    if args.sources:
+        # batched tier: all Q queries advance in the same superstep wave
+        # (amortizes the per-round barrier Q-fold — the serving path)
+        sources = [int(s) for s in args.sources.split(",")]
+        scores, stats = alg.ppr_batch(
+            h, sources, mode=args.mode, eps=args.eps, seed=args.seed,
+            ckpt_dir=args.ckpt_dir, resume=args.resume,
+        )
+        import numpy as np
+        import pyarrow as pa
+
+        src_arr = np.asarray(sources, dtype=np.int64)
+
+        def attach_source(t: "pa.Table") -> "pa.Table":
+            qi = t["query_idx"].to_numpy(zero_copy_only=False)
+            return t.append_column("source", pa.array(src_arr[qi]))
+
+        scores = scores.map_batches(attach_source, batch_format="pyarrow")
+        label: object = sources
+    else:
+        scores, stats = alg.personalized_pagerank(
+            h, args.source, mode=args.mode, eps=args.eps, seed=args.seed,
+            ckpt_dir=args.ckpt_dir, resume=args.resume,
+        )
+        label = args.source
     _write_scores(scores, args.out)
     _write_metrics(args.out, {
-        "command": "query", "source": args.source, "mode": args.mode,
+        "command": "query", "source": label, "mode": args.mode,
         "wall_s": time.time() - t0,
         **{k: v for k, v in stats.items() if not isinstance(v, dict)},
         "counters": stats.get("counters"),
     })
     h.close()
-    print(json.dumps({"source": args.source, "mode": args.mode, "out": args.out}))
+    print(json.dumps({"source": label, "mode": args.mode, "out": args.out}))
 
 
 def cmd_topk(args):
@@ -349,7 +372,9 @@ def main(argv=None):
 
     p = sub.add_parser("query")
     p.add_argument("--graph", required=True)
-    p.add_argument("--source", type=int, required=True)
+    p.add_argument("--source", type=int, default=None)
+    p.add_argument("--sources", default=None,
+                   help="comma-separated source ids -> batched multi-source tier")
     p.add_argument("--mode", default="fora", choices=["exact", "fora", "fwdpush"])
     p.add_argument("--eps", type=float, default=0.5)
     p.add_argument("--seed", type=int, default=42)

@@ -199,3 +199,35 @@ def test_cli_events(tmp_path):
     main(["events", "--events", ev, "--out", d3, "--op", "props", "--keys", "k"])
     props = ray.data.read_parquet(f"{d3}/props").to_pandas()
     assert len(props) == n
+
+def test_cli_query_batch(fix600, tmp_path):
+    """--sources routes to the batched multi-source tier; per-source
+    results must match single-source queries bit-for-bit."""
+    from fora_ray.__main__ import main
+
+    g = str(tmp_path / "graph")
+    main(["ingest", "--corpus", f"{fix600}/corpus", "--out", g])
+
+    # exact mode: batch and single are both deterministic sweeps, so the
+    # per-source results must agree to solver tolerance (fora mode uses
+    # per-query-index walk seeds in the batch tier, so only statistical
+    # agreement holds there — covered by test_ppr_batch)
+    qb = str(tmp_path / "qbatch")
+    main(["query", "--graph", g, "--sources", "3,7", "--mode", "exact", "--out", qb])
+    batch = ray.data.read_parquet(f"{qb}/scores").to_pandas()
+    assert set(batch["source"]) == {3, 7}
+
+    for s in (3, 7):
+        q1 = str(tmp_path / f"q{s}")
+        main(["query", "--graph", g, "--source", str(s), "--mode", "exact", "--out", q1])
+        single = ray.data.read_parquet(f"{q1}/scores").to_pandas()
+        got = batch[batch["source"] == s].set_index("node_id")["ppr"].sort_index()
+        want = single.set_index("node_id")["ppr"].sort_index()
+        merged = got.to_frame("got").join(want.to_frame("want"), how="outer").fillna(0.0)
+        assert np.allclose(merged["got"], merged["want"], atol=1e-9)
+
+    # fora mode smoke through the same surface
+    qf = str(tmp_path / "qbatch_fora")
+    main(["query", "--graph", g, "--sources", "3,7", "--mode", "fora", "--out", qf])
+    fora = ray.data.read_parquet(f"{qf}/scores").to_pandas()
+    assert set(fora["source"]) == {3, 7}
