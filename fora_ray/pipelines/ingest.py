@@ -37,7 +37,7 @@ def build_graph_tables(
     langs: list[str] | None = None,
     join_strategy: str = "auto",
     num_partitions: int | None = None,
-    verify_concurrency: int = 4,
+    verify_concurrency: int | tuple | None = None,
     id_sort_partitions: int | None = None,
 ):
     """Run M1..M7: returns dict with nodes/edges/edges_undirected/degrees
@@ -54,11 +54,14 @@ def build_graph_tables(
             batch_format="pyarrow",
         )
     if manifest_ref is not None:
+        from ..stages.shuffle import pool_size
+
+        vc = verify_concurrency if verify_concurrency is not None else pool_size()
         ds = ds.map_batches(
             Sha256Verifier,
             fn_constructor_kwargs={"manifest_ref": manifest_ref},
             batch_format="pyarrow",
-            concurrency=(1, verify_concurrency) if isinstance(verify_concurrency, int) else verify_concurrency,
+            concurrency=(1, vc) if isinstance(vc, int) else vc,
         ).map_batches(lambda t: t.filter(t["ok"]), batch_format="pyarrow")
 
     nodes, n = assign_node_ids(ds, sort_partitions=id_sort_partitions)

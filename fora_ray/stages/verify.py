@@ -55,8 +55,15 @@ class Sha256Verifier:
         return batch.append_column("ok", ok)
 
 
-def quarantine_split(ds, manifest_ref, concurrency=4):
-    """Verify a corpus Dataset; return (clean_ds, quarantined_ds) — A7 split."""
+def quarantine_split(ds, manifest_ref, concurrency=None):
+    """Verify a corpus Dataset; return (clean_ds, quarantined_ds) — A7 split.
+
+    concurrency defaults to the session-sized actor pool (shuffle.pool_size);
+    pass an int or (min, max) to override."""
+    from .shuffle import pool_size
+
+    if concurrency is None:
+        concurrency = pool_size()
     verified = ds.map_batches(
         Sha256Verifier,
         fn_constructor_kwargs={"manifest_ref": manifest_ref},
