@@ -94,3 +94,36 @@ def test_distributed_exact_matches_oracle_on_random_graphs(g):
     got[sp["node_id"]] = sp["ppr"]
     want = oracle.ppr_power_iteration(edges, n, source=0)
     assert np.allclose(got, want, atol=1e-9)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["python", "c", "cpp", "javascript", "java", "go", "text"]),
+            st.text(
+                alphabet=st.characters(
+                    whitelist_categories=("Ll", "Lu", "Nd", "Zs"),
+                    whitelist_characters='./_"\'();,#\n',
+                ),
+                max_size=120,
+            ),
+        ),
+        max_size=12,
+    )
+)
+def test_fused_extract_resolve_matches_chain(rows):
+    """extract_resolve_batch == extract_batch |> resolve_batch on arbitrary
+    content, including refs the regexes reject and empty batches."""
+    import pyarrow as pa
+
+    from fora_ray.stages.extract import extract_batch
+    from fora_ray.stages.resolve import extract_resolve_batch, resolve_batch
+
+    batch = pa.table({
+        "repo": pa.array([f"org/r{i % 3}" for i in range(len(rows))], pa.string()),
+        "path": pa.array([f"d{i}/f{i}.x" for i in range(len(rows))], pa.string()),
+        "lang": pa.array([r[0] for r in rows], pa.string()),
+        "content": pa.array([r[1] for r in rows], pa.string()),
+    })
+    assert extract_resolve_batch(batch).equals(resolve_batch(extract_batch(batch)))
