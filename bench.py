@@ -111,15 +111,22 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # enough edges that per-round vectorized work dominates the superstep
     # barrier (~2ms per actor call).  More CPUs than shards go to the
     # data-parallel Dataset stages and to query-engine REPLICAS.
-    P = max(4, min(num_cpus, m // 100_000))
+    # fat shards (>= ~600k edges each): replica query rounds barrier on P
+    # actors, so fewer/fatter shards beat CPU-count sharding (measured —
+    # see memory: dense-frontier volume is (P-1)*n/round)
+    P = max(4, min(num_cpus, m // 600_000))
     replicas = max(1, num_cpus // 8)
     t0 = time.perf_counter()
-    # degrees from ingest (no re-count pass) + async sweep-cache prewarm
-    # that overlaps the ppr stages before the first full-sweep call
-    handle = GraphHandle.from_edges(edges, n, P=P, m=m, balance="degree",
-                                    degrees=degrees, prewarm=True)
-    rep_handles = alg.make_replicas(edges, n, replicas, P=4, m=m,
-                                    balance="degree", degrees=degrees)
+    # ONE shared build: the pagerank handle is replica 0 of a
+    # (replicas+1)-fleet — degree-balance permutation + CSR shards are
+    # computed once and shared zero-copy by every handle (previously a
+    # separate from_edges build re-ran the balance + CSR shuffle).
+    # degrees come from ingest (no re-count pass).
+    fleet = alg.make_replicas(edges, n, replicas + 1, P=P, m=m,
+                              balance="degree", degrees=degrees)
+    handle, rep_handles = fleet[0], fleet[1:]
+    for w in handle.workers:
+        w.warm_sweep_cache.remote()  # async prewarm, overlaps ppr stages
     # spin replica actors up (first call pays actor start; untimed)
     for h in rep_handles:
         h.call_all("ppr_init", 0)
