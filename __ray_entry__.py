@@ -475,6 +475,24 @@ def _queries_events():
 
         return parse_props(_ev(sf_dir), ["k"]).sort("event_id")
 
+    def events_distinct_users(sf_dir):
+        # mergeable-sketch distinct count: shuffle-free aggregate whose
+        # register max-merge makes the result partition-invariant, so the
+        # pure-python golden replay (goldens.distinct_users_hll_golden)
+        # matches bit-for-bit
+        import pandas as pd
+
+        from fora_ray.pipelines.sketches import hll_distinct
+
+        est = hll_distinct(_ev(sf_dir), "user_id", p=12)
+        return pd.DataFrame({"distinct_users": [est]})
+
+    def events_heavy_hitters(sf_dir):
+        # CMS-prefiltered EXACT phi-heavy hitters (plain SQL oracle)
+        from fora_ray.pipelines.sketches import heavy_hitters
+
+        return heavy_hitters(_ev(sf_dir), "user_id", phi=0.008)
+
     def events_sessions(sf_dir):
         # (user_id, session_start, n_events): enough to pin each session
         # exactly; sum_value is float and verified with tolerance in tests
@@ -488,6 +506,8 @@ def _queries_events():
         "events_top_users": events_top_users,
         "events_sessions": events_sessions,
         "events_props": events_props,
+        "events_distinct_users": events_distinct_users,
+        "events_heavy_hitters": events_heavy_hitters,
     }
 
 
@@ -664,6 +684,15 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, lang_pred FROM read_parquet('{gold['langid']}') "
             "ORDER BY doc_id"
         ),
+        "events_distinct_users": (
+            f"SELECT distinct_users FROM read_parquet('{gold['events_distinct_users']}')"
+        ),
+        "events_heavy_hitters": """
+            SELECT user_id AS value, count(*) AS n FROM events
+            GROUP BY 1
+            HAVING count(*) >= CEIL(0.008 * (SELECT count(*) FROM events))
+            ORDER BY value
+        """,
         "doc_fingerprints": (
             f"SELECT doc_id, fingerprint FROM read_parquet('{gold['doc_fingerprints']}') "
             "ORDER BY doc_id"

@@ -36,12 +36,12 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from .functions.hashing import hash_str_u64, mix64
+from .functions.hashing import hash_str_u64, mix64, splitmix64
 from .oracle import lpa_oracle, ppr_column_oracle, ppr_power_iteration
 
 ROUND = 9
 _WORD = re.compile(r"\w+")
-_VERSION = 8  # v8: + ann_lsh
+_VERSION = 9  # v9: + events_distinct_users (HLL)
 
 
 def _round_col(x: np.ndarray) -> np.ndarray:
@@ -598,7 +598,36 @@ _GRAPH_GOLDENS = {
     "topk_ppr": topk_ppr_golden,
     "hubppr": hubppr_golden,
 }
+def distinct_users_hll_golden(sf_dir: str, p: int = 12) -> pa.Table:
+    """Pure-python HyperLogLog replay over events.user_id — independent
+    of pipelines.sketches' vectorized kernels (shares only the splitmix64
+    hash, which is the spec).  Register max-merge is order-invariant, so
+    this single-process replay is bit-identical to the distributed
+    aggregate at any partitioning."""
+    import math as _math
+
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
+    m = 1 << p
+    regs = [0] * m
+    for v in t["user_id"].to_pylist():
+        if v is None:
+            continue
+        h = int(splitmix64(np.uint64(np.int64(v).astype(np.uint64))))
+        idx = h & (m - 1)
+        suf = (h >> p) | (1 << (64 - p))
+        rho = (suf & -suf).bit_length()  # trailing zeros + 1
+        if rho > regs[idx]:
+            regs[idx] = rho
+    alpha = 0.7213 / (1 + 1.079 / m)
+    e = alpha * m * m / sum(2.0 ** -r for r in regs)
+    zeros = regs.count(0)
+    if e <= 2.5 * m and zeros > 0:
+        e = m * _math.log(m / zeros)
+    return pa.table({"distinct_users": pa.array([int(round(e))], pa.int64())})
+
+
 _DOC_GOLDENS = {
+    "events_distinct_users": distinct_users_hll_golden,
     "langid": langid_golden,
     "doc_fingerprints": fingerprints_golden,
     "minhash_dups": minhash_pairs_golden,
