@@ -493,6 +493,22 @@ def _queries_events():
 
         return heavy_hitters(_ev(sf_dir), "user_id", phi=0.008)
 
+    def events_value_quantiles(sf_dir):
+        # fixed-bin histogram quantiles: two shuffle-free aggregates,
+        # order-invariant sum-merge -> bit-identical to the pure-python
+        # golden replay (goldens.value_quantiles_golden)
+        import pandas as pd
+
+        from fora_ray.goldens import ROUND
+        from fora_ray.pipelines.sketches import approx_quantiles
+
+        qs = (0.1, 0.5, 0.9)
+        est = approx_quantiles(_ev(sf_dir), "value", qs=qs)
+        return pd.DataFrame({
+            "q": [float(q) for q in qs],
+            "value": [round(est[float(q)], ROUND) for q in qs],
+        })
+
     def events_sessions(sf_dir):
         # (user_id, session_start, n_events): enough to pin each session
         # exactly; sum_value is float and verified with tolerance in tests
@@ -508,6 +524,7 @@ def _queries_events():
         "events_props": events_props,
         "events_distinct_users": events_distinct_users,
         "events_heavy_hitters": events_heavy_hitters,
+        "events_value_quantiles": events_value_quantiles,
     }
 
 
@@ -686,6 +703,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_distinct_users": (
             f"SELECT distinct_users FROM read_parquet('{gold['events_distinct_users']}')"
+        ),
+        "events_value_quantiles": (
+            f"SELECT q, value FROM read_parquet('{gold['events_value_quantiles']}') "
+            "ORDER BY q"
         ),
         "events_heavy_hitters": """
             SELECT user_id AS value, count(*) AS n FROM events

@@ -41,7 +41,7 @@ from .oracle import lpa_oracle, ppr_column_oracle, ppr_power_iteration
 
 ROUND = 9
 _WORD = re.compile(r"\w+")
-_VERSION = 9  # v9: + events_distinct_users (HLL)
+_VERSION = 10  # v10: + events_value_quantiles (histogram sketch)
 
 
 def _round_col(x: np.ndarray) -> np.ndarray:
@@ -626,8 +626,44 @@ def distinct_users_hll_golden(sf_dir: str, p: int = 12) -> pa.Table:
     return pa.table({"distinct_users": pa.array([int(round(e))], pa.int64())})
 
 
+def value_quantiles_golden(sf_dir: str, qs=(0.1, 0.5, 0.9), bins: int = 4096) -> pa.Table:
+    """Pure-python replay of the fixed-bin histogram quantile sketch over
+    events.value (bin sum-merge is order-invariant, so this matches the
+    distributed aggregate bit-for-bit)."""
+    import bisect
+    import math as _math
+
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["value"])
+    vals = [float(v) for v in t["value"].to_pylist() if v is not None]
+    lo, hi = min(vals), max(vals)
+    width = (hi - lo) / bins
+    counts = [0] * bins
+    for v in vals:
+        idx = int((v - lo) / width)
+        counts[min(max(idx, 0), bins - 1)] += 1
+    cums = []
+    c = 0
+    for x in counts:
+        c += x
+        cums.append(c)
+    n = len(vals)
+    out = []
+    for q in qs:
+        r = q * (n - 1)
+        b = min(bisect.bisect_left(cums, _math.floor(r) + 1), bins - 1)
+        below = cums[b - 1] if b > 0 else 0
+        in_bin = counts[b]
+        frac = ((r - below) / in_bin) if in_bin > 0 else 0.0
+        out.append(lo + (b + min(max(frac, 0.0), 1.0)) * width)
+    return pa.table({
+        "q": pa.array([float(q) for q in qs], pa.float64()),
+        "value": pa.array(_round_col(np.asarray(out)), pa.float64()),
+    })
+
+
 _DOC_GOLDENS = {
     "events_distinct_users": distinct_users_hll_golden,
+    "events_value_quantiles": value_quantiles_golden,
     "langid": langid_golden,
     "doc_fingerprints": fingerprints_golden,
     "minhash_dups": minhash_pairs_golden,

@@ -122,6 +122,82 @@ def hll_distinct(ds, on: str, p: int = 12, alias: str | None = None) -> int:
 
 
 # ---------------------------------------------------------------------------
+# Histogram-based approximate quantiles
+# ---------------------------------------------------------------------------
+
+def _make_hist_agg(on: str, bins: int, lo: float, hi: float, alias: str):
+    from ray.data.aggregate import AggregateFnV2
+
+    width = (hi - lo) / bins if hi > lo else 1.0
+
+    class _Hist(AggregateFnV2):
+        def __init__(self):
+            super().__init__(alias, zero_factory=lambda: np.zeros(bins, np.int64),
+                             on=on, ignore_nulls=True)
+
+        def aggregate_block(self, block):
+            acc = np.zeros(bins, np.int64)
+            col = block[on]
+            if block.num_rows:
+                arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                v = arr.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+                if v.size:
+                    idx = np.clip(((v - lo) / width).astype(np.int64), 0, bins - 1)
+                    np.add.at(acc, idx, 1)
+            return acc
+
+        def combine(self, a, b):
+            return a + b
+
+        def finalize(self, a):
+            return a
+
+    return _Hist()
+
+
+def approx_quantiles(ds, on: str, qs=(0.25, 0.5, 0.75), bins: int = 4096,
+                     lo: float | None = None, hi: float | None = None):
+    """Approximate quantiles from a fixed-bin histogram: two shuffle-free
+    aggregate passes (exact min/max, then int64 bin counts whose sum-merge
+    is order-invariant -> result independent of partitioning).  Error is
+    bounded by one bin width in VALUE space ((hi-lo)/bins); rank position
+    within the owning bin is linearly interpolated.
+
+    Returns {q: estimate}.  Deterministic, so a single-process replay of
+    the same histogram is a bit-identical golden oracle."""
+    if lo is None or hi is None:
+        from ray.data.aggregate import Max, Min
+
+        mm = ds.aggregate(Min(on), Max(on))
+        lo = float(mm[f"min({on})"]) if lo is None else lo
+        hi = float(mm[f"max({on})"]) if hi is None else hi
+    if hi <= lo:
+        return {float(q): float(lo) for q in qs}
+    alias = f"hist({on})"
+    counts = ds.aggregate(_make_hist_agg(on, bins, lo, hi, alias))[alias]
+    return histogram_quantiles(counts, qs, lo, hi)
+
+
+def histogram_quantiles(counts: np.ndarray, qs, lo: float, hi: float) -> dict:
+    """Deterministic quantile readout from bin counts (shared by the
+    distributed path and the golden replay — pure numpy on a tiny array)."""
+    bins = counts.size
+    width = (hi - lo) / bins
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    out = {}
+    for q in qs:
+        r = q * (n - 1)  # fractional 0-indexed rank
+        b = int(np.searchsorted(cum, math.floor(r) + 1))
+        b = min(b, bins - 1)
+        below = int(cum[b - 1]) if b > 0 else 0
+        in_bin = int(counts[b])
+        frac = ((r - below) / in_bin) if in_bin > 0 else 0.0
+        out[float(q)] = float(lo + (b + min(max(frac, 0.0), 1.0)) * width)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Count-Min + exact heavy hitters
 # ---------------------------------------------------------------------------
 

@@ -78,3 +78,25 @@ def test_count_min_never_underestimates():
     rows = _cms_rows(_values_u64(vals), 4, 256)
     est = np.min(cms[np.arange(4)[:, None], rows], axis=0)
     assert (est >= vc.values).all()
+
+
+def test_approx_quantiles_error_bound_and_invariance():
+    from fora_ray.pipelines.sketches import approx_quantiles
+
+    rng = np.random.default_rng(11)
+    v = rng.standard_normal(30_000) * 10 + 5
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(v)}))
+    qs = (0.05, 0.25, 0.5, 0.75, 0.95)
+    est = approx_quantiles(ds, "v", qs=qs, bins=4096)
+    bin_w = (v.max() - v.min()) / 4096
+    for q in qs:
+        assert abs(est[q] - np.quantile(v, q)) <= 2 * bin_w
+    assert approx_quantiles(ds.repartition(9), "v", qs=qs, bins=4096) == est
+
+
+def test_approx_quantiles_constant_column():
+    from fora_ray.pipelines.sketches import approx_quantiles
+
+    ds = ray.data.from_arrow(pa.table({"v": pa.array([7.0] * 100)}))
+    est = approx_quantiles(ds, "v", qs=(0.1, 0.9))
+    assert est == {0.1: 7.0, 0.9: 7.0}
