@@ -13,6 +13,8 @@
     python -m fora_ray ann      --embeddings PATH --out DIR [--method brute|ivf|lsh] [--k K] [--nq N]
     python -m fora_ray events   --events PATH --out DIR [--op tumbling|sliding|sessions|top-users|props]
                                 [--window-s N] [--slide-s N] [--gap-s N] [--k K] [--keys a,b]
+    python -m fora_ray sketch   --input PATH --on COL --out DIR [--op distinct|heavy-hitters|quantiles]
+                                [--p P] [--phi X] [--quantiles 0.25,0.5] [--bins N]
 
 --graph DIR is a shard dir written by `ingest` (csr/ + meta.json).
 Every command writes its result as partitioned Parquet plus a
@@ -341,6 +343,44 @@ def cmd_events(args):
     print(json.dumps({"op": args.op, "n_output": out_ds.count(), "out": args.out}))
 
 
+def cmd_sketch(args):
+    """Mergeable-sketch analytics over any parquet table: approximate
+    distinct count (HLL), exact phi-heavy hitters (CMS-prefiltered), and
+    histogram quantiles — all shuffle-free aggregate passes."""
+    import pyarrow as pa
+    import ray
+
+    from .pipelines import sketches as sk
+
+    ds = ray.data.read_parquet(args.input)
+    t0 = time.time()
+    os.makedirs(args.out, exist_ok=True)
+    if args.op == "distinct":
+        est = sk.hll_distinct(ds, args.on, p=args.p)
+        result_tbl = pa.table({"column": [args.on], "distinct_est": pa.array([est], pa.int64())})
+        summary = {"distinct_est": est}
+    elif args.op == "heavy-hitters":
+        hh = sk.heavy_hitters(ds.materialize(), args.on, phi=args.phi).materialize()
+        hh.write_parquet(os.path.join(args.out, "heavy_hitters"))
+        result_tbl = None
+        summary = {"n_heavy_hitters": hh.count()}
+    else:  # quantiles
+        qs = [float(x) for x in args.quantiles.split(",")]
+        est = sk.approx_quantiles(ds, args.on, qs=qs, bins=args.bins)
+        result_tbl = pa.table({"q": pa.array(qs, pa.float64()),
+                               "value": pa.array([est[q] for q in qs], pa.float64())})
+        summary = {str(q): est[q] for q in qs}
+    if result_tbl is not None:
+        import pyarrow.parquet as _pq
+
+        _pq.write_table(result_tbl, os.path.join(args.out, f"{args.op}.parquet"))
+    _write_metrics(args.out, {
+        "command": "sketch", "op": args.op, "input": args.input, "on": args.on,
+        "wall_s": time.time() - t0, **summary,
+    })
+    print(json.dumps({"op": args.op, "on": args.on, **summary, "out": args.out}))
+
+
 def cmd_build_index(args):
     from .graph import algorithms as alg
 
@@ -441,6 +481,18 @@ def main(argv=None):
     p.add_argument("--n-planes", type=int, default=10)
     p.add_argument("--seed", type=int, default=42)
     p.set_defaults(fn=cmd_ann)
+
+    p = sub.add_parser("sketch")
+    p.add_argument("--input", required=True, help="parquet path/glob")
+    p.add_argument("--on", required=True, help="column to sketch")
+    p.add_argument("--out", required=True)
+    p.add_argument("--op", default="distinct",
+                   choices=["distinct", "heavy-hitters", "quantiles"])
+    p.add_argument("--p", type=int, default=12, help="HLL precision (2^p registers)")
+    p.add_argument("--phi", type=float, default=0.01)
+    p.add_argument("--quantiles", default="0.25,0.5,0.75")
+    p.add_argument("--bins", type=int, default=4096)
+    p.set_defaults(fn=cmd_sketch)
 
     p = sub.add_parser("events")
     p.add_argument("--events", required=True)

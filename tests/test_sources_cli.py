@@ -231,3 +231,39 @@ def test_cli_query_batch(fix600, tmp_path):
     main(["query", "--graph", g, "--sources", "3,7", "--mode", "fora", "--out", qf])
     fora = ray.data.read_parquet(f"{qf}/scores").to_pandas()
     assert set(fora["source"]) == {3, 7}
+
+def test_cli_sketch(tmp_path):
+    """sketch subcommand: distinct / heavy-hitters / quantiles."""
+    import json
+
+    import pyarrow as pa
+
+    from fora_ray.__main__ import main
+
+    src = str(tmp_path / "t.parquet")
+    rng = np.random.default_rng(4)
+    keys = (rng.zipf(1.4, 5000) % 50).astype(np.int64)
+    pq.write_table(pa.table({"k": pa.array(keys), "v": pa.array(rng.random(5000))}), src)
+
+    d1 = str(tmp_path / "dist")
+    main(["sketch", "--input", src, "--on", "k", "--out", d1, "--op", "distinct"])
+    m = json.load(open(f"{d1}/METRICS.json"))
+    exact = len(set(keys.tolist()))
+    assert abs(m["distinct_est"] - exact) <= max(2, 0.02 * exact)
+
+    d2 = str(tmp_path / "hh")
+    main(["sketch", "--input", src, "--on", "k", "--out", d2, "--op", "heavy-hitters",
+          "--phi", "0.02"])
+    hh = ray.data.read_parquet(f"{d2}/heavy_hitters").to_pandas()
+    import math
+    import pandas as pd
+
+    vc = pd.Series(keys).value_counts()
+    want = vc[vc >= math.ceil(0.02 * 5000)].sort_index()
+    assert hh.sort_values("value")["value"].tolist() == want.index.tolist()
+
+    d3 = str(tmp_path / "qt")
+    main(["sketch", "--input", src, "--on", "v", "--out", d3, "--op", "quantiles",
+          "--quantiles", "0.5"])
+    qt = ray.data.read_parquet(f"{d3}/quantiles.parquet").to_pandas()
+    assert abs(qt["value"][0] - 0.5) < 0.05
