@@ -509,6 +509,34 @@ def _queries_events():
             "value": [round(est[float(q)], ROUND) for q in qs],
         })
 
+    def events_asof_checkpoint(sf_dir):
+        # as-of join: each event -> latest strictly-earlier checkpoint
+        # event (event_id % 37 == 0) of the same user; plain SQL oracle
+        import pyarrow as pa
+
+        from fora_ray.pipelines.asof import asof_join_latest
+
+        ev = _ev(sf_dir)
+
+        def only_ckpts(t: pa.Table) -> pa.Table:
+            eid = t["event_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(eid % 37 == 0))
+
+        ckpt = ev.map_batches(only_ckpts, batch_format="pyarrow")
+        out = asof_join_latest(ev, ckpt, key="user_id", ts_col="ts",
+                               order_col="event_id", value_col="event_id",
+                               out_col="ckpt_id")
+
+        def fill(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            # no-match -> -1 (NaN != NaN under the driver's exact compare)
+            return t.set_column(t.schema.get_field_index("ckpt_id"), "ckpt_id",
+                                pc.fill_null(t["ckpt_id"], -1))
+
+        out = out.map_batches(fill, batch_format="pyarrow")
+        return out.select_columns(["event_id", "ckpt_id"]).sort("event_id")
+
     def events_sessions(sf_dir):
         # (user_id, session_start, n_events): enough to pin each session
         # exactly; sum_value is float and verified with tolerance in tests
@@ -525,6 +553,7 @@ def _queries_events():
         "events_distinct_users": events_distinct_users,
         "events_heavy_hitters": events_heavy_hitters,
         "events_value_quantiles": events_value_quantiles,
+        "events_asof_checkpoint": events_asof_checkpoint,
     }
 
 
@@ -713,6 +742,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             HAVING count(*) >= CEIL(0.008 * (SELECT count(*) FROM events))
             ORDER BY value
+        """,
+        "events_asof_checkpoint": """
+            SELECT e.event_id,
+                   COALESCE((SELECT c.event_id FROM events c
+                     WHERE c.event_id % 37 = 0 AND c.user_id = e.user_id
+                       AND (c.ts < e.ts OR (c.ts = e.ts AND c.event_id < e.event_id))
+                     ORDER BY c.ts DESC, c.event_id DESC LIMIT 1), -1) AS ckpt_id
+            FROM events e ORDER BY e.event_id
         """,
         "doc_fingerprints": (
             f"SELECT doc_id, fingerprint FROM read_parquet('{gold['doc_fingerprints']}') "
