@@ -159,12 +159,62 @@ def _queries_relational():
             .sort("doc_id")
         )
 
+    def range_join_shipped(sf_dir):
+        # non-equi range join (brief: "as-of join, range join"): every
+        # lineitem shipped within [o_orderdate, o_orderdate + 7 days) of
+        # ANY order, aggregated per order — counts and integral-quantity
+        # sums are exact ints, so the driver's exact compare holds
+        import numpy as np
+
+        from fora_ray.pipelines.interval import range_join
+        from fora_ray.stages.shuffle import clean_sort, sum_by_key
+
+        orders = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+        )
+        li = ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_shipdate", "l_quantity"]
+        )
+        week_us = 7 * 86400 * 1_000_000
+
+        def widen(t: pa.Table) -> pa.Table:
+            lo = t["o_orderdate"].cast(pa.int64())
+            hi = pa.array(lo.to_numpy(zero_copy_only=False) + week_us)
+            return pa.table({"o_orderkey": t["o_orderkey"],
+                             "o_lo": lo.cast(pa.timestamp("us")),
+                             "o_hi": hi.cast(pa.timestamp("us"))})
+
+        intervals = orders.map_batches(widen, batch_format="pyarrow")
+
+        def agg_pairs(t: pa.Table) -> pa.Table:
+            # partial per-bucket aggregate folded into the join kernel —
+            # the full pair set never leaves the bucket
+            if t.num_rows == 0:
+                return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                                 "n_items": pa.array([], pa.int64()),
+                                 "sum_qty": pa.array([], pa.int64())})
+            k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+            q = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+            uk, inv, cnt = np.unique(k, return_inverse=True, return_counts=True)
+            acc = np.zeros(len(uk), dtype=np.int64)
+            np.add.at(acc, inv, q)
+            return pa.table({"o_orderkey": pa.array(uk),
+                             "n_items": pa.array(cnt.astype(np.int64)),
+                             "sum_qty": pa.array(acc)})
+
+        part = range_join(li, intervals, on="l_shipdate", lo_col="o_lo",
+                          hi_col="o_hi", pair_fn=agg_pairs)
+        return clean_sort(
+            sum_by_key(part, "o_orderkey", ["n_items", "sum_qty"]), "o_orderkey"
+        )
+
     return {
         "degrees_out": degrees_out,
         "edge_dedup": edge_dedup,
         "top_hubs": top_hubs,
         "join_resolve": join_resolve,
         "sha256_rows": sha256_rows,
+        "range_join_shipped": range_join_shipped,
     }
 
 
@@ -659,6 +709,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey"
         ),
         "sha256_rows": "SELECT doc_id, sha256(text) AS text_sha256 FROM documents ORDER BY doc_id",
+        "range_join_shipped": """
+            SELECT o.o_orderkey,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+            FROM orders o JOIN lineitem l
+              ON l.l_shipdate >= o.o_orderdate
+             AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+            GROUP BY 1 ORDER BY 1
+        """,
         "docs_exact_dedup": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id"
         ),
