@@ -397,6 +397,18 @@ def _queries_graph():
         per, _total = triangle_count(g["sym"], g["n"])
         return per.to_pandas().reset_index(drop=True)
 
+    def clustering_coeff_q(sf_dir):
+        from fora_ray.goldens import ROUND
+        from fora_ray.graph.triangles import clustering_coefficient
+
+        g = _graph(sf_dir)
+        lcc = clustering_coefficient(g["sym"], g["n"])
+        df = lcc.to_pandas().sort_values("node_id").reset_index(drop=True)
+        # engine and DuckDB both evaluate 2.0*t/(d*(d-1)) in float64 —
+        # bit-identical; the round is belt-and-braces (goldens.ROUND)
+        df["lcc"] = df["lcc"].round(ROUND)
+        return df
+
     def ppr_batch_q(sf_dir):
         from fora_ray.goldens import ROUND
 
@@ -486,6 +498,7 @@ def _queries_graph():
         "cc": cc_q,
         "lpa": lpa_q,
         "triangles": triangles_q,
+        "clustering_coeff": clustering_coeff_q,
     }
 
 
@@ -756,6 +769,19 @@ def oracle_sql() -> dict[str, str]:
         "ingest_edges": f"SELECT src, dst FROM read_parquet('{golden_edges}') ORDER BY src, dst",
         "ingest_degrees": degrees_sql,
         "triangles": triangles_sql,
+        "clustering_coeff": f"""
+            WITH tri AS ({triangles_sql}),
+             e AS (SELECT src, dst FROM read_parquet('{golden_edges}')),
+             und AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
+             deg AS (SELECT u AS node_id, count(*) AS d FROM und WHERE u <> v GROUP BY 1)
+            SELECT tri.node_id, tri.triangles,
+                   CAST(coalesce(deg.d, 0) AS BIGINT) AS deg,
+                   ROUND(CASE WHEN coalesce(deg.d, 0) >= 2
+                         THEN 2.0 * tri.triangles / (deg.d * (deg.d - 1))
+                         ELSE 0.0 END, 9) AS lcc
+            FROM tri LEFT JOIN deg ON tri.node_id = deg.node_id
+            ORDER BY tri.node_id
+        """,
         "cc": f"""
             WITH RECURSIVE
              e AS (SELECT src, dst FROM read_parquet('{golden_edges}')

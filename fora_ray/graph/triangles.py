@@ -262,3 +262,44 @@ def triangle_count(edges_sym_ds, n: int, strategy: str = "auto",
     )
     total = tri.count()
     return per_vertex, total
+
+
+def clustering_coefficient(edges_sym_ds, n: int, strategy: str = "auto",
+                           num_partitions: int = 16):
+    """Per-vertex local clustering coefficient
+    ``lcc(v) = 2 * triangles(v) / (deg(v) * (deg(v) - 1))`` on the
+    symmetrized simple graph (0.0 for deg < 2).
+
+    Derived entirely from distributed pieces: `triangle_count` per-vertex
+    counts left-outer-joined (hash join, no driver materialization) with
+    the streaming degree aggregate — the join is n-rows x n-rows small
+    relative to the wedge stage that precedes it.  Returns a Dataset
+    (node_id, triangles, deg, lcc).
+    """
+    from ..stages.shuffle import safe_join
+
+    per_vertex, _total = triangle_count(
+        edges_sym_ds, n, strategy=strategy, num_partitions=num_partitions
+    )
+    deg_ds = _degrees_ds(edges_sym_ds)
+
+    joined = safe_join(per_vertex, deg_ds, on=("node_id",),
+                       num_partitions=num_partitions, join_type="left_outer")
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "node_id" not in t.schema.names:
+            return pa.table({"node_id": pa.array([], pa.int64()),
+                             "triangles": pa.array([], pa.int64()),
+                             "deg": pa.array([], pa.int64()),
+                             "lcc": pa.array([], pa.float64())})
+        tri_v = t["triangles"].to_numpy(zero_copy_only=False).astype(np.int64)
+        deg = t["deg"].to_numpy(zero_copy_only=False)
+        deg = np.nan_to_num(deg.astype(np.float64)).astype(np.int64)
+        denom = deg * (deg - 1)
+        lcc = np.where(denom > 0, 2.0 * tri_v / np.maximum(denom, 1), 0.0)
+        return pa.table({"node_id": t["node_id"],
+                         "triangles": pa.array(tri_v),
+                         "deg": pa.array(deg),
+                         "lcc": pa.array(lcc)})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
