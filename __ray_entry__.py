@@ -397,6 +397,13 @@ def _queries_graph():
         per, _total = triangle_count(g["sym"], g["n"])
         return per.to_pandas().reset_index(drop=True)
 
+    def bfs_q(sf_dir):
+        g = _graph(sf_dir)
+        dists, stats = alg.bfs_hops(g["handle_sym"], [0])
+        # oracle recursive CTE caps depth at 64 — engine rounds must fit
+        assert stats["rounds"] < 60, stats
+        return dists.to_pandas().sort_values("node_id").reset_index(drop=True)
+
     def clustering_coeff_q(sf_dir):
         from fora_ray.goldens import ROUND
         from fora_ray.graph.triangles import clustering_coefficient
@@ -499,6 +506,7 @@ def _queries_graph():
         "lpa": lpa_q,
         "triangles": triangles_q,
         "clustering_coeff": clustering_coeff_q,
+        "bfs_hops": bfs_q,
     }
 
 
@@ -794,6 +802,19 @@ def oracle_sql() -> dict[str, str]:
                SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src
              )
             SELECT a AS node_id, min(b) AS label FROM reach GROUP BY a ORDER BY a
+        """,
+        "bfs_hops": f"""
+            WITH RECURSIVE
+             e AS (SELECT src, dst FROM read_parquet('{golden_edges}')
+                   UNION SELECT dst, src FROM read_parquet('{golden_edges}')),
+             walk(node, d) AS (
+               SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS d
+               UNION
+               SELECT e.dst, w.d + 1 FROM walk w JOIN e ON w.node = e.src
+               WHERE w.d < 64
+             )
+            SELECT node AS node_id, CAST(min(d) AS BIGINT) AS dist
+            FROM walk GROUP BY 1 ORDER BY 1
         """,
         "pagerank": (
             f"SELECT node_id, ppr FROM read_parquet('{gold['pagerank']}') "

@@ -867,6 +867,31 @@ def connected_components(handle, max_rounds: int = 10_000):
     return handle.labels_dataset(), {"rounds": rounds}
 
 
+def bfs_hops(handle, sources, max_rounds: int = 10_000):
+    """Multi-source BFS hop distance (unit-weight relaxation on the
+    handle's out-adjacency; pass the symmetrized handle for undirected
+    distance).  Deterministic.  Returns (Dataset (node_id, dist) over
+    REACHED nodes only, stats) — unreached nodes are absent, not inf.
+
+    Same superstep shape as connected_components: only the frontier
+    (nodes whose dist changed last round) gathers edges, messages are
+    min-combined per destination cell before the exchange, so hub
+    fan-in is bounded at P-1 payloads per round.
+    """
+    import ray as _ray
+
+    eng = [handle.to_engine(int(s)) for s in sources]
+    handle.call_all("bfs_init", eng)
+    rounds = 0
+    while rounds < max_rounds:
+        metas, changed = handle._exchange("bfs_round", "bfs_apply")
+        rounds += 1
+        if sum(changed) == 0 and sum(m["sent"] for m in metas) == 0:
+            break
+    refs = [w.get_dists.remote() for w in handle.workers]
+    return _ray.data.from_arrow_refs(refs), {"rounds": rounds}
+
+
 def label_propagation(handle, max_rounds: int = 20):
     """G10 — synchronous LPA, most-frequent neighbor label, smallest-label
     tie-break (matches fora_ray.oracle.lpa_oracle exactly)."""

@@ -1242,6 +1242,63 @@ class ShardWorkerImpl:
                 changed += int(better.sum())
         return changed
 
+    # ---- BFS hop distance (multi-source) -----------------------------------
+    def bfs_init(self, sources_engine):
+        _SENT = np.iinfo(np.int64).max
+        self.dist = np.full(self.n_local, _SENT, dtype=np.int64)
+        self._changed = np.zeros(self.n_local, dtype=bool)
+        src = np.asarray(sources_engine, dtype=np.int64)
+        mine = src[src % self.P == self.part] // self.P
+        self.dist[mine] = 0
+        self._changed[mine] = True
+        return int(mine.size)
+
+    def bfs_round(self):
+        idx = np.nonzero(self._changed)[0]
+        self._changed[:] = False
+        meta = {"sent": int(idx.size)}
+        if idx.size == 0:
+            return tuple([meta] + [None] * self.P)
+        dsts, row = self._gather_edges(idx)
+        if dsts.size == 0:
+            return tuple([meta] + [None] * self.P)
+        nd = self.dist[idx][row] + 1  # unit-weight relaxation
+        _SENT = np.iinfo(np.int64).max
+        payloads = [None] * self.P
+        owner = dsts % self.P
+        for p in np.unique(owner):
+            m = owner == p
+            nl = n_local_of(self.n, self.P, int(p))
+            acc = np.full(nl, _SENT, dtype=np.int64)
+            np.minimum.at(acc, dsts[m] // self.P, nd[m])
+            nz = np.nonzero(acc != _SENT)[0]
+            pl = (nz.astype(np.int64), acc[nz])
+            if p == self.part:
+                self.bfs_apply(pl)
+            else:
+                payloads[int(p)] = pl
+        return tuple([meta] + payloads)
+
+    def bfs_apply(self, *payloads):
+        changed = 0
+        for pl in payloads:
+            if pl is None:
+                continue
+            ids, vals = pl
+            better = vals < self.dist[ids]
+            if better.any():
+                self.dist[ids[better]] = vals[better]
+                self._changed[ids[better]] = True
+                changed += int(better.sum())
+        return changed
+
+    def get_dists(self) -> pa.Table:
+        reach = self.dist < np.iinfo(np.int64).max
+        return pa.table({
+            "node_id": pa.array(self.logical_ids[reach]),
+            "dist": pa.array(self.dist[reach]),
+        })
+
     # ---- G10 label propagation --------------------------------------------
     def lpa_init(self):
         self.labels = self.logical_ids.copy()

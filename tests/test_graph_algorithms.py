@@ -336,3 +336,41 @@ def test_degree_balance_with_precomputed_degrees_matches(ray_session):
     finally:
         for h in reps:
             h.close()
+
+
+def _bfs_brute(sym: np.ndarray, n: int, sources) -> dict[int, int]:
+    from collections import deque
+
+    adj: dict[int, list[int]] = {}
+    for u, v in sym:
+        adj.setdefault(int(u), []).append(int(v))
+    dist = {int(s): 0 for s in sources}
+    dq = deque(sources)
+    while dq:
+        u = int(dq.popleft())
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    return dist
+
+
+@pytest.mark.parametrize("sources", [[0], [0, 7]])
+def test_bfs_hops_matches_brute(graph600, sources):
+    edges, n = graph600
+    sym = symmetrized(edges)
+    with GraphHandle.from_edges(to_dataset(sym), n, P=4) as h:
+        ds, stats = alg.bfs_hops(h, sources)
+        got = {r["node_id"]: r["dist"] for r in ds.take_all()}
+    assert got == _bfs_brute(sym, n, sources)
+    assert stats["rounds"] >= 1
+
+
+def test_bfs_hops_directed_and_balanced():
+    # directed: 0->1->2, 2 unreachable backwards; degree-balanced handle
+    edges = np.array([[0, 1], [1, 2], [3, 0]], dtype=np.int64)
+    with GraphHandle.from_edges(to_dataset(edges), 4, P=2,
+                                balance="degree") as h:
+        ds, _ = alg.bfs_hops(h, [0])
+        got = {r["node_id"]: r["dist"] for r in ds.take_all()}
+    assert got == {0: 0, 1: 1, 2: 2}  # node 3 unreached
