@@ -397,6 +397,11 @@ def _queries_graph():
         per, _total = triangle_count(g["sym"], g["n"])
         return per.to_pandas().reset_index(drop=True)
 
+    def kcore_q(sf_dir):
+        g = _graph(sf_dir)
+        cores, _stats = alg.kcore(g["handle_sym"])
+        return cores.to_pandas().sort_values("node_id").reset_index(drop=True)
+
     def bfs_q(sf_dir):
         g = _graph(sf_dir)
         dists, stats = alg.bfs_hops(g["handle_sym"], [0])
@@ -507,6 +512,7 @@ def _queries_graph():
         "triangles": triangles_q,
         "clustering_coeff": clustering_coeff_q,
         "bfs_hops": bfs_q,
+        "kcore": kcore_q,
     }
 
 
@@ -830,6 +836,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lpa": (
             f"SELECT node_id, label FROM read_parquet('{gold['lpa']}') "
+            "ORDER BY node_id"
+        ),
+        "kcore": (
+            f"SELECT node_id, core FROM read_parquet('{gold['kcore']}') "
             "ORDER BY node_id"
         ),
         "langid": (

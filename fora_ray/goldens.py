@@ -41,7 +41,7 @@ from .oracle import lpa_oracle, ppr_column_oracle, ppr_power_iteration
 
 ROUND = 9
 _WORD = re.compile(r"\w+")
-_VERSION = 10  # v10: + events_value_quantiles (histogram sketch)
+_VERSION = 11  # v11: + kcore (peeling reference)
 
 
 def _round_col(x: np.ndarray) -> np.ndarray:
@@ -163,6 +163,19 @@ def lpa_golden(fix_dir: str, max_rounds: int = 20) -> pa.Table:
 # --------------------------------------------------------------------------
 # documents goldens (inputs: the sf dir's documents.parquet)
 # --------------------------------------------------------------------------
+
+def kcore_golden(fix_dir: str) -> pa.Table:
+    """Core numbers by iterative peeling (oracle.kcore_oracle) — an
+    algorithm independent of the engine's h-index iteration."""
+    from .oracle import kcore_oracle
+
+    e, n = _fixture_graph(fix_dir)
+    sym = np.unique(np.vstack([e, e[:, ::-1]]), axis=0)
+    sym = sym[sym[:, 0] != sym[:, 1]]
+    core = kcore_oracle(sym, n)
+    return pa.table({"node_id": pa.array(np.arange(n, dtype=np.int64)),
+                     "core": pa.array(core)})
+
 
 def _read_docs(sf_dir: str) -> tuple[list[int], list[str]]:
     t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
@@ -591,6 +604,7 @@ _GRAPH_GOLDENS = {
     "ppr_exact": ppr_exact_golden,
     "backward_ppr": backward_ppr_golden,
     "lpa": lpa_golden,
+    "kcore": kcore_golden,
     "fora_ppr": fora_ppr_golden,
     "monte_carlo_ppr": monte_carlo_golden,
     "ppr_batch": ppr_batch_golden,

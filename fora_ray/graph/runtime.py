@@ -1373,6 +1373,81 @@ class ShardWorkerImpl:
         self._votes = None
         return changed
 
+    # ---- k-core decomposition (h-index iteration) --------------------------
+    def kcore_init(self):
+        """core(v) starts at deg(v); each round every vertex replaces its
+        value with the h-index of its neighbors' values — the fixpoint is
+        the core number (Lü et al., PNAS 2016, public result).  Values
+        only decrease, so the iteration is monotone and terminates."""
+        self.core = self.out_deg.astype(np.int64).copy()
+        self._kvotes = None
+        return True
+
+    def kcore_round(self):
+        """Emit (dst, my_core) along all out-edges (symmetrized graph),
+        pre-counted per (dst, value) pair inside the sender — hubs whose
+        neighbors share values compress to one (value, count) cell."""
+        idx = np.arange(self.n_local)
+        dsts, row = self._gather_edges(idx)
+        meta = {"msgs": int(dsts.size)}
+        payloads = [None] * self.P
+        self._kvotes = None
+        if dsts.size == 0:
+            return tuple([meta] + [None] * self.P)
+        val = self.core[row]
+        owner = dsts % self.P
+        for p in np.unique(owner):
+            m = owner == p
+            dk, vk, ck = self._pair_counts(dsts[m] // self.P, val[m])
+            pl = (dk, vk, ck)
+            if p == self.part:
+                self.kcore_vote(pl)
+            else:
+                payloads[int(p)] = pl
+        return tuple([meta] + payloads)
+
+    def kcore_vote(self, *payloads):
+        for pl in payloads:
+            if pl is None:
+                continue
+            if self._kvotes is None:
+                self._kvotes = pl
+            else:
+                self._kvotes = tuple(
+                    np.concatenate([v, p]) for v, p in zip(self._kvotes, pl)
+                )
+        return True
+
+    def kcore_commit(self):
+        """Weighted h-index per destination from (value, count) cells:
+        sort values descending per dst, h = max_i min(v_i, cumcount_i);
+        new core = min(old, h).  Vertices receiving no message (isolated)
+        keep core 0 from init."""
+        if self._kvotes is None:
+            return 0
+        dst_loc, val, cnt = self._pair_counts(*self._kvotes[:2], weights=self._kvotes[2])
+        order = np.lexsort((-val, dst_loc))
+        d_o, v_o, c_o = dst_loc[order], val[order], cnt[order]
+        first = np.concatenate([[True], d_o[1:] != d_o[:-1]])
+        starts = np.flatnonzero(first)
+        cum = np.cumsum(c_o)
+        seg_base = np.concatenate([[0], cum[:-1]])[starts]
+        within = cum - seg_base[np.cumsum(first) - 1]
+        cand = np.minimum(v_o, within)
+        h = np.maximum.reduceat(cand, starts)
+        dsts = d_o[first]
+        new = np.minimum(self.core[dsts], h)
+        changed = int((new < self.core[dsts]).sum())
+        self.core[dsts] = new
+        self._kvotes = None
+        return changed
+
+    def get_cores(self) -> pa.Table:
+        return pa.table({
+            "node_id": pa.array(self.logical_ids),
+            "core": pa.array(self.core),
+        })
+
     # ---- walk-phase checkpoint (VERDICT r02 missing #3) -------------------
     def walk_checkpoint(self, path: str) -> int:
         """Persist the pending batched walkers (cur, qidx, wt, wkey).

@@ -174,3 +174,36 @@ def triangles_oracle(edges_sym: np.ndarray, n: int) -> tuple[np.ndarray, int]:
                 per[w] += 1
                 total += 1
     return per, total
+
+
+def kcore_oracle(edges_sym: np.ndarray, n: int) -> np.ndarray:
+    """Core numbers by classic iterative peeling (Batagelj–Zaveršnik
+    style, queue-based): repeatedly remove every vertex whose remaining
+    degree is below k, for k ascending; a vertex removed during stage k
+    has core number k - 1.  Independent of the engine's h-index
+    iteration (Lü et al., PNAS 2016) — agreement is real evidence."""
+    from collections import deque
+
+    e = np.asarray(edges_sym, dtype=np.int64).reshape(-1, 2)
+    indptr, indices = _adj(e, n)
+    deg = (indptr[1:] - indptr[:-1]).astype(np.int64).copy()
+    core = np.zeros(n, dtype=np.int64)
+    alive = np.ones(n, dtype=bool)
+    remaining = n
+    k = 1
+    while remaining > 0:
+        dq = deque(np.nonzero(alive & (deg < k))[0].tolist())
+        while dq:
+            v = dq.popleft()
+            if not alive[v]:
+                continue
+            alive[v] = False
+            core[v] = k - 1
+            remaining -= 1
+            for u in indices[indptr[v]: indptr[v + 1]]:
+                if alive[u]:
+                    deg[u] -= 1
+                    if deg[u] < k:
+                        dq.append(int(u))
+        k += 1
+    return core

@@ -374,3 +374,24 @@ def test_bfs_hops_directed_and_balanced():
         ds, _ = alg.bfs_hops(h, [0])
         got = {r["node_id"]: r["dist"] for r in ds.take_all()}
     assert got == {0: 0, 1: 1, 2: 2}  # node 3 unreached
+
+
+@pytest.mark.parametrize("P", [2, 4])
+def test_kcore_matches_peeling_oracle(graph600, P):
+    edges, n = graph600
+    sym = symmetrized(edges)
+    want = oracle.kcore_oracle(sym, n)
+    with GraphHandle.from_edges(to_dataset(sym), n, P=P) as h:
+        out, stats = alg.kcore(h)
+        got = {r["node_id"]: r["core"] for r in out.take_all()}
+    assert np.array_equal(np.array([got[i] for i in range(n)]), want)
+    assert stats["rounds"] >= 1
+
+
+def test_kcore_bridge8():
+    # two K4s joined by a bridge: every K4 vertex has core 3
+    sym = symmetrized(BRIDGE8)
+    with GraphHandle.from_edges(to_dataset(sym), 8, P=2) as h:
+        out, _ = alg.kcore(h)
+        got = {r["node_id"]: r["core"] for r in out.take_all()}
+    assert got == {i: 3 for i in range(8)}
