@@ -402,6 +402,28 @@ def _queries_graph():
         cores, _stats = alg.kcore(g["handle_sym"])
         return cores.to_pandas().sort_values("node_id").reset_index(drop=True)
 
+    def hits_q(sf_dir):
+        from fora_ray.goldens import ROUND
+        from fora_ray.graph.runtime import GraphHandle
+
+        g = _graph(sf_dir)
+
+        def _swap(t):
+            import pyarrow as _pa
+
+            return _pa.table({"src": t["dst"], "dst": t["src"]})
+
+        rev = g["edges"].map_batches(_swap, batch_format="pyarrow")
+        handle_rev = GraphHandle.from_edges(rev, g["n"], P=4)
+        try:
+            scores, _stats = alg.hits(g["handle"], handle_rev, max_iters=40)
+            df = scores.to_pandas().sort_values("node_id").reset_index(drop=True)
+        finally:
+            handle_rev.close()
+        df["hub"] = df["hub"].round(ROUND)
+        df["authority"] = df["authority"].round(ROUND)
+        return df
+
     def bfs_q(sf_dir):
         g = _graph(sf_dir)
         dists, stats = alg.bfs_hops(g["handle_sym"], [0])
@@ -513,6 +535,7 @@ def _queries_graph():
         "clustering_coeff": clustering_coeff_q,
         "bfs_hops": bfs_q,
         "kcore": kcore_q,
+        "hits": hits_q,
     }
 
 
@@ -840,6 +863,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kcore": (
             f"SELECT node_id, core FROM read_parquet('{gold['kcore']}') "
+            "ORDER BY node_id"
+        ),
+        "hits": (
+            f"SELECT node_id, hub, authority FROM read_parquet('{gold['hits']}') "
             "ORDER BY node_id"
         ),
         "langid": (

@@ -41,7 +41,7 @@ from .oracle import lpa_oracle, ppr_column_oracle, ppr_power_iteration
 
 ROUND = 9
 _WORD = re.compile(r"\w+")
-_VERSION = 11  # v11: + kcore (peeling reference)
+_VERSION = 12  # v12: + hits (numpy power-iteration reference)
 
 
 def _round_col(x: np.ndarray) -> np.ndarray:
@@ -175,6 +175,29 @@ def kcore_golden(fix_dir: str) -> pa.Table:
     core = kcore_oracle(sym, n)
     return pa.table({"node_id": pa.array(np.arange(n, dtype=np.int64)),
                      "core": pa.array(core)})
+
+
+def hits_golden(fix_dir: str, max_iters: int = 40) -> pa.Table:
+    """HITS by dense numpy power iteration (bincount transposed
+    products, L2-normalized each half-step) — single-process, no shard
+    routing, matching graph.algorithms.hits at tol=0 to float-sum
+    error (<< the ROUND quantum after 40 iterations)."""
+    e, n = _fixture_graph(fix_dir)
+    src, dst = e[:, 0], e[:, 1]
+    h = np.full(n, 1.0 / np.sqrt(n))
+    a = np.zeros(n)
+    for _ in range(max_iters):
+        a = np.bincount(dst, weights=h[src], minlength=n)
+        norm = np.sqrt(np.dot(a, a))
+        if norm > 0:
+            a /= norm
+        h = np.bincount(src, weights=a[dst], minlength=n)
+        norm = np.sqrt(np.dot(h, h))
+        if norm > 0:
+            h /= norm
+    return pa.table({"node_id": pa.array(np.arange(n, dtype=np.int64)),
+                     "hub": pa.array(_round_col(h)),
+                     "authority": pa.array(_round_col(a))})
 
 
 def _read_docs(sf_dir: str) -> tuple[list[int], list[str]]:
@@ -605,6 +628,7 @@ _GRAPH_GOLDENS = {
     "backward_ppr": backward_ppr_golden,
     "lpa": lpa_golden,
     "kcore": kcore_golden,
+    "hits": hits_golden,
     "fora_ppr": fora_ppr_golden,
     "monte_carlo_ppr": monte_carlo_golden,
     "ppr_batch": ppr_batch_golden,

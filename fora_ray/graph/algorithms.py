@@ -930,3 +930,61 @@ def label_propagation(handle, max_rounds: int = 20):
         if changed == 0:
             break
     return handle.labels_dataset(), {"rounds": rounds}
+
+
+def hits(handle_fwd, handle_rev, max_iters: int = 40, tol: float = 0.0):
+    """G13 — HITS hubs & authorities (Kleinberg '99) as alternating
+    routed full sweeps over two shard-aligned pools:
+
+        a_{k} = normalize(A^T h_{k-1})   sweep of hub over FORWARD CSR
+        h_{k} = normalize(A a_{k})       sweep of auth over REVERSE CSR
+
+    ``handle_rev`` must be built from the SAME edge table with src/dst
+    swapped (``GraphHandle.from_edges(swap(edges), n, P)``) so each
+    reverse shard q holds the in-edges of exactly the vertices whose
+    authority slice it owns (v % P alignment, identity permutations —
+    asserted, same contract as ``bippr``).  Per iteration: 2 sweeps, 2
+    normalization barriers (P floats each); payload traffic bounded by
+    2·P dense slices, pre-aggregated per destination so hub fan-in
+    cannot hotspot.  L2-normalized each half-step.  tol=0 runs exactly
+    ``max_iters`` iterations (deterministic — the driver-oracle mode);
+    tol>0 stops early when the combined L1 delta falls below it.
+
+    Returns ((node_id, hub, authority) Dataset over ALL nodes, stats).
+    """
+    P = handle_fwd.P
+    if handle_rev.P != P or handle_rev.n != handle_fwd.n:
+        raise ValueError("hits requires shard-aligned fwd/rev handles (same n, P)")
+    for h, nm in ((handle_fwd, "forward"), (handle_rev, "reverse")):
+        if h.perm is not None or getattr(h, "remote_perm", False):
+            raise ValueError(
+                f"hits requires the identity permutation on the {nm} handle "
+                "(the shard-aligned slice exchange pairs local indices 1:1); "
+                "build both handles with balance=None")
+    handle_fwd.call_all("hits_init", "hub", 1.0 / math.sqrt(handle_fwd.n))
+    iters = 0
+    delta = math.inf
+    while iters < max_iters:
+        delta = 0.0
+        for src_h, dst_h, src_f, dst_f in (
+            (handle_fwd, handle_rev, "hub", "auth"),
+            (handle_rev, handle_fwd, "auth", "hub"),
+        ):
+            outs = [w.hits_sweep.options(num_returns=P).remote(src_f)
+                    for w in src_h.workers]
+            ss = ray.get([
+                w.hits_apply.remote(dst_f, *[outs[p][q] for p in range(P)])
+                for q, w in enumerate(dst_h.workers)
+            ])
+            total = sum(ss)
+            c = 1.0 / math.sqrt(total) if total > 0 else 0.0
+            delta += sum(ray.get([w.hits_scale.remote(dst_f, c)
+                                  for w in dst_h.workers]))
+        iters += 1
+        if tol > 0 and delta < tol:
+            break
+    tables = [
+        fw.hits_table.remote(rw.hits_get.remote("auth"))
+        for fw, rw in zip(handle_fwd.workers, handle_rev.workers)
+    ]
+    return ray.data.from_arrow_refs(tables), {"iters": iters, "delta": delta}

@@ -1448,6 +1448,64 @@ class ShardWorkerImpl:
             "core": pa.array(self.core),
         })
 
+    # ---- HITS hubs & authorities (G13) -------------------------------------
+    # Two aligned actor pools (forward CSR holds the hub slices, reverse
+    # CSR the authority slices, both sliced v % P) alternate routed full
+    # sweeps: a = A^T h is a sweep of h over the FORWARD shards (each
+    # edge (v, w) sends h[v] to owner(w)), h = A a a sweep of a over the
+    # REVERSE shards.  Payloads are per-destination pre-aggregated
+    # bincounts (the _push_full_sweep discipline), so hub fan-in cannot
+    # hotspot and per-round traffic is bounded by P dense slices.
+    def hits_init(self, field: str, value: float) -> None:
+        setattr(self, "hits_" + field, np.full(self.n_local, value, np.float64))
+
+    def hits_sweep(self, field: str):
+        """Route this shard's `field` slice along its CSR, summed per
+        destination.  ALL P slots are returned as payloads (own part
+        included) because the apply side lives in the opposite pool."""
+        self._ensure_sweep_cache()
+        vec = getattr(self, "hits_" + field)
+        payloads = [None] * self.P
+        for p, (erow, dloc) in self._sweep_cache.items():
+            nl = n_local_of(self.n, self.P, int(p))
+            payloads[int(p)] = _sparsify(np.bincount(dloc, weights=vec[erow], minlength=nl))
+            self.counters["msgs_out"] += 1
+        return tuple(payloads)
+
+    def hits_apply(self, field: str, *payloads) -> float:
+        """Overwrite `field` with the payload sum; return the local sum
+        of squares for the global L2 normalization."""
+        vec = np.zeros(self.n_local, np.float64)
+        for pl in payloads:
+            self._add_payload(vec, pl)
+        setattr(self, "hits_" + field, vec)
+        return float(np.dot(vec, vec))
+
+    def hits_scale(self, field: str, c: float) -> float:
+        """Scale `field` in place; return sum|new - prev| (L1 delta vs
+        the previous scaled value of this field) for convergence."""
+        vec = getattr(self, "hits_" + field)
+        vec *= c
+        prev = getattr(self, "_hits_prev", {}).get(field)
+        delta = float(np.abs(vec - prev).sum()) if prev is not None else float("inf")
+        if not hasattr(self, "_hits_prev"):
+            self._hits_prev = {}
+        self._hits_prev[field] = vec.copy()
+        return delta
+
+    def hits_get(self, field: str) -> np.ndarray:
+        return getattr(self, "hits_" + field)
+
+    def hits_table(self, auth_slice: np.ndarray) -> pa.Table:
+        """Final assembly on the forward worker: own hub slice + the
+        aligned reverse worker's authority slice (shipped by ObjectRef,
+        never through the driver)."""
+        return pa.table({
+            "node_id": pa.array(self.logical_ids),
+            "hub": pa.array(self.hits_hub),
+            "authority": pa.array(np.asarray(auth_slice, np.float64)),
+        })
+
     # ---- walk-phase checkpoint (VERDICT r02 missing #3) -------------------
     def walk_checkpoint(self, path: str) -> int:
         """Persist the pending batched walkers (cur, qidx, wt, wkey).

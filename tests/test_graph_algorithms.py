@@ -395,3 +395,59 @@ def test_kcore_bridge8():
         out, _ = alg.kcore(h)
         got = {r["node_id"]: r["core"] for r in out.take_all()}
     assert got == {i: 3 for i in range(8)}
+
+
+def _hits_reference(edges, n, iters=40):
+    src, dst = edges[:, 0], edges[:, 1]
+    h = np.full(n, 1.0 / np.sqrt(n))
+    a = np.zeros(n)
+    for _ in range(iters):
+        a = np.bincount(dst, weights=h[src], minlength=n)
+        norm = np.sqrt(np.dot(a, a))
+        if norm > 0:
+            a /= norm
+        h = np.bincount(src, weights=a[dst], minlength=n)
+        norm = np.sqrt(np.dot(h, h))
+        if norm > 0:
+            h /= norm
+    return h, a
+
+
+def _rev_dataset(edges):
+    return to_dataset(edges[:, ::-1])
+
+
+@pytest.mark.parametrize("P", [2, 4])
+def test_hits_matches_power_iteration(graph600, P):
+    edges, n = graph600
+    want_h, want_a = _hits_reference(edges, n)
+    with GraphHandle.from_edges(to_dataset(edges), n, P=P) as hf, \
+         GraphHandle.from_edges(_rev_dataset(edges), n, P=P) as hr:
+        ds, stats = alg.hits(hf, hr, max_iters=40)
+        df = ds.to_pandas().sort_values("node_id").reset_index(drop=True)
+    assert len(df) == n
+    assert np.allclose(df["hub"].to_numpy(), want_h, atol=1e-9)
+    assert np.allclose(df["authority"].to_numpy(), want_a, atol=1e-9)
+    assert stats["iters"] == 40
+
+
+def test_hits_star_and_guards():
+    # star: center is the only hub, leaves are the authorities
+    edges, n = ALL["star5"]
+    with GraphHandle.from_edges(to_dataset(edges), n, P=2) as hf, \
+         GraphHandle.from_edges(_rev_dataset(edges), n, P=2) as hr:
+        ds, _ = alg.hits(hf, hr, max_iters=10)
+        df = ds.to_pandas().sort_values("node_id").reset_index(drop=True)
+        assert df["hub"][0] == pytest.approx(1.0)
+        assert np.allclose(df["authority"][1:], 0.5, atol=1e-12)
+        assert df["authority"][0] == 0.0
+    # early stop: tol > 0 converges the star in < 10 iterations
+    with GraphHandle.from_edges(to_dataset(edges), n, P=2) as hf, \
+         GraphHandle.from_edges(_rev_dataset(edges), n, P=2) as hr:
+        _, stats = alg.hits(hf, hr, max_iters=50, tol=1e-12)
+        assert stats["iters"] < 10
+    # permutation guard: balanced handles are refused
+    with GraphHandle.from_edges(to_dataset(edges), n, P=2, balance="degree") as hb, \
+         GraphHandle.from_edges(_rev_dataset(edges), n, P=2) as hr:
+        with pytest.raises(ValueError, match="identity permutation"):
+            alg.hits(hb, hr)
