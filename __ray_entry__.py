@@ -402,6 +402,17 @@ def _queries_graph():
         cores, _stats = alg.kcore(g["handle_sym"])
         return cores.to_pandas().sort_values("node_id").reset_index(drop=True)
 
+    def link_pred_q(sf_dir):
+        from fora_ray.goldens import ROUND
+        from fora_ray.graph.linkpred import link_prediction
+
+        g = _graph(sf_dir)
+        ds = link_prediction(g["sym"], g["n"], min_cn=2)
+        df = ds.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        df["jaccard"] = df["jaccard"].round(ROUND)
+        df["adamic_adar"] = df["adamic_adar"].round(ROUND)
+        return df
+
     def hits_q(sf_dir):
         from fora_ray.goldens import ROUND
         from fora_ray.graph.runtime import GraphHandle
@@ -536,6 +547,7 @@ def _queries_graph():
         "bfs_hops": bfs_q,
         "kcore": kcore_q,
         "hits": hits_q,
+        "link_pred": link_pred_q,
     }
 
 
@@ -869,6 +881,35 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT node_id, hub, authority FROM read_parquet('{gold['hits']}') "
             "ORDER BY node_id"
         ),
+        "link_pred": f"""
+            WITH e AS (SELECT src, dst FROM read_parquet('{golden_edges}')),
+                 und AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
+                 deg AS (SELECT u, count(*) AS d FROM und GROUP BY u),
+                 wedge AS (
+                   SELECT n1.v AS a, n2.v AS b, n1.u AS w
+                   FROM und n1 JOIN und n2 ON n1.u = n2.u AND n1.v < n2.v
+                 ),
+                 pairs AS (
+                   SELECT wedge.a, wedge.b,
+                          CAST(count(*) AS BIGINT) AS cn,
+                          sum(1.0 / ln(dw.d)) AS aa
+                   FROM wedge JOIN deg dw ON wedge.w = dw.u
+                   GROUP BY wedge.a, wedge.b
+                   HAVING count(*) >= 2
+                 ),
+                 nonadj AS (
+                   SELECT p.* FROM pairs p
+                   LEFT JOIN und ON und.u = p.a AND und.v = p.b
+                   WHERE und.u IS NULL
+                 )
+            SELECT n.a, n.b, n.cn,
+                   ROUND(CAST(n.cn AS DOUBLE) / (da.d + db.d - n.cn), 9) AS jaccard,
+                   ROUND(n.aa, 9) AS adamic_adar
+            FROM nonadj n
+            JOIN deg da ON n.a = da.u
+            JOIN deg db ON n.b = db.u
+            ORDER BY n.a, n.b
+        """,
         "langid": (
             f"SELECT doc_id, lang_pred FROM read_parquet('{gold['langid']}') "
             "ORDER BY doc_id"
