@@ -311,12 +311,34 @@ def _queries_documents():
         pairs = minhash_lsh_dups(docs, threshold=0.6)
         return dup_clusters(pairs, docs)
 
+    def redact_pii_q(sf_dir):
+        """The synthetic documents carry no PII, so the query plants
+        deterministic doc_id-derived URL/email/IPv4 strings on BOTH
+        sides (same || expression in the SQL oracle) — the redaction
+        regexes are exercised on every row, not vacuously."""
+        from fora_ray.pipelines.text import redact
+
+        def augment(t):
+            import pyarrow as _pa
+            import pyarrow.compute as _pc
+
+            ids = _pc.cast(t["doc_id"], _pa.string())
+            mod = _pc.cast(_pc.bit_wise_and(t["doc_id"], 255), _pa.string())
+            aug = _pc.binary_join_element_wise(
+                _pc.fill_null(t["text"], ""), " contact user", ids,
+                "@mail.example.com via https://host.example/d/", ids,
+                " at 10.1.", mod, ".7", "")
+            return _pa.table({"doc_id": t["doc_id"], "text": aug})
+
+        return redact(_docs(sf_dir).map_batches(augment, batch_format="pyarrow"))
+
     return {
         "curation": curation,
         "embedding_dups": embedding_dups_q,
         "dup_clusters": dup_clusters_q,
         "multimodal_features": multimodal_features_q,
         "docs_exact_dedup": lambda sf: exact_dedup(_docs(sf)),
+        "redact_pii": redact_pii_q,
         "token_counts": lambda sf: token_counts(_docs(sf)),
         "doc_quality": lambda sf: quality_scores(_docs(sf)).select_columns(
             ["doc_id", "n_chars", "n_tokens"]
@@ -683,6 +705,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # lineitem events documents embeddings are pre-registered)
 # ---------------------------------------------------------------------------
 
+def _redact_sql() -> str:
+    """Oracle for redact_pii: DuckDB's regexp_* is RE2, the same engine
+    as the pyarrow compute kernels the pipeline uses — the patterns are
+    imported from the pipeline module (single source of truth)."""
+    from fora_ray.pipelines.text import REDACTIONS
+
+    aug = (
+        "coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@mail.example.com via https://host.example/d/' || CAST(doc_id AS VARCHAR) || "
+        "' at 10.1.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+    )
+    red = "aug"
+    counts = []
+    for name, pat, rep in REDACTIONS:
+        red = f"regexp_replace({red}, '{pat}', '{rep}', 'g')"
+        counts.append(
+            f"CAST(length(regexp_extract_all(aug, '{pat}')) AS BIGINT) AS {name}")
+    return (
+        f"SELECT doc_id, {red} AS redacted, {', '.join(counts)} "
+        f"FROM (SELECT doc_id, {aug} AS aug FROM documents) ORDER BY doc_id"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     # the driver compares at sf0.01 -> embed that fixture's path (and make
     # sure it exists before DuckDB reads it)
@@ -787,6 +832,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(length(regexp_extract_all(text, '\\w+')) AS BIGINT) AS n_tokens "
             "FROM documents ORDER BY doc_id"
         ),
+        "redact_pii": _redact_sql(),
         "doc_quality": (
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
             "CAST(length(regexp_extract_all(text, '\\w+')) AS BIGINT) AS n_tokens "

@@ -138,3 +138,48 @@ def quality_scores(docs_ds):
 
 def fingerprints(docs_ds):
     return docs_ds.map_batches(fingerprint_batch, batch_format="pyarrow").sort("doc_id")
+
+
+# ---- PII / link redaction ---------------------------------------------------
+# RE2 syntax ONLY (pyarrow.compute's regex engine IS RE2, same as
+# DuckDB's regexp_replace — the oracle equality is engine-exact, not
+# merely pattern-convention-exact).  ASCII character classes spelled
+# out so Python-re unicode semantics never leak in.
+URL_RE = r"https?://[A-Za-z0-9._~:/?#@!$&*+,;=%\-]+"
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+# replacement ORDER matters and is part of the contract: URLs first
+# (they may embed userinfo/'@'), then emails, then bare IPv4s.
+REDACTIONS = (
+    ("n_urls", URL_RE, "<URL>"),
+    ("n_emails", EMAIL_RE, "<EMAIL>"),
+    ("n_ips", IPV4_RE, "<IP>"),
+)
+
+
+def redact_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+    """doc_id, redacted, n_urls, n_emails, n_ips.  Counts are taken on
+    the RAW text (per pattern, before any replacement); `redacted`
+    applies the replacements sequentially in REDACTIONS order.  Pure
+    Arrow RE2 kernels — vectorized, zero Python-object round trip; the
+    per-batch pattern compile is a C++ RE2 construction (microseconds),
+    so no actor pool is needed."""
+    txt = pc.fill_null(t[text_col], "")
+    out = {"doc_id": t["doc_id"]}
+    red = txt
+    counts = {}
+    for name, pat, rep in REDACTIONS:
+        counts[name] = pc.cast(pc.count_substring_regex(txt, pattern=pat), pa.int64())
+        red = pc.replace_substring_regex(red, pattern=pat, replacement=rep)
+    out["redacted"] = red
+    out.update(counts)
+    return pa.table(out)
+
+
+def redact(docs_ds, text_col: str = "text"):
+    """Scrub URLs / emails / IPv4s from a documents table (standard
+    LLM-training-data hygiene stage)."""
+    return docs_ds.map_batches(
+        lambda t: redact_batch(t, text_col), batch_format="pyarrow"
+    ).sort("doc_id")

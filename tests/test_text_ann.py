@@ -170,3 +170,46 @@ def test_curation_pipeline():
     assert 4 in ids and len(ids) == 2
     cols = set(curated.schema().names)
     assert {"quality", "lang_pred"} <= cols
+
+
+def test_redact_batch_patterns_and_order():
+    import pyarrow as pa
+
+    from fora_ray.pipelines.text import redact_batch
+
+    t = pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "visit https://u:p@ex.io/a?b=1#f and mail a.b+c@ex-2.org",
+            "server 10.0.0.1 and 255.255.255.255, not 1.2.3 or a.b.c.d",
+            None,
+            "url http://x.io/@handle keeps the email inside it hidden",
+        ],
+    })
+    out = redact_batch(t).to_pydict()
+    assert out["redacted"][0] == "visit <URL> and mail <EMAIL>"
+    # counts are RAW-text counts: the u:p@ex.io userinfo also matches
+    # the email pattern even though the URL replacement consumes it
+    assert out["n_urls"][0] == 1 and out["n_emails"][0] == 2
+    assert out["redacted"][1] == "server <IP> and <IP>, not 1.2.3 or a.b.c.d"
+    assert out["n_ips"][1] == 2
+    assert out["redacted"][2] == "" and out["n_urls"][2] == 0
+    # URL replaced FIRST, so the '@' inside it never reads as an email
+    assert out["redacted"][3] == "url <URL> keeps the email inside it hidden"
+    assert out["n_emails"][3] == 0
+
+
+def test_redact_dataset_roundtrip(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from fora_ray.pipelines.text import redact
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": list(range(8)),
+        "text": [f"doc {i} mail u{i}@ex.org" for i in range(8)],
+    }))
+    df = redact(docs).to_pandas()
+    assert list(df["doc_id"]) == list(range(8))
+    assert all(r == f"doc {i} mail <EMAIL>" for i, r in enumerate(df["redacted"]))
+    assert df["n_emails"].sum() == 8
