@@ -464,6 +464,13 @@ def _queries_graph():
         assert stats["rounds"] < 60, stats
         return dists.to_pandas().sort_values("node_id").reset_index(drop=True)
 
+    def diameter_est_q(sf_dir):
+        import pandas as pd
+
+        g = _graph(sf_dir)
+        res, _stats = alg.diameter_estimate(g["handle_sym"], seed_node=0, sweeps=2)
+        return pd.DataFrame({k: [v] for k, v in res.items()})
+
     def clustering_coeff_q(sf_dir):
         from fora_ray.goldens import ROUND
         from fora_ray.graph.triangles import clustering_coefficient
@@ -570,6 +577,7 @@ def _queries_graph():
         "kcore": kcore_q,
         "hits": hits_q,
         "link_pred": link_pred_q,
+        "diameter_est": diameter_est_q,
     }
 
 
@@ -926,6 +934,10 @@ def oracle_sql() -> dict[str, str]:
         "hits": (
             f"SELECT node_id, hub, authority FROM read_parquet('{gold['hits']}') "
             "ORDER BY node_id"
+        ),
+        "diameter_est": (
+            "SELECT diameter_lb, far_a, far_b, n_reached "
+            f"FROM read_parquet('{gold['diameter_est']}')"
         ),
         "link_pred": f"""
             WITH e AS (SELECT src, dst FROM read_parquet('{golden_edges}')),

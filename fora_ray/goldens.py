@@ -41,7 +41,7 @@ from .oracle import lpa_oracle, ppr_column_oracle, ppr_power_iteration
 
 ROUND = 9
 _WORD = re.compile(r"\w+")
-_VERSION = 12  # v12: + hits (numpy power-iteration reference)
+_VERSION = 13  # v13: + hits, diameter_est references
 
 
 def _round_col(x: np.ndarray) -> np.ndarray:
@@ -198,6 +198,50 @@ def hits_golden(fix_dir: str, max_iters: int = 40) -> pa.Table:
     return pa.table({"node_id": pa.array(np.arange(n, dtype=np.int64)),
                      "hub": pa.array(_round_col(h)),
                      "authority": pa.array(_round_col(a))})
+
+
+def diameter_golden(fix_dir: str, seed_node: int = 0, sweeps: int = 2) -> pa.Table:
+    """Double-sweep diameter lower bound by plain python/numpy BFS —
+    same tie rule (smallest node id at the max distance) and sweep
+    count as graph.algorithms.diameter_estimate."""
+    e, n = _fixture_graph(fix_dir)
+    sym = np.unique(np.vstack([e, e[:, ::-1]]), axis=0)
+    sym = sym[sym[:, 0] != sym[:, 1]]
+    order = np.argsort(sym[:, 0], kind="stable")
+    src, dst = sym[order, 0], sym[order, 1]
+    indptr = np.zeros(n + 1, np.int64)
+    np.add.at(indptr, src + 1, 1)
+    indptr = np.cumsum(indptr)
+
+    def bfs(s: int) -> np.ndarray:
+        dist = np.full(n, -1, np.int64)
+        dist[s] = 0
+        frontier = np.array([s], np.int64)
+        d = 0
+        while frontier.size:
+            d += 1
+            nbrs = np.concatenate([dst[indptr[v]:indptr[v + 1]] for v in frontier]) \
+                if frontier.size else np.empty(0, np.int64)
+            nbrs = np.unique(nbrs)
+            frontier = nbrs[dist[nbrs] == -1]
+            dist[frontier] = d
+        return dist
+
+    cur = int(seed_node)
+    prev, dia, far, reached = cur, 0, cur, 1
+    for _ in range(max(1, sweeps)):
+        dist = bfs(cur)
+        seen = dist >= 0
+        dia = int(dist[seen].max())
+        far = int(np.nonzero(dist == dia)[0].min())
+        reached = int(seen.sum())
+        if far == cur or dia == 0:
+            break
+        prev, cur = cur, far
+    return pa.table({"diameter_lb": pa.array([dia]),
+                     "far_a": pa.array([prev]),
+                     "far_b": pa.array([far]),
+                     "n_reached": pa.array([reached])})
 
 
 def _read_docs(sf_dir: str) -> tuple[list[int], list[str]]:
@@ -629,6 +673,7 @@ _GRAPH_GOLDENS = {
     "lpa": lpa_golden,
     "kcore": kcore_golden,
     "hits": hits_golden,
+    "diameter_est": diameter_golden,
     "fora_ppr": fora_ppr_golden,
     "monte_carlo_ppr": monte_carlo_golden,
     "ppr_batch": ppr_batch_golden,

@@ -932,6 +932,60 @@ def label_propagation(handle, max_rounds: int = 20):
     return handle.labels_dataset(), {"rounds": rounds}
 
 
+def _farthest(dists_ds):
+    """(max dist, smallest node id at that dist, reached count) from a
+    (node_id, dist) Dataset — per-block partials (1 row each), tiny
+    driver reduce; no full sort for an argmax."""
+    import numpy as _np
+    import pyarrow as _pa
+
+    def partial(t: _pa.Table) -> _pa.Table:
+        if t.num_rows == 0 or "dist" not in t.schema.names:
+            return _pa.table({"d": _pa.array([], _pa.int64()),
+                              "v": _pa.array([], _pa.int64()),
+                              "c": _pa.array([], _pa.int64())})
+        d = t["dist"].to_numpy(zero_copy_only=False)
+        v = t["node_id"].to_numpy(zero_copy_only=False)
+        m = d.max()
+        return _pa.table({"d": _pa.array([int(m)]),
+                          "v": _pa.array([int(v[d == m].min())]),
+                          "c": _pa.array([t.num_rows])})
+
+    rows = dists_ds.map_batches(partial, batch_format="pyarrow").take_all()
+    if not rows:
+        return 0, None, 0
+    best = max(rows, key=lambda r: (r["d"], -r["v"]))
+    return int(best["d"]), int(best["v"]), int(sum(r["c"] for r in rows))
+
+
+def diameter_estimate(handle, seed_node: int = 0, sweeps: int = 2):
+    """Double-sweep diameter lower bound (Magnien-Latapy-Habib '09):
+    BFS from `seed_node`, then from the farthest node found (smallest
+    id on ties), `sweeps` times.  Pass the SYMMETRIZED handle; the
+    estimate is within the connected component of `seed_node` —
+    standard for the lower-bound family.  Each sweep costs one BFS
+    (frontier supersteps, min-combined payloads); the argmax between
+    sweeps is a per-block partial + driver reduce over block count,
+    never a full sort.
+
+    Returns ({diameter_lb, far_a, far_b, n_reached}, stats)."""
+    src = int(seed_node)
+    prev = src
+    dia, far, reached = 0, src, 1
+    rounds_total = 0
+    for _ in range(max(1, sweeps)):
+        dists, stats = bfs_hops(handle, [src])
+        rounds_total += stats["rounds"]
+        dia, far, reached = _farthest(dists)
+        if far == src or dia == 0:
+            break
+        prev, src = src, far
+    return (
+        {"diameter_lb": dia, "far_a": prev, "far_b": far, "n_reached": reached},
+        {"rounds": rounds_total},
+    )
+
+
 def hits(handle_fwd, handle_rev, max_iters: int = 40, tol: float = 0.0):
     """G13 — HITS hubs & authorities (Kleinberg '99) as alternating
     routed full sweeps over two shard-aligned pools:

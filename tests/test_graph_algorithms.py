@@ -451,3 +451,50 @@ def test_hits_star_and_guards():
          GraphHandle.from_edges(_rev_dataset(edges), n, P=2) as hr:
         with pytest.raises(ValueError, match="identity permutation"):
             alg.hits(hb, hr)
+
+
+def test_diameter_estimate_double_sweep(graph600):
+    edges, n = graph600
+    sym = symmetrized(edges)
+    with GraphHandle.from_edges(to_dataset(sym), n, P=4) as h:
+        res, stats = alg.diameter_estimate(h, seed_node=0, sweeps=2)
+    # reference: exact double sweep with the same tie rule
+    nbrs = [[] for _ in range(n)]
+    for u, v in sym:
+        nbrs[u].append(v)
+
+    def bfs(s):
+        from collections import deque
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for w in nbrs[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+        return dist
+
+    cur, prev = 0, 0
+    for _ in range(2):
+        dist = bfs(cur)
+        dia = max(dist.values())
+        far = min(v for v, d in dist.items() if d == dia)
+        reached = len(dist)
+        if far == cur or dia == 0:
+            break
+        prev, cur = cur, far
+    assert res == {"diameter_lb": dia, "far_a": prev, "far_b": far,
+                   "n_reached": reached}
+    assert stats["rounds"] >= dia
+
+
+def test_diameter_estimate_path_graph():
+    # path 0-1-2-3-4: diameter 4, found from seed 2 in two sweeps
+    edges = np.array([[i, i + 1] for i in range(4)], dtype=np.int64)
+    sym = symmetrized(edges)
+    with GraphHandle.from_edges(to_dataset(sym), 5, P=2) as h:
+        res, _ = alg.diameter_estimate(h, seed_node=2, sweeps=2)
+    assert res["diameter_lb"] == 4
+    assert {res["far_a"], res["far_b"]} == {0, 4}
+    assert res["n_reached"] == 5
