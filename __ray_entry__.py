@@ -56,7 +56,9 @@ def _graph(sf_dir: str) -> dict:
         return _GRAPH_CACHE[fix]
     t = ingest_fixture(fix)
     edges = t["edges"].materialize()
-    sym = t["edges_undirected"].materialize()
+    from fora_ray.stages.shuffle import coalesce_blocks
+
+    sym = coalesce_blocks(t["edges_undirected"])
     n = t["n_nodes"]
     entry = {
         "fix": fix,

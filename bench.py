@@ -100,8 +100,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     t0 = time.perf_counter()
     tables = ingest_fixture(fix)
-    edges = tables["edges"].materialize()
-    sym = tables["edges_undirected"].materialize()
+    from fora_ray.stages.shuffle import coalesce_blocks
+
+    edges = tables["edges"]  # already coalesced+materialized by ingest
+    sym = coalesce_blocks(tables["edges_undirected"])
     degrees = tables["degrees"].materialize()
     n = tables["n_nodes"]
     m = edges.count()

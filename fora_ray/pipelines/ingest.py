@@ -79,7 +79,12 @@ def build_graph_tables(
     # The edge table is the small derived artifact (two int64 columns),
     # so pinning it in the object store is the right trade at any scale.
     wide = n >= (1 << 32)  # ids past 2^32 need the two-column distinct
-    edges = dedup_edges(raw_edges, wide_ids=wide).materialize()  # M6
+    from ..stages.shuffle import coalesce_blocks
+
+    # coalesce_blocks: the bucketed distinct keeps the producer's block
+    # count (e.g. 144 ~20k-row blocks at 32 CPUs) and every downstream
+    # sort/groupby pays fan-in per block — right-size at the pin
+    edges = coalesce_blocks(dedup_edges(raw_edges, wide_ids=wide))  # M6
     degrees = compute_degrees(edges, nodes)  # M7
     return {
         "nodes": nodes,

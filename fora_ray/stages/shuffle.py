@@ -86,6 +86,33 @@ def _block_nonempty(t: pa.Table) -> bool:
     return t.num_rows > 0
 
 
+def coalesce_blocks(ds, target_rows: int = 128_000):
+    """Materialize `ds` and merge undersized blocks (repartition WITHOUT
+    shuffle — adjacent-block concatenation, no all-to-all).
+
+    Bucketed shuffles (groupby().map_groups / bucket_apply) keep the
+    PRODUCER's block count, not the bucket count: a 3M-row edge table
+    deduped through 32 buckets at 32 CPUs comes out as 144 ~20k-row
+    blocks, and every downstream sort/groupby then pays fan-in
+    proportional to 144 x partitions instead of to the data (measured:
+    triangle_count on the same table 5.2 s at 144 blocks -> 1.35 s at
+    32).  This helper right-sizes MATERIALIZE POINTS only — lazy
+    lineage should keep streaming — and only ever merges, so at the
+    100 TB tier (where blocks are already target_max_block_size-bound)
+    it is a no-op."""
+    ds = ds.materialize()
+    rows = ds.count()  # metadata-only on a materialized dataset
+    nb = ds.num_blocks()
+    try:
+        cpus = max(1, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        cpus = 8
+    want = max(cpus, -(-rows // max(target_rows, 1)) or 1)
+    if nb > want * 2:  # 2x slack: repartition has a cost; only fix real fragmentation
+        return ds.repartition(int(want)).materialize()
+    return ds
+
+
 def drop_empty_blocks(ds, schema: "pa.Schema | None" = None):
     """Remove schema-less empty blocks before a Dataset.join.
 
