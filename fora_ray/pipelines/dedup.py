@@ -366,6 +366,67 @@ def _jac_arrays(sa: np.ndarray, sb: np.ndarray) -> float:
     return inter / (sa.size + sb.size - inter)
 
 
+def _jac_vectorized(la: np.ndarray, flat_a: np.ndarray,
+                    lb: np.ndarray, flat_b: np.ndarray) -> np.ndarray:
+    """Exact Jaccard for a whole batch of pairs at once: each side is a
+    ragged (lengths, concatenated sorted-unique u64 hashes) pair.  One
+    lexsort over (pair, hash) rows counts the per-pair intersection —
+    replaces the per-pair np.intersect1d loop, which at ~20 us/pair of
+    Python dispatch dominated the verify stage (measured 4.9 s of the
+    6.4 s sf0.1 minhash run).  Same math bit-for-bit: intersection and
+    union sizes are exact ints, the division identical."""
+    n = la.size
+    if n == 0:
+        return np.empty(0, np.float64)
+    pair = np.concatenate([
+        np.repeat(np.arange(n, dtype=np.int64), la),
+        np.repeat(np.arange(n, dtype=np.int64), lb),
+    ])
+    keys = np.concatenate([flat_a, flat_b])
+    order = np.lexsort((keys, pair))
+    k, p = keys[order], pair[order]
+    dup = np.empty(0, bool) if k.size < 2 else (k[1:] == k[:-1]) & (p[1:] == p[:-1])
+    inter = np.bincount(p[1:][dup], minlength=n) if k.size >= 2 else np.zeros(n, np.int64)
+    union = la + lb - inter
+    jac = np.divide(inter, union, out=np.ones(n, np.float64), where=union > 0)
+    return jac  # union == 0 (both sets empty) -> 1.0, matching _jac_arrays
+
+
+def _binary_flat_u64(col) -> tuple[np.ndarray, np.ndarray]:
+    """(lengths, concatenated values) of a (large_)binary column whose
+    rows are packed u64 arrays — zero-copy via the Arrow offsets/data
+    buffers (rows are stored concatenated in offset order)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    off_dtype = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    offs = np.frombuffer(col.buffers()[1], off_dtype)[col.offset:col.offset + len(col) + 1]
+    data = np.frombuffer(col.buffers()[2], np.uint8)
+    lens = ((offs[1:] - offs[:-1]) // 8).astype(np.int64)
+    flat = data[offs[0]:offs[-1]].copy().view(np.uint64)
+    return lens, flat
+
+
+def _ragged_gather(q: np.ndarray, ids_sorted: np.ndarray, starts: np.ndarray,
+                   lens: np.ndarray, flat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-query (lengths, concatenated hashes) looked up from a CSR-ish
+    broadcast table (searchsorted; absent ids -> empty sets)."""
+    if q.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    pos = np.searchsorted(ids_sorted, q)
+    safe = np.minimum(pos, ids_sorted.size - 1) if ids_sorted.size else np.zeros(q.size, np.int64)
+    found = (pos < ids_sorted.size) & (ids_sorted[safe] == q) if ids_sorted.size else np.zeros(q.size, bool)
+    L = np.where(found, lens[safe], 0) if ids_sorted.size else np.zeros(q.size, np.int64)
+    total = int(L.sum())
+    if total == 0:
+        return L, np.empty(0, np.uint64)
+    st = np.where(found, starts[safe], 0)
+    cum = np.concatenate([[0], np.cumsum(L[:-1])])
+    idx = np.arange(total, dtype=np.int64) - np.repeat(cum, L) + np.repeat(st, L)
+    return L, flat[idx]
+
+
 def _verify_jaccard(cand, sets_ds, threshold: float, verify_strategy: str,
                     num_partitions: int | None = None):
     """Exact-Jaccard verification of candidate (src, dst) pairs against
@@ -390,9 +451,9 @@ def _verify_jaccard(cand, sets_ds, threshold: float, verify_strategy: str,
                 return _empty_pairs("jaccard")
             a = t["src"].to_numpy(zero_copy_only=False)
             b = t["dst"].to_numpy(zero_copy_only=False)
-            jac = np.empty(len(a))
-            for i, (xb, yb) in enumerate(zip(t["sh_a"].to_pylist(), t["sh_b"].to_pylist())):
-                jac[i] = _jac_arrays(np.frombuffer(xb, np.uint64), np.frombuffer(yb, np.uint64))
+            la, fa = _binary_flat_u64(t["sh_a"])
+            lb, fb = _binary_flat_u64(t["sh_b"])
+            jac = _jac_vectorized(la, fa, lb, fb)
             keep = jac >= thr
             return pa.table({
                 "a": pa.array(a[keep]), "b": pa.array(b[keep]),
@@ -401,28 +462,36 @@ def _verify_jaccard(cand, sets_ds, threshold: float, verify_strategy: str,
 
         return clean_sort(joined.map_batches(verify_joined, batch_format="pyarrow"), ["a", "b"])
 
-    # broadcast fast path: the precomputed shingle arrays ship once
-    sets: dict[int, np.ndarray] = {}
+    # broadcast fast path: the shingle sets ship once as a CSR-ish
+    # (ids_sorted, starts, lens, flat) numpy quadruple — plain arrays
+    # (zero-copy through the object store), not a per-doc Python dict.
+    ids_l, lens_l, flat_l = [], [], []
     for blk in ray.get(sets_ds.to_arrow_refs()):
         if blk.num_rows == 0 or "doc_id" not in blk.schema.names:
             continue
-        for i, sh in zip(blk["doc_id"].to_pylist(), blk["sh"].to_pylist()):
-            sets[i] = np.frombuffer(sh, np.uint64)
-    sets_ref = ray.put(sets)
-    _EMPTY_U64 = np.empty(0, np.uint64)
+        ids_l.append(blk["doc_id"].to_numpy(zero_copy_only=False))
+        ln, fl = _binary_flat_u64(blk["sh"])
+        lens_l.append(ln)
+        flat_l.append(fl)
+    ids = np.concatenate(ids_l) if ids_l else np.empty(0, np.int64)
+    lens = np.concatenate(lens_l) if lens_l else np.empty(0, np.int64)
+    flat = np.concatenate(flat_l) if flat_l else np.empty(0, np.uint64)
+    starts = np.concatenate([[0], np.cumsum(lens[:-1])]).astype(np.int64) \
+        if lens.size else np.empty(0, np.int64)
+    order = np.argsort(ids, kind="stable")
+    sets_ref = ray.put((ids[order], starts[order], lens[order], flat))
 
     class Verify:
         def __init__(self, ref, thr):
-            self.sets, self.thr = ray.get(ref), thr
+            self.ids, self.starts, self.lens, self.flat = ray.get(ref)
+            self.thr = thr
 
         def __call__(self, t: pa.Table) -> pa.Table:
             a = t["src"].to_numpy(zero_copy_only=False)
             b = t["dst"].to_numpy(zero_copy_only=False)
-            jac = np.empty(len(a))
-            for i, (x, y) in enumerate(zip(a, b)):
-                jac[i] = _jac_arrays(
-                    self.sets.get(int(x), _EMPTY_U64), self.sets.get(int(y), _EMPTY_U64)
-                )
+            la, fa = _ragged_gather(a, self.ids, self.starts, self.lens, self.flat)
+            lb, fb = _ragged_gather(b, self.ids, self.starts, self.lens, self.flat)
+            jac = _jac_vectorized(la, fa, lb, fb)
             keep = jac >= self.thr
             return pa.table({
                 "a": pa.array(a[keep]), "b": pa.array(b[keep]),

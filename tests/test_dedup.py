@@ -286,3 +286,35 @@ def test_broadcast_threshold_is_byte_metered():
     ).to_pandas()
     assert via_auto_join.reset_index(drop=True).equals(
         via_broadcast.reset_index(drop=True))
+
+
+def test_jac_vectorized_matches_scalar():
+    """The batched sort-merge Jaccard kernel must agree with the
+    per-pair np.intersect1d reference bit-for-bit, including empty
+    sets (union==0 -> 1.0) and absent doc_ids (empty set)."""
+    from fora_ray.pipelines.dedup import (
+        _binary_flat_u64, _jac_arrays, _jac_vectorized, _ragged_gather)
+
+    rng = np.random.default_rng(7)
+    sets = [np.unique(rng.integers(0, 40, size=rng.integers(0, 25)).astype(np.uint64))
+            for _ in range(60)]
+    sets[3] = np.empty(0, np.uint64)
+    sets[4] = np.empty(0, np.uint64)
+    ids = np.arange(100, 160, dtype=np.int64)  # doc_ids 100..159
+    col = pa.array([s.tobytes() for s in sets], pa.binary())
+    lens, flat = _binary_flat_u64(col)
+    assert lens.tolist() == [s.size for s in sets]
+    starts = np.concatenate([[0], np.cumsum(lens[:-1])]).astype(np.int64)
+
+    a = rng.integers(95, 165, size=200).astype(np.int64)  # some absent
+    b = rng.integers(95, 165, size=200).astype(np.int64)
+    la, fa = _ragged_gather(a, ids, starts, lens, flat)
+    lb, fb = _ragged_gather(b, ids, starts, lens, flat)
+    got = _jac_vectorized(la, fa, lb, fb)
+
+    def lookup(x):
+        return sets[x - 100] if 100 <= x < 160 else np.empty(0, np.uint64)
+
+    want = np.array([_jac_arrays(lookup(int(x)), lookup(int(y)))
+                     for x, y in zip(a, b)])
+    assert np.array_equal(got, want)
