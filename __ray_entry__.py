@@ -558,6 +558,20 @@ def _queries_graph():
         df["ppr"] = df["ppr"].round(ROUND)
         return df
 
+    def walk_corpus_q(sf_dir):
+        g = _graph(sf_dir)
+        ds, _stats = alg.random_walk_corpus(g["handle"], nwalks=2,
+                                            walk_len=5, seed=42)
+        return (ds.to_pandas()
+                .sort_values(["walk_id", "step"]).reset_index(drop=True))
+
+    def neighbor_sample_q(sf_dir):
+        g = _graph(sf_dir)
+        tab, _stats = alg.neighbor_sample(g["handle"], seeds=range(8),
+                                          fanouts=(3, 2), seed=42)
+        return (tab.to_pandas()
+                .sort_values(["hop", "src", "dst"]).reset_index(drop=True))
+
     return {
         "ingest_nodes": ingest_nodes,
         "ingest_edges": ingest_edges,
@@ -580,6 +594,8 @@ def _queries_graph():
         "hits": hits_q,
         "link_pred": link_pred_q,
         "diameter_est": diameter_est_q,
+        "walk_corpus": walk_corpus_q,
+        "neighbor_sample": neighbor_sample_q,
     }
 
 
@@ -1031,6 +1047,14 @@ def oracle_sql() -> dict[str, str]:
         "topk_ppr": (
             f"SELECT node_id, ppr FROM read_parquet('{gold['topk_ppr']}') "
             "ORDER BY ppr DESC, node_id"
+        ),
+        "walk_corpus": (
+            f"SELECT walk_id, step, node_id FROM read_parquet('{gold['walk_corpus']}') "
+            "ORDER BY walk_id, step"
+        ),
+        "neighbor_sample": (
+            f"SELECT src, dst, hop FROM read_parquet('{gold['neighbor_sample']}') "
+            "ORDER BY hop, src, dst"
         ),
         "events_sessions": """
             WITH marked AS (

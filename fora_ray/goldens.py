@@ -41,7 +41,7 @@ from .oracle import lpa_oracle, ppr_column_oracle, ppr_power_iteration
 
 ROUND = 9
 _WORD = re.compile(r"\w+")
-_VERSION = 13  # v13: + hits, diameter_est references
+_VERSION = 14  # v14: + walk_corpus, neighbor_sample references
 
 
 def _round_col(x: np.ndarray) -> np.ndarray:
@@ -666,6 +666,92 @@ def ann_lsh_golden(sf_dir: str, k: int = 10, nq: int = 8, n_tables: int = 16,
 # generation + cache
 # --------------------------------------------------------------------------
 
+def _sorted_csr(fix_dir: str):
+    """Adjacency as CSR over logical ids, rows sorted by dst ascending —
+    the identity-permutation engine layout the corpus/sampling operators
+    assert (stages/csr.py lexsorts (dst, loc))."""
+    e, n = _fixture_graph(fix_dir)
+    order = np.lexsort((e[:, 1], e[:, 0]))
+    src, dst = e[order, 0], e[order, 1]
+    counts = np.bincount(src, minlength=n)
+    indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    return indptr, dst.astype(np.int64), n
+
+
+def walk_corpus_golden(fix_dir: str, nwalks: int = 2, walk_len: int = 5,
+                       seed: int = 42) -> pa.Table:
+    """Single-process replay of random_walk_corpus: same counter-RNG
+    (key = mix64(seed, walk_id); draw = rng(mix64(key, hop)); slot =
+    floor(u*d) into the dst-sorted CSR row) — shares only the hashing
+    primitives; the walk loop itself is an independent numpy replay."""
+    from .functions.hashing import rng_uniform
+
+    indptr, indices, n = _sorted_csr(fix_dir)
+    deg = np.diff(indptr)
+    wid = np.repeat(np.arange(n, dtype=np.int64) * nwalks, nwalks) \
+        + np.tile(np.arange(nwalks, dtype=np.int64), n)
+    key = mix64(np.uint64(seed), wid.astype(np.uint64))
+    cur = np.repeat(np.arange(n, dtype=np.int64), nwalks)
+    recs = [(wid, np.zeros(wid.size, np.int64), cur)]
+    w, k, c = wid, key, cur
+    for hop in range(1, walk_len):
+        alive = deg[c] > 0
+        if not alive.any():
+            break
+        w, k, c = w[alive], k[alive], c[alive]
+        d = deg[c]
+        u = rng_uniform(mix64(k, np.full(k.size, np.uint64(hop), np.uint64)))
+        c = indices[indptr[c] + np.minimum((u * d).astype(np.int64), d - 1)]
+        recs.append((w, np.full(w.size, hop, np.int64), c))
+    t = pa.table({
+        "walk_id": pa.array(np.concatenate([r[0] for r in recs])),
+        "step": pa.array(np.concatenate([r[1] for r in recs])),
+        "node_id": pa.array(np.concatenate([r[2] for r in recs])),
+    })
+    return t.sort_by([("walk_id", "ascending"), ("step", "ascending")])
+
+
+def neighbor_sample_golden(fix_dir: str, n_seeds: int = 8,
+                           fanouts=(3, 2), seed: int = 42) -> pa.Table:
+    """Single-process replay of neighbor_sample over seeds 0..n_seeds-1:
+    per frontier node keep the fanout smallest
+    mix64(mix64(mix64(seed, hop), src), dst) neighbors."""
+    indptr, indices, n = _sorted_csr(fix_dir)
+    frontier = np.arange(min(n_seeds, n), dtype=np.int64)
+    rows = []
+    for hop, f in enumerate(fanouts):
+        if frontier.size == 0:
+            break
+        seed_hop = mix64(np.uint64(seed), np.uint64(hop))
+        srcs, dsts = [], []
+        for s in frontier:
+            nb = indices[indptr[s]:indptr[s + 1]]
+            if nb.size == 0:
+                continue
+            keys = mix64(mix64(np.full(nb.size, seed_hop, np.uint64),
+                               np.full(nb.size, np.uint64(s), np.uint64)),
+                         nb.astype(np.uint64))
+            pick = nb[np.argsort(keys, kind="stable")[:f]]
+            srcs.append(np.full(pick.size, s, np.int64))
+            dsts.append(pick)
+        if not srcs:
+            break
+        sa, da = np.concatenate(srcs), np.concatenate(dsts)
+        rows.append((sa, da, np.full(sa.size, hop, np.int64)))
+        frontier = np.unique(da)
+    if not rows:
+        return pa.table({"src": pa.array([], pa.int64()),
+                         "dst": pa.array([], pa.int64()),
+                         "hop": pa.array([], pa.int64())})
+    t = pa.table({
+        "src": pa.array(np.concatenate([r[0] for r in rows])),
+        "dst": pa.array(np.concatenate([r[1] for r in rows])),
+        "hop": pa.array(np.concatenate([r[2] for r in rows])),
+    })
+    return t.sort_by([("hop", "ascending"), ("src", "ascending"),
+                      ("dst", "ascending")])
+
+
 _GRAPH_GOLDENS = {
     "pagerank": pagerank_golden,
     "ppr_exact": ppr_exact_golden,
@@ -680,6 +766,8 @@ _GRAPH_GOLDENS = {
     "fora_indexed": fora_indexed_golden,
     "topk_ppr": topk_ppr_golden,
     "hubppr": hubppr_golden,
+    "walk_corpus": walk_corpus_golden,
+    "neighbor_sample": neighbor_sample_golden,
 }
 def distinct_users_hll_golden(sf_dir: str, p: int = 12) -> pa.Table:
     """Pure-python HyperLogLog replay over events.user_id — independent

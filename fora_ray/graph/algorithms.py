@@ -590,9 +590,9 @@ def _require_identity(handles) -> None:
     for h, side in handles:
         if h.perm is not None or getattr(h, "remote_perm", False):
             raise ValueError(
-                f"hubppr requires identity-permutation handles, but the {side} "
-                "handle was built with balance='degree'; rebuild without "
-                "balancing for pairwise queries"
+                f"this operator requires identity-permutation handles, but "
+                f"the {side} handle was built with balance='degree'; rebuild "
+                "without balancing"
             )
 
 
@@ -1042,3 +1042,85 @@ def hits(handle_fwd, handle_rev, max_iters: int = 40, tol: float = 0.0):
         for fw, rw in zip(handle_fwd.workers, handle_rev.workers)
     ]
     return ray.data.from_arrow_refs(tables), {"iters": iters, "delta": delta}
+
+
+def random_walk_corpus(handle, nwalks: int = 2, walk_len: int = 5,
+                       seed: int = 42):
+    """DeepWalk-style random-walk corpus generation (Perozzi et al.,
+    KDD'14): `nwalks` fixed-length uniform walks from EVERY node, emitted
+    as a (walk_id, step, node_id) trace table — the training corpus a
+    skip-gram embedding stage consumes.  node2vec with p = q = 1 is this
+    walk; biased p/q walks need the previous node's adjacency at the
+    current owner and are out of scope.
+
+    Distribution: the FORA walk superstep shape — each hop advances all
+    pending walkers shard-locally and routes survivors to the owner of
+    their next node; the receiving shard records the visit, so the trace
+    is written where it lives and `corpus_table` refs assemble it with
+    zero driver materialization.  A walker at a dangling node truncates
+    (shorter trace, no restart).  Counter-RNG (key = mix64(seed,
+    walk_id), draw = rng(mix64(key, hop))) makes the corpus identical at
+    any partition count; neighbor slots index CSR rows sorted by engine
+    dst id, so the identity permutation is required (asserted) for the
+    draws to be a pure function of the logical graph.
+
+    Returns (Dataset (walk_id, step, node_id), stats).  Rows total
+    <= n * nwalks * walk_len; each shard buffers only its own slice.
+    """
+    _require_identity([(handle, "graph")])
+    if walk_len < 1:
+        raise ValueError("walk_len must be >= 1")
+    spawned = sum(handle.call_all("corpus_init", int(nwalks), int(seed)))
+    hops = 0
+    for hop in range(1, walk_len):
+        metas, _ = handle._exchange("corpus_round", "corpus_apply", hop)
+        hops += 1
+        if sum(m["alive"] for m in metas) == 0:
+            break
+    refs = [w.corpus_table.remote() for w in handle.workers]
+    return ray.data.from_arrow_refs(refs), {"walks": spawned, "hops": hops}
+
+
+def neighbor_sample(handle, seeds, fanouts=(10, 5), seed: int = 42):
+    """GraphSAGE-style k-hop neighborhood sampling (Hamilton et al.,
+    NeurIPS'17): starting from `seeds`, draw up to fanouts[h] neighbors
+    per frontier node at hop h; the sampled edges form the minibatch
+    subgraph a GNN trains on.
+
+    Selection is hash-rank — the fanouts[h] smallest values of
+    mix64(mix64(mix64(seed, h), src), dst) per src — a fixed total order
+    over (src, dst), so the sample is deterministic and independent of
+    partition count (identity permutation required, asserted).  Each hop
+    is one parallel shard call: a shard touches only the adjacency of
+    the frontier nodes it owns.  The returned subgraph (and therefore
+    driver memory) is bounded by |seeds| * prod(fanouts) edges — the
+    caller sizes it, exactly like a training minibatch.
+
+    Returns (pyarrow.Table (src, dst, hop), stats).
+    """
+    import pyarrow as _pa
+
+    _require_identity([(handle, "graph")])
+    frontier = np.unique(np.asarray(list(seeds), dtype=np.int64))
+    layers = []
+    for hop, f in enumerate(fanouts):
+        if frontier.size == 0:
+            break
+        tabs = handle.call_all("sample_neighbors", frontier, int(f),
+                               int(seed), int(hop))
+        tab = _pa.concat_tables([t for t in tabs if t.num_rows],
+                                promote_options="none") \
+            if any(t.num_rows for t in tabs) else None
+        if tab is None or tab.num_rows == 0:
+            frontier = np.empty(0, np.int64)
+            break
+        layers.append(tab.append_column(
+            "hop", _pa.array(np.full(tab.num_rows, hop, np.int64))))
+        frontier = np.unique(tab["dst"].to_numpy(zero_copy_only=False))
+    if not layers:
+        out = _pa.table({"src": _pa.array([], _pa.int64()),
+                         "dst": _pa.array([], _pa.int64()),
+                         "hop": _pa.array([], _pa.int64())})
+    else:
+        out = _pa.concat_tables(layers, promote_options="none")
+    return out, {"edges": out.num_rows, "hops": len(layers)}

@@ -443,6 +443,131 @@ class ShardWorkerImpl:
         self.acc[:] = 0.0
         return True
 
+    # ---- random-walk corpus generation (DeepWalk-style training data) -----
+    def corpus_init(self, nwalks: int, seed: int):
+        """Spawn `nwalks` fixed-length walkers at every local node.
+        walk_id = logical_src * nwalks + k (dense logical ids make this
+        globally unique and deterministic); walker RNG key =
+        mix64(seed, walk_id) — identical at any partition count.  Step-0
+        records are written immediately; later steps are recorded by the
+        shard that RECEIVES the walker (it owns the node's logical id)."""
+        nl = self.n_local
+        self._crec: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        self._cpending = None
+        if nl == 0 or nwalks <= 0:
+            return 0
+        wid = np.repeat(self.logical_ids * nwalks, nwalks) \
+            + np.tile(np.arange(nwalks, dtype=np.int64), nl)
+        key = mix64(np.uint64(seed), wid.astype(np.uint64))
+        cur = np.repeat(self.global_ids, nwalks)
+        self._crec.append((wid, np.zeros(wid.size, np.int64),
+                           np.repeat(self.logical_ids, nwalks)))
+        self._cpending = (cur, wid, key)
+        return int(wid.size)
+
+    def corpus_round(self, hop: int):
+        """Advance pending corpus walkers one uniform hop.  A walker at a
+        node with out_deg == 0 truncates (its walk simply ends — shorter
+        trace, no restart).  Draw: u = rng(mix64(key, hop)); neighbor =
+        CSR row slot floor(u*d) (rows are sorted by engine dst id, ==
+        logical order under the identity permutation the driver asserts)."""
+        meta = {"alive": 0}
+        if getattr(self, "_cpending", None) is None:
+            return tuple([meta] + [None] * self.P)
+        cur, wid, key = self._cpending
+        self._cpending = None
+        loc = cur // self.P
+        d = self.out_deg[loc]
+        alive = d > 0
+        if not alive.any():
+            return tuple([meta] + [None] * self.P)
+        cur, wid, key, loc, d = cur[alive], wid[alive], key[alive], loc[alive], d[alive]
+        u = rng_uniform(mix64(key, np.full(key.size, np.uint64(hop), np.uint64)))
+        choice = np.minimum((u * d).astype(np.int64), d - 1)
+        nxt = self.indices[self.indptr[loc] + choice]
+        meta["alive"] = int(nxt.size)
+        self.counters["walk_hops"] += int(nxt.size)
+        payloads = [None] * self.P
+        owner = nxt % self.P
+        for p in np.unique(owner):
+            m = owner == p
+            pl = (int(hop), nxt[m], wid[m], key[m])
+            if p == self.part:
+                self._corpus_append(pl)
+            else:
+                payloads[int(p)] = pl
+        return tuple([meta] + payloads)
+
+    def _corpus_append(self, pl):
+        if pl is None:
+            return
+        hop, nxt, wid, key = pl
+        self._crec.append((wid, np.full(wid.size, hop, np.int64),
+                           self.logical_ids[nxt // self.P]))
+        if self._cpending is None:
+            self._cpending = (nxt, wid, key)
+        else:
+            self._cpending = tuple(
+                np.concatenate([a, b]) for a, b in zip(self._cpending, (nxt, wid, key))
+            )
+
+    def corpus_apply(self, *payloads):
+        for pl in payloads:
+            self._corpus_append(pl)
+        return True
+
+    def corpus_table(self) -> pa.Table:
+        """Emit and clear this shard's walk records.  Per-shard buffer is
+        bounded by the walker-steps that LAND here — i.e. this shard's
+        slice of the output corpus itself (nwalks * n * walk_len rows
+        total across shards), so memory is proportional to the shard's
+        own output, never the global corpus."""
+        recs = getattr(self, "_crec", [])
+        self._crec, self._cpending = [], None
+        if not recs:
+            return pa.table({"walk_id": pa.array([], pa.int64()),
+                             "step": pa.array([], pa.int64()),
+                             "node_id": pa.array([], pa.int64())})
+        return pa.table({
+            "walk_id": pa.array(np.concatenate([r[0] for r in recs])),
+            "step": pa.array(np.concatenate([r[1] for r in recs])),
+            "node_id": pa.array(np.concatenate([r[2] for r in recs])),
+        })
+
+    # ---- GNN neighborhood sampling (GraphSAGE-style fan-out) --------------
+    def sample_neighbors(self, frontier: np.ndarray, fanout: int,
+                         seed: int, hop: int) -> pa.Table:
+        """Deterministic up-to-`fanout` neighbor sample for the frontier
+        nodes this shard owns.  Selection = the `fanout` smallest values
+        of mix64(mix64(seed_hop, src), dst) per src — a fixed hash-rank
+        order over (src, dst), so the sample is independent of partition
+        count, batch order and fanout history (requires the identity
+        permutation, which the driver asserts: engine id == logical id).
+        One ragged gather + one lexsort per call; never materializes
+        non-sampled edges beyond this shard's frontier adjacency."""
+        src = np.asarray(frontier, dtype=np.int64)
+        src = src[src % self.P == self.part]
+        empty = pa.table({"src": pa.array([], pa.int64()),
+                          "dst": pa.array([], pa.int64())})
+        if src.size == 0:
+            return empty
+        loc = src // self.P
+        dsts, row = self._gather_edges(loc)
+        if dsts.size == 0:
+            return empty
+        seed_hop = mix64(np.uint64(seed), np.uint64(hop))
+        keys = mix64(mix64(np.full(dsts.size, seed_hop, np.uint64),
+                           src[row].astype(np.uint64)),
+                     dsts.astype(np.uint64))
+        order = np.lexsort((keys, row))
+        r_sorted = row[order]
+        counts = np.bincount(row, minlength=loc.size)
+        starts = np.concatenate([[0], np.cumsum(counts[:-1])])
+        pos_in_row = np.arange(dsts.size, dtype=np.int64) - starts[r_sorted]
+        keep = order[pos_in_row < fanout]
+        return pa.table({"src": pa.array(src[row[keep]]),
+                         "dst": pa.array(dsts[keep])})
+
     # ---- G5 backward push (BiPPR; weighted reverse CSR) -------------------
     def bpush_round(self, rmax: float, sweep_all: bool):
         """One backward-push superstep over the weighted reverse graph:

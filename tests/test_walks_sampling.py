@@ -1,0 +1,171 @@
+"""Random-walk corpus generation + GNN neighborhood sampling.
+
+Oracles: brute-force single-process replays (tests below) plus the
+independent golden replays in fora_ray.goldens (driver gate).  The key
+property under test is partition invariance: the counter-RNG corpus and
+the hash-rank samples must be byte-identical at any P.
+"""
+
+import numpy as np
+import pytest
+
+from fora_ray.functions.hashing import mix64, rng_uniform
+from fora_ray.graph import algorithms as alg
+from fora_ray.graph.runtime import GraphHandle
+
+from .graphs import BRIDGE8, DANGLE3, STAR5, to_dataset
+
+
+def _corpus_df(handle, **kw):
+    ds, stats = alg.random_walk_corpus(handle, **kw)
+    return (
+        ds.to_pandas().sort_values(["walk_id", "step"]).reset_index(drop=True),
+        stats,
+    )
+
+
+def _brute_corpus(edges: np.ndarray, n: int, nwalks: int, walk_len: int, seed: int):
+    """Independent per-walk python replay over the dst-sorted adjacency."""
+    adj = {v: [] for v in range(n)}
+    for s, d in edges:
+        adj[int(s)].append(int(d))
+    for v in adj:
+        adj[v] = sorted(set(adj[v]))
+    # NOTE: engine CSR holds the deduped edge table; tests pass deduped
+    # edges so sorted(set(...)) == sorted(...)
+    rows = []
+    for v in range(n):
+        for k in range(nwalks):
+            wid = v * nwalks + k
+            key = np.uint64(mix64(np.uint64(seed), np.uint64(wid)))
+            node = v
+            rows.append((wid, 0, node))
+            for hop in range(1, walk_len):
+                nb = adj[node]
+                if not nb:
+                    break
+                u = float(rng_uniform(np.array([mix64(key, np.uint64(hop))], np.uint64))[0])
+                node = nb[min(int(u * len(nb)), len(nb) - 1)]
+                rows.append((wid, hop, node))
+    rows.sort()
+    return rows
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_walk_corpus_matches_brute_replay(ray_session, P):
+    edges = np.unique(BRIDGE8, axis=0)
+    h = GraphHandle.from_edges(to_dataset(edges), 8, P=P)
+    try:
+        df, stats = _corpus_df(h, nwalks=3, walk_len=6, seed=7)
+    finally:
+        h.close()
+    got = list(df.itertuples(index=False, name=None))
+    assert got == _brute_corpus(edges, 8, 3, 6, 7)
+    assert stats["walks"] == 8 * 3
+
+
+def test_walk_corpus_partition_invariant(graph600, ray_session):
+    edges, n = graph600
+    dfs = []
+    for P in (2, 4):
+        h = GraphHandle.from_edges(to_dataset(edges), n, P=P)
+        try:
+            df, _ = _corpus_df(h, nwalks=1, walk_len=4, seed=42)
+        finally:
+            h.close()
+        dfs.append(df)
+    assert dfs[0].equals(dfs[1])
+
+
+def test_walk_corpus_truncates_at_dangling(ray_session):
+    # 0 -> 1 -> 2 (dangling): every walk from 2 is one record long,
+    # walks from 0/1 never exceed their distance to 2 + 1 records.
+    h = GraphHandle.from_edges(to_dataset(DANGLE3), 3, P=2)
+    try:
+        df, _ = _corpus_df(h, nwalks=2, walk_len=10, seed=1)
+    finally:
+        h.close()
+    lens = df.groupby("walk_id").size()
+    assert (lens[df[df.step == 0].set_index("walk_id").node_id == 2] == 1).all()
+    assert (lens <= 3).all()  # longest possible trace on this chain
+    # walks are contiguous step runs starting at 0
+    for _, g in df.groupby("walk_id"):
+        assert g["step"].tolist() == list(range(len(g)))
+
+
+def test_walk_corpus_requires_identity(graph600, ray_session):
+    edges, n = graph600
+    h = GraphHandle.from_edges(to_dataset(edges), n, P=2, balance="degree")
+    try:
+        with pytest.raises(ValueError, match="identity"):
+            alg.random_walk_corpus(h)
+    finally:
+        h.close()
+
+
+def _brute_sample(edges: np.ndarray, n: int, seeds, fanouts, seed: int):
+    adj = {v: [] for v in range(n)}
+    for s, d in edges:
+        adj[int(s)].append(int(d))
+    frontier = sorted(set(int(s) for s in seeds))
+    out = []
+    for hop, f in enumerate(fanouts):
+        nxt = set()
+        for s in frontier:
+            nb = np.array(sorted(adj[s]), dtype=np.int64)
+            if nb.size == 0:
+                continue
+            sh = mix64(np.uint64(seed), np.uint64(hop))
+            keys = mix64(
+                mix64(np.full(nb.size, sh, np.uint64),
+                      np.full(nb.size, np.uint64(s), np.uint64)),
+                nb.astype(np.uint64),
+            )
+            for d in nb[np.argsort(keys, kind="stable")[:f]]:
+                out.append((int(s), int(d), hop))
+                nxt.add(int(d))
+        frontier = sorted(nxt)
+        if not frontier:
+            break
+    out.sort(key=lambda r: (r[2], r[0], r[1]))
+    return out
+
+
+@pytest.mark.parametrize("P", [1, 2, 4])
+def test_neighbor_sample_matches_brute(graph600, ray_session, P):
+    edges, n = graph600
+    h = GraphHandle.from_edges(to_dataset(edges), n, P=P)
+    try:
+        tab, stats = alg.neighbor_sample(h, seeds=range(10), fanouts=(3, 2), seed=9)
+    finally:
+        h.close()
+    df = tab.to_pandas().sort_values(["hop", "src", "dst"]).reset_index(drop=True)
+    got = list(df.itertuples(index=False, name=None))
+    assert got == _brute_sample(edges, n, range(10), (3, 2), 9)
+    assert stats["edges"] == len(got)
+
+
+def test_neighbor_sample_fanout_caps_and_subsets(ray_session):
+    # star: center 0 with 4 out-neighbors; fanout 2 must pick exactly 2,
+    # and the fanout-3 pick must contain the fanout-2 pick (hash-rank
+    # order is fixed, a bigger fanout only extends the prefix).
+    h = GraphHandle.from_edges(to_dataset(STAR5), 5, P=2)
+    try:
+        t2, _ = alg.neighbor_sample(h, seeds=[0], fanouts=(2,), seed=3)
+        t3, _ = alg.neighbor_sample(h, seeds=[0], fanouts=(3,), seed=3)
+    finally:
+        h.close()
+    s2 = set(t2["dst"].to_pylist())
+    s3 = set(t3["dst"].to_pylist())
+    assert len(s2) == 2 and len(s3) == 3 and s2 < s3
+
+
+def test_neighbor_sample_empty_seeds_and_dangling(ray_session):
+    h = GraphHandle.from_edges(to_dataset(DANGLE3), 3, P=2)
+    try:
+        t0, st0 = alg.neighbor_sample(h, seeds=[], fanouts=(3,), seed=1)
+        t2, st2 = alg.neighbor_sample(h, seeds=[2], fanouts=(3,), seed=1)
+    finally:
+        h.close()
+    assert t0.num_rows == 0 and st0["edges"] == 0
+    assert t2.num_rows == 0  # node 2 is dangling
