@@ -565,6 +565,15 @@ def _queries_graph():
         return (ds.to_pandas()
                 .sort_values(["walk_id", "step"]).reset_index(drop=True))
 
+    def skipgram_pairs_q(sf_dir):
+        from fora_ray.pipelines.walks import skipgram_pairs
+
+        g = _graph(sf_dir)
+        corpus, _ = alg.random_walk_corpus(g["handle"], nwalks=2,
+                                           walk_len=5, seed=42)
+        return (skipgram_pairs(corpus, window=2).to_pandas()
+                .sort_values(["center", "context"]).reset_index(drop=True))
+
     def neighbor_sample_q(sf_dir):
         g = _graph(sf_dir)
         tab, _stats = alg.neighbor_sample(g["handle"], seeds=range(8),
@@ -595,6 +604,7 @@ def _queries_graph():
         "link_pred": link_pred_q,
         "diameter_est": diameter_est_q,
         "walk_corpus": walk_corpus_q,
+        "skipgram_pairs": skipgram_pairs_q,
         "neighbor_sample": neighbor_sample_q,
     }
 
@@ -1051,6 +1061,15 @@ def oracle_sql() -> dict[str, str]:
         "walk_corpus": (
             f"SELECT walk_id, step, node_id FROM read_parquet('{gold['walk_corpus']}') "
             "ORDER BY walk_id, step"
+        ),
+        "skipgram_pairs": (
+            f"SELECT a.node_id AS center, b.node_id AS context, "
+            f"CAST(COUNT(*) AS BIGINT) AS cnt "
+            f"FROM read_parquet('{gold['walk_corpus']}') a "
+            f"JOIN read_parquet('{gold['walk_corpus']}') b "
+            f"ON a.walk_id = b.walk_id AND a.step <> b.step "
+            f"AND abs(a.step - b.step) <= 2 "
+            f"GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "neighbor_sample": (
             f"SELECT src, dst, hop FROM read_parquet('{gold['neighbor_sample']}') "

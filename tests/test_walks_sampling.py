@@ -169,3 +169,51 @@ def test_neighbor_sample_empty_seeds_and_dangling(ray_session):
         h.close()
     assert t0.num_rows == 0 and st0["edges"] == 0
     assert t2.num_rows == 0  # node 2 is dangling
+
+
+def test_skipgram_pairs_matches_brute(graph600, ray_session):
+    """(center, context, cnt) must equal the brute self-join over the
+    corpus trace at every window size."""
+    from collections import Counter
+
+    from fora_ray.pipelines.walks import skipgram_pairs
+
+    edges, n = graph600
+    h = GraphHandle.from_edges(to_dataset(edges), n, P=4)
+    try:
+        corpus, _ = alg.random_walk_corpus(h, nwalks=2, walk_len=6, seed=11)
+        corpus = corpus.materialize()
+        trace = corpus.to_pandas()
+        for window in (1, 3):
+            got = (
+                skipgram_pairs(corpus, window=window).to_pandas()
+                .sort_values(["center", "context"]).reset_index(drop=True)
+            )
+            want = Counter()
+            for _, g in trace.groupby("walk_id"):
+                g = g.sort_values("step")
+                nodes, steps = g["node_id"].tolist(), g["step"].tolist()
+                for i in range(len(nodes)):
+                    for j in range(len(nodes)):
+                        if i != j and abs(steps[i] - steps[j]) <= window:
+                            want[(nodes[i], nodes[j])] += 1
+            got_d = {(r.center, r.context): r.cnt for r in got.itertuples()}
+            assert got_d == dict(want), f"window={window}"
+    finally:
+        h.close()
+
+
+def test_skipgram_pairs_empty_and_window_guard(ray_session):
+    import pyarrow as pa
+    import ray as _ray
+
+    from fora_ray.pipelines.walks import skipgram_pairs
+
+    empty = _ray.data.from_arrow(pa.table({
+        "walk_id": pa.array([], pa.int64()),
+        "step": pa.array([], pa.int64()),
+        "node_id": pa.array([], pa.int64()),
+    }))
+    assert skipgram_pairs(empty, window=2).count() == 0
+    with pytest.raises(ValueError, match="window"):
+        skipgram_pairs(empty, window=0)
