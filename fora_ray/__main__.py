@@ -15,6 +15,8 @@
                                 [--window-s N] [--slide-s N] [--gap-s N] [--k K] [--keys a,b]
     python -m fora_ray sketch   --input PATH --on COL --out DIR [--op distinct|heavy-hitters|quantiles]
                                 [--p P] [--phi X] [--quantiles 0.25,0.5] [--bins N]
+    python -m fora_ray walks    --graph DIR --out DIR [--nwalks N] [--walk-len L] [--window W]
+                                [--sample-seeds 0,1,2 --fanouts 10,5]
 
 --graph DIR is a shard dir written by `ingest` (csr/ + meta.json).
 Every command writes its result as partitioned Parquet plus a
@@ -381,6 +383,43 @@ def cmd_sketch(args):
     print(json.dumps({"op": args.op, "on": args.on, **summary, "out": args.out}))
 
 
+def cmd_walks(args):
+    """Random-walk corpus (+ optional skip-gram pairs / neighbor-sample
+    subgraph) from an ingested graph -> parquet + METRICS.json."""
+    from .graph import algorithms as alg
+
+    h = _load_graph(args.graph)
+    t0 = time.time()
+    os.makedirs(args.out, exist_ok=True)
+    corpus, stats = alg.random_walk_corpus(
+        h, nwalks=args.nwalks, walk_len=args.walk_len, seed=args.seed)
+    corpus = corpus.materialize()
+    corpus.write_parquet(os.path.join(args.out, "corpus"))
+    n_pairs = 0
+    if args.window > 0:
+        from .pipelines.walks import skipgram_pairs
+
+        pairs = skipgram_pairs(corpus, window=args.window).materialize()
+        pairs.write_parquet(os.path.join(args.out, "pairs"))
+        n_pairs = pairs.count()
+    n_sample = 0
+    if args.sample_seeds:
+        import pyarrow.parquet as _pq
+
+        seeds = [int(s) for s in args.sample_seeds.split(",")]
+        fanouts = tuple(int(f) for f in args.fanouts.split(","))
+        tab, sstats = alg.neighbor_sample(h, seeds, fanouts, seed=args.seed)
+        _pq.write_table(tab, os.path.join(args.out, "sample.parquet"))
+        n_sample = sstats["edges"]
+    _write_metrics(args.out, {
+        "command": "walks", "wall_s": time.time() - t0,
+        "n_corpus_rows": corpus.count(), "n_pairs": n_pairs,
+        "n_sample_edges": n_sample, **stats,
+    })
+    h.close()
+    print(json.dumps({"walks": stats["walks"], "pairs": n_pairs, "out": args.out}))
+
+
 def cmd_build_index(args):
     from .graph import algorithms as alg
 
@@ -439,6 +478,19 @@ def main(argv=None):
         if name == "lpa":
             p.add_argument("--max-rounds", type=int, default=20)
         p.set_defaults(fn=fn)
+
+    p = sub.add_parser("walks")
+    p.add_argument("--graph", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--nwalks", type=int, default=2)
+    p.add_argument("--walk-len", type=int, default=5)
+    p.add_argument("--window", type=int, default=2,
+                   help="skip-gram window; 0 skips pair generation")
+    p.add_argument("--sample-seeds", default=None,
+                   help="comma-separated seed node ids -> neighbor-sample subgraph")
+    p.add_argument("--fanouts", default="10,5")
+    p.add_argument("--seed", type=int, default=42)
+    p.set_defaults(fn=cmd_walks)
 
     p = sub.add_parser("build-index")
     p.add_argument("--graph", required=True)

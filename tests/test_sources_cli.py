@@ -267,3 +267,32 @@ def test_cli_sketch(tmp_path):
           "--quantiles", "0.5"])
     qt = ray.data.read_parquet(f"{d3}/quantiles.parquet").to_pandas()
     assert abs(qt["value"][0] - 0.5) < 0.05
+
+
+def test_cli_walks(fix600, tmp_path):
+    """walks subcommand: corpus + skip-gram pairs + neighbor sample, all
+    as parquet + METRICS.json, consistent with the library calls."""
+    import json
+
+    from fora_ray.__main__ import main
+
+    g = str(tmp_path / "graph")
+    out = str(tmp_path / "walks")
+    main(["ingest", "--corpus", f"{fix600}/corpus", "--out", g])
+    main(["walks", "--graph", g, "--out", out, "--nwalks", "1",
+          "--walk-len", "4", "--window", "2",
+          "--sample-seeds", "0,1,2", "--fanouts", "3,2"])
+    corpus = ray.data.read_parquet(f"{out}/corpus").to_pandas()
+    pairs = ray.data.read_parquet(f"{out}/pairs").to_pandas()
+    sample = pq.read_table(f"{out}/sample.parquet").to_pandas()
+    with open(f"{out}/METRICS.json") as f:
+        m = json.load(f)
+    assert m["n_corpus_rows"] == len(corpus) and m["walks"] == 600
+    assert m["n_pairs"] == len(pairs) and len(pairs) > 0
+    assert m["n_sample_edges"] == len(sample)
+    assert set(corpus.columns) == {"walk_id", "step", "node_id"}
+    assert set(pairs.columns) == {"center", "context", "cnt"}
+    assert set(sample.columns) == {"src", "dst", "hop"}
+    # step-0 records exist for every walk
+    assert (corpus[corpus.step == 0].groupby("walk_id").size() == 1).all()
+    assert corpus["walk_id"].nunique() == 600
