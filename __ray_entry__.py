@@ -558,6 +558,15 @@ def _queries_graph():
         df["ppr"] = df["ppr"].round(ROUND)
         return df
 
+    def scc_q(sf_dir):
+        from fora_ray.graph.runtime import GraphHandle
+
+        g = _graph(sf_dir)
+        if "handle_rev" not in g:
+            g["handle_rev"] = GraphHandle.from_reverse_edges(g["edges"], g["n"], P=4)
+        ds, _stats = alg.scc(g["handle"], g["handle_rev"])
+        return ds.to_pandas().sort_values("node_id").reset_index(drop=True)
+
     def walk_corpus_q(sf_dir):
         g = _graph(sf_dir)
         ds, _stats = alg.random_walk_corpus(g["handle"], nwalks=2,
@@ -604,6 +613,7 @@ def _queries_graph():
         "link_pred": link_pred_q,
         "diameter_est": diameter_est_q,
         "walk_corpus": walk_corpus_q,
+        "scc": scc_q,
         "skipgram_pairs": skipgram_pairs_q,
         "neighbor_sample": neighbor_sample_q,
     }
@@ -1057,6 +1067,10 @@ def oracle_sql() -> dict[str, str]:
         "topk_ppr": (
             f"SELECT node_id, ppr FROM read_parquet('{gold['topk_ppr']}') "
             "ORDER BY ppr DESC, node_id"
+        ),
+        "scc": (
+            f"SELECT node_id, scc FROM read_parquet('{gold['scc']}') "
+            "ORDER BY node_id"
         ),
         "walk_corpus": (
             f"SELECT walk_id, step, node_id FROM read_parquet('{gold['walk_corpus']}') "

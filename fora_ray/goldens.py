@@ -41,7 +41,7 @@ from .oracle import lpa_oracle, ppr_column_oracle, ppr_power_iteration
 
 ROUND = 9
 _WORD = re.compile(r"\w+")
-_VERSION = 14  # v14: + walk_corpus, neighbor_sample references
+_VERSION = 15  # v15: + scc reference
 
 
 def _round_col(x: np.ndarray) -> np.ndarray:
@@ -678,6 +678,17 @@ def _sorted_csr(fix_dir: str):
     return indptr, dst.astype(np.int64), n
 
 
+def scc_golden(fix_dir: str) -> pa.Table:
+    """Iterative-Tarjan SCC labels (fora_ray.oracle.scc_oracle) — fully
+    independent of the engine's min-label intersection kernel."""
+    from .oracle import scc_oracle
+
+    e, n = _fixture_graph(fix_dir)
+    comp = scc_oracle(e, n)
+    return pa.table({"node_id": pa.array(np.arange(n, dtype=np.int64)),
+                     "scc": pa.array(comp)})
+
+
 def walk_corpus_golden(fix_dir: str, nwalks: int = 2, walk_len: int = 5,
                        seed: int = 42) -> pa.Table:
     """Single-process replay of random_walk_corpus: same counter-RNG
@@ -767,6 +778,7 @@ _GRAPH_GOLDENS = {
     "topk_ppr": topk_ppr_golden,
     "hubppr": hubppr_golden,
     "walk_corpus": walk_corpus_golden,
+    "scc": scc_golden,
     "neighbor_sample": neighbor_sample_golden,
 }
 def distinct_users_hll_golden(sf_dir: str, p: int = 12) -> pa.Table:

@@ -1124,3 +1124,58 @@ def neighbor_sample(handle, seeds, fanouts=(10, 5), seed: int = 42):
     else:
         out = _pa.concat_tables(layers, promote_options="none")
     return out, {"edges": out.num_rows, "hops": len(layers)}
+
+
+def scc(handle_fwd, handle_rev, max_outer: int = 10_000):
+    """Strongly connected components via iterative min-label
+    forward/backward intersection: per outer round, compute over the
+    UNASSIGNED subgraph minF(v) = min id that reaches v (min-label
+    fixpoint on the forward CSR, the connected_components kernel with an
+    active mask) and minB(v) = min id v reaches (same fixpoint on the
+    reverse CSR); every v with minF(v) == minB(v) == c joins SCC(c) —
+    c reaches v and v reaches c, so membership is exact, and the SCC of
+    the globally smallest unassigned id is always fully carved, which
+    guarantees progress.  Real link graphs (one giant SCC + periphery)
+    finish in a handful of outer rounds.
+
+    `handle_rev` must be built from the same edges with src/dst swapped
+    (`GraphHandle.from_reverse_edges`), shard-aligned and identity-
+    permuted (asserted, same contract as hits/bippr) — the assigned
+    masks and label slices pair local indices 1:1 between the pools.
+
+    Label = smallest node id in the SCC (matches oracle.scc_oracle).
+    Returns ((node_id, scc) Dataset over ALL nodes, stats).
+    """
+    P = handle_fwd.P
+    if handle_rev.P != P or handle_rev.n != handle_fwd.n:
+        raise ValueError("scc requires shard-aligned fwd/rev handles (same n, P)")
+    _require_identity([(handle_fwd, "forward"), (handle_rev, "reverse")])
+    handle_fwd.call_all("scc_reset")
+    handle_rev.call_all("scc_reset")
+    n = handle_fwd.n
+    assigned = 0
+    outer = inner = 0
+    while assigned < n and outer < max_outer:
+        for h in (handle_fwd, handle_rev):
+            h.call_all("minlabel_init")
+            while True:
+                metas, changed = h._exchange("minlabel_round", "minlabel_apply")
+                inner += 1
+                if sum(changed) == 0 and sum(m["sent"] for m in metas) == 0:
+                    break
+        minb = [w.minlabel_get.remote() for w in handle_rev.workers]
+        newly = sum(ray.get([
+            fw.scc_assign.remote(mb)
+            for fw, mb in zip(handle_fwd.workers, minb)
+        ]))
+        assigned += newly
+        outer += 1
+        if newly == 0:
+            raise RuntimeError("scc made no progress (internal invariant broken)")
+        if assigned < n:
+            masks = [fw.scc_assigned_mask.remote() for fw in handle_fwd.workers]
+            ray.get([rw.scc_set_assigned.remote(mk)
+                     for rw, mk in zip(handle_rev.workers, masks)])
+    refs = [w.scc_table.remote() for w in handle_fwd.workers]
+    return ray.data.from_arrow_refs(refs), {"outer_rounds": outer,
+                                            "label_rounds": inner}

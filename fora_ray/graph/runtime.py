@@ -1367,6 +1367,91 @@ class ShardWorkerImpl:
                 changed += int(better.sum())
         return changed
 
+    # ---- SCC (min-label forward/backward intersection) ---------------------
+    def scc_reset(self):
+        self.scc = np.full(self.n_local, -1, np.int64)
+        self._scc_assigned = np.zeros(self.n_local, dtype=bool)
+        return True
+
+    def minlabel_init(self):
+        """(Re)start a min-label fixpoint over the ACTIVE (unassigned)
+        subgraph.  Assigned nodes hold the sentinel, never send (changed
+        stays False) and never accept (filtered in minlabel_apply), so
+        labels cannot relay through a carved-out SCC."""
+        _SENT = np.iinfo(np.int64).max
+        self.labels = np.where(self._scc_assigned, _SENT, self.logical_ids)
+        self._changed = ~self._scc_assigned
+        return True
+
+    def minlabel_round(self):
+        """cc_round over the active subgraph: changed active nodes push
+        their label along out-edges, min-aggregated per destination cell
+        before the exchange (hub fan-in bounded at P-1 payloads)."""
+        idx = np.nonzero(self._changed)[0]
+        self._changed[:] = False
+        meta = {"sent": int(idx.size)}
+        if idx.size == 0:
+            return tuple([meta] + [None] * self.P)
+        dsts, row = self._gather_edges(idx)
+        if dsts.size == 0:
+            return tuple([meta] + [None] * self.P)
+        lab = self.labels[idx][row]
+        _SENT = np.iinfo(np.int64).max
+        payloads = [None] * self.P
+        owner = dsts % self.P
+        for p in np.unique(owner):
+            m = owner == p
+            nl = n_local_of(self.n, self.P, int(p))
+            acc = np.full(nl, _SENT, dtype=np.int64)
+            np.minimum.at(acc, dsts[m] // self.P, lab[m])
+            nz = np.nonzero(acc != _SENT)[0]
+            pl = (nz.astype(np.int64), acc[nz])
+            if p == self.part:
+                self.minlabel_apply(pl)
+            else:
+                payloads[int(p)] = pl
+        return tuple([meta] + payloads)
+
+    def minlabel_apply(self, *payloads):
+        changed = 0
+        for pl in payloads:
+            if pl is None:
+                continue
+            ids, vals = pl
+            better = (vals < self.labels[ids]) & ~self._scc_assigned[ids]
+            if better.any():
+                self.labels[ids[better]] = vals[better]
+                self._changed[ids[better]] = True
+                changed += int(better.sum())
+        return changed
+
+    def minlabel_get(self) -> np.ndarray:
+        return self.labels
+
+    def scc_assign(self, minb: np.ndarray) -> int:
+        """Carve: node v joins SCC(c) iff minF(v) == minB(v) == c (then
+        c reaches v and v reaches c).  minF is this (forward) worker's
+        labels; minb is the aligned reverse worker's slice."""
+        _SENT = np.iinfo(np.int64).max
+        new = (~self._scc_assigned) & (self.labels == np.asarray(minb)) \
+            & (self.labels != _SENT)
+        self.scc[new] = self.labels[new]
+        self._scc_assigned |= new
+        return int(new.sum())
+
+    def scc_assigned_mask(self) -> np.ndarray:
+        return self._scc_assigned
+
+    def scc_set_assigned(self, mask: np.ndarray) -> bool:
+        self._scc_assigned = np.asarray(mask, dtype=bool).copy()
+        return True
+
+    def scc_table(self) -> pa.Table:
+        return pa.table({
+            "node_id": pa.array(self.logical_ids),
+            "scc": pa.array(self.scc),
+        })
+
     # ---- BFS hop distance (multi-source) -----------------------------------
     def bfs_init(self, sources_engine):
         _SENT = np.iinfo(np.int64).max

@@ -207,3 +207,55 @@ def kcore_oracle(edges_sym: np.ndarray, n: int) -> np.ndarray:
                         dq.append(int(u))
         k += 1
     return core
+
+
+def scc_oracle(edges: np.ndarray, n: int) -> np.ndarray:
+    """Strongly connected components via iterative Tarjan; label = the
+    smallest node id in each SCC (matching the engine's min-label
+    convention).  Independent of the distributed kernels."""
+    indptr, indices = _adj(edges, n)
+    index = np.full(n, -1, dtype=np.int64)
+    low = np.zeros(n, dtype=np.int64)
+    on_stack = np.zeros(n, dtype=bool)
+    comp = np.full(n, -1, dtype=np.int64)
+    stack: list[int] = []
+    counter = 0
+    for root in range(n):
+        if index[root] != -1:
+            continue
+        # iterative Tarjan: frames of (node, next-edge-offset)
+        work = [(root, indptr[root])]
+        index[root] = low[root] = counter
+        counter += 1
+        stack.append(root)
+        on_stack[root] = True
+        while work:
+            v, ei = work[-1]
+            if ei < indptr[v + 1]:
+                work[-1] = (v, ei + 1)
+                w = int(indices[ei])
+                if index[w] == -1:
+                    index[w] = low[w] = counter
+                    counter += 1
+                    stack.append(w)
+                    on_stack[w] = True
+                    work.append((w, indptr[w]))
+                elif on_stack[w]:
+                    low[v] = min(low[v], index[w])
+            else:
+                work.pop()
+                if work:
+                    pv = work[-1][0]
+                    low[pv] = min(low[pv], low[v])
+                if low[v] == index[v]:
+                    members = []
+                    while True:
+                        w = stack.pop()
+                        on_stack[w] = False
+                        members.append(w)
+                        if w == v:
+                            break
+                    label = min(members)
+                    for w in members:
+                        comp[w] = label
+    return comp
