@@ -334,14 +334,27 @@ def _queries_documents():
 
         return redact(_docs(sf_dir).map_batches(augment, batch_format="pyarrow"))
 
+    def decontaminate_q(sf_dir):
+        from fora_ray.pipelines.dedup import decontaminate
+
+        docs = _docs(sf_dir)
+        bench = docs.sort("doc_id").limit(5)
+        return decontaminate(docs, bench, ngram=8)
+
     return {
         "curation": curation,
         "embedding_dups": embedding_dups_q,
         "dup_clusters": dup_clusters_q,
         "multimodal_features": multimodal_features_q,
         "docs_exact_dedup": lambda sf: exact_dedup(_docs(sf)),
+        "decontaminate": decontaminate_q,
         "redact_pii": redact_pii_q,
         "token_counts": lambda sf: token_counts(_docs(sf)),
+        "tfidf_topk": lambda sf: (
+            __import__("fora_ray.pipelines.text", fromlist=["tfidf_topk"])
+            .tfidf_topk(_docs(sf), k=5).to_pandas()
+            .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+        ),
         "doc_quality": lambda sf: quality_scores(_docs(sf)).select_columns(
             ["doc_id", "n_chars", "n_tokens"]
         ),
@@ -874,6 +887,24 @@ def oracle_sql() -> dict[str, str]:
         "docs_exact_dedup": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id"
         ),
+        "tfidf_topk": (
+            "WITH toks AS ("
+            "  SELECT doc_id, t.tok AS term FROM documents,"
+            "  unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(tok)"
+            "  WHERE t.tok <> ''"
+            "), tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf"
+            "  FROM toks GROUP BY 1, 2"
+            "), df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df"
+            "  FROM toks GROUP BY 1"
+            "), n AS (SELECT COUNT(*) AS n FROM documents"
+            "), ranked AS ("
+            "  SELECT tf.doc_id, tf.term, tf.tf, df.df,"
+            "  row_number() OVER (PARTITION BY tf.doc_id ORDER BY"
+            "    tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) DESC, tf.term) AS rank"
+            "  FROM tf JOIN df USING (term) CROSS JOIN n"
+            ") SELECT doc_id, term, tf, df, CAST(rank AS BIGINT) AS rank "
+            "FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank"
+        ),
         "token_counts": (
             "SELECT doc_id, CAST(length(regexp_extract_all(text, '\\w+')) AS BIGINT) AS n_tokens "
             "FROM documents ORDER BY doc_id"
@@ -1067,6 +1098,10 @@ def oracle_sql() -> dict[str, str]:
         "topk_ppr": (
             f"SELECT node_id, ppr FROM read_parquet('{gold['topk_ppr']}') "
             "ORDER BY ppr DESC, node_id"
+        ),
+        "decontaminate": (
+            f"SELECT doc_id, n_hits FROM read_parquet('{gold['decontaminate']}') "
+            "ORDER BY doc_id"
         ),
         "scc": (
             f"SELECT node_id, scc FROM read_parquet('{gold['scc']}') "

@@ -41,7 +41,7 @@ from .oracle import lpa_oracle, ppr_column_oracle, ppr_power_iteration
 
 ROUND = 9
 _WORD = re.compile(r"\w+")
-_VERSION = 15  # v15: + scc reference
+_VERSION = 16  # v16: + decontaminate reference
 
 
 def _round_col(x: np.ndarray) -> np.ndarray:
@@ -763,6 +763,39 @@ def neighbor_sample_golden(fix_dir: str, n_seeds: int = 8,
                       ("dst", "ascending")])
 
 
+def _shingle_u64(text: str, k: int) -> np.ndarray:
+    """Plain replay of the engine shingling contract (lowercased \\w+
+    words; < k words -> whole text as one shingle) over the shared
+    hash_str_u64 primitive."""
+    words = re.findall(r"\w+", (text or "").lower())
+    if not words:
+        return np.empty(0, np.uint64)
+    if len(words) < k:
+        return hash_str_u64([" ".join(words)])
+    return hash_str_u64([" ".join(words[i:i + k]) for i in range(len(words) - k + 1)])
+
+
+def decontaminate_golden(sf_dir: str, n_bench: int = 5, ngram: int = 8) -> pa.Table:
+    """Single-process replay: benchmark = the n_bench lowest doc_ids;
+    n_hits = |distinct shingles of doc ∩ benchmark shingle set|."""
+    ids, texts = _read_docs(sf_dir)
+    order = np.argsort(np.asarray(ids))
+    bench_ids = [ids[i] for i in order[:n_bench]]
+    bench = set()
+    for i in order[:n_bench]:
+        bench.update(_shingle_u64(texts[i], ngram).tolist())
+    out_ids, out_hits = [], []
+    for i, txt in zip(ids, texts):
+        u = set(np.unique(_shingle_u64(txt, ngram)).tolist())
+        n = len(u & bench)
+        if n > 0:
+            out_ids.append(i)
+            out_hits.append(n)
+    t = pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                  "n_hits": pa.array(out_hits, pa.int64())})
+    return t.sort_by([("doc_id", "ascending")])
+
+
 _GRAPH_GOLDENS = {
     "pagerank": pagerank_golden,
     "ppr_exact": ppr_exact_golden,
@@ -858,6 +891,7 @@ _DOC_GOLDENS = {
     "embedding_dups": embedding_dups_golden,
     "dup_clusters": dup_clusters_golden,
     "multimodal_features": multimodal_features_golden,
+    "decontaminate": decontaminate_golden,
 }
 
 

@@ -1009,3 +1009,94 @@ def dup_clusters(pairs_ds, ids_ds, id_col: str = "doc_id",
     })
     ds = ray.data.from_arrow(t)
     return ds.sort(id_col) if sort else ds
+
+
+# ---- benchmark decontamination ----------------------------------------------
+
+def decontaminate(docs_ds, bench_ds, ngram: int = 8,
+                  strategy: str = "auto",
+                  broadcast_budget: int = 256 << 20):
+    """Training-data decontamination: flag every document sharing at
+    least one word `ngram`-gram with a benchmark corpus (the standard
+    n-gram-overlap test-set contamination check, e.g. GPT-3 App. C /
+    PaLM-style 8-gram rule).  Shingling matches the dedup family
+    (`_shingle_hashes`: lowercased \\w+ words; docs shorter than `ngram`
+    words contribute their whole text as one shingle).
+
+    Returns Dataset (doc_id, n_hits) over CONTAMINATED docs only, where
+    n_hits = number of distinct shingles of the doc that appear in the
+    benchmark.
+
+    Routing (strategy='auto', byte-metered like the near-dup verifies):
+    the distinct benchmark shingle set broadcasts as ONE sorted u64
+    array under `broadcast_budget` (benchmarks are small — the common
+    case); above it, docs explode to (doc_id, sh) rows and hash-join
+    the shingle set, so nothing corpus-sized ever lands on the driver.
+    """
+    from ..stages.shuffle import (broadcast_fits, count_by_key,
+                                  distinct_u64, safe_join)
+
+    def bench_shingles(t: pa.Table) -> pa.Table:
+        out = [_shingle_hashes(x or "", ngram) for x in t["text"].to_pylist()]
+        flat = np.concatenate(out) if out else np.empty(0, np.uint64)
+        return pa.table({"sh": pa.array(np.unique(flat), pa.uint64())})
+
+    bench_sh = distinct_u64(
+        bench_ds.map_batches(bench_shingles, batch_format="pyarrow"), "sh")
+
+    if strategy == "auto":
+        strategy = "broadcast" if broadcast_fits(bench_sh, broadcast_budget) \
+            else "join"
+
+    if strategy == "join":
+        def doc_shingles(t: pa.Table) -> pa.Table:
+            ids, shs = [], []
+            for i, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+                u = np.unique(_shingle_hashes(x or "", ngram))
+                ids.append(np.full(u.size, i, np.int64))
+                shs.append(u)
+            return pa.table({
+                "doc_id": pa.array(np.concatenate(ids) if ids else
+                                   np.empty(0, np.int64)),
+                "sh": pa.array(np.concatenate(shs) if shs else
+                               np.empty(0, np.uint64), pa.uint64()),
+            })
+
+        pairs = docs_ds.map_batches(doc_shingles, batch_format="pyarrow")
+        hit = safe_join(pairs, bench_sh, on=("sh",), drop=("right",))
+        return clean_sort(count_by_key(hit, "doc_id", alias="n_hits"),
+                          ["doc_id"])
+
+    # broadcast: ship the sorted shingle set once, scan docs in place
+    blocks = [b for b in ray.get(bench_sh.to_arrow_refs())
+              if b.num_rows and "sh" in b.schema.names]
+    bset = np.sort(np.concatenate(
+        [b["sh"].to_numpy(zero_copy_only=False) for b in blocks])) \
+        if blocks else np.empty(0, np.uint64)
+    ref = ray.put(bset)
+
+    class Scan:
+        def __init__(self, _ref=ref, _k=ngram):
+            self.bset, self.k = ray.get(_ref), _k
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, hits = [], []
+            for i, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+                u = np.unique(_shingle_hashes(x or "", self.k))
+                if u.size == 0 or self.bset.size == 0:
+                    continue
+                pos = np.searchsorted(self.bset, u)
+                pos = np.minimum(pos, self.bset.size - 1)
+                n = int((self.bset[pos] == u).sum())
+                if n > 0:
+                    ids.append(i)
+                    hits.append(n)
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "n_hits": pa.array(hits, pa.int64())})
+
+    from ..stages.shuffle import pool_size
+
+    return clean_sort(
+        docs_ds.map_batches(Scan, batch_format="pyarrow",
+                            concurrency=pool_size()),
+        ["doc_id"])

@@ -183,3 +183,118 @@ def redact(docs_ds, text_col: str = "text"):
     return docs_ds.map_batches(
         lambda t: redact_batch(t, text_col), batch_format="pyarrow"
     ).sort("doc_id")
+
+
+# ---- TF-IDF keyword extraction ----------------------------------------------
+_ALNUM = re.compile(r"[a-z0-9]+")  # == DuckDB regexp_split_to_array(lower(text),
+# '[^a-z0-9]+') token multiset — the oracle tokenizer, engine-exact
+
+
+def _tf_batch(t: pa.Table) -> pa.Table:
+    """Per-doc term frequencies: one (doc_id, term, term_h, tf) row per
+    distinct term; per-row token loop is inherent (like the other text
+    kernels), counting via dict is C-speed."""
+    from collections import Counter
+
+    from ..functions.hashing import hash_str_u64
+
+    ids: list[int] = []
+    terms: list[str] = []
+    tfs: list[int] = []
+    for i, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        c = Counter(_ALNUM.findall((txt or "").lower()))
+        ids.extend([i] * len(c))
+        terms.extend(c.keys())
+        tfs.extend(c.values())
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "term": pa.array(terms, pa.string()),
+        "term_h": pa.array(hash_str_u64(terms), pa.uint64()),
+        "tf": pa.array(tfs, pa.int64()),
+    })
+
+
+def tfidf_topk(docs_ds, k: int = 5, broadcast_budget: int = 256 << 20):
+    """Top-k TF-IDF keywords per document: score = tf * ln(N / df),
+    rank by (score DESC, term ASC) — matching the SQL window oracle
+    hash-exactly (same float64 ops, exact int tie-breaks).
+
+    Shuffle shape: one tokenize pass emits distinct (doc, term) rows;
+    df is a bucketed count over term_h (terms already co-located, so
+    per-bucket counting is global); df attaches back BYTE-METERED —
+    broadcast as sorted numpy arrays under `broadcast_budget`, hash
+    join above (the vocabulary of a 100 TB corpus does not fit a
+    driver dict); top-k is one lexsort kernel per doc_id bucket.
+    Returns Dataset (doc_id, term, tf, df, rank)."""
+    import ray
+
+    from ..stages.shuffle import broadcast_fits, bucket_apply, safe_join
+
+    n_docs = docs_ds.count()
+    tf_ds = docs_ds.map_batches(_tf_batch, batch_format="pyarrow")
+
+    _DF_EMPTY = pa.table({"term_h": pa.array([], pa.uint64()),
+                          "df": pa.array([], pa.int64())})
+
+    def df_count(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "term_h" not in g.schema.names:
+            return _DF_EMPTY
+        th = g["term_h"].to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(th, return_counts=True)
+        return pa.table({"term_h": pa.array(uniq, pa.uint64()),
+                         "df": pa.array(counts.astype(np.int64))})
+
+    tf_ds = tf_ds.materialize()  # consumed twice: df pass + join/broadcast
+    df_ds = bucket_apply(tf_ds, "term_h", df_count)
+
+    if broadcast_fits(df_ds, broadcast_budget):
+        blocks = [b for b in ray.get(df_ds.to_arrow_refs())
+                  if b.num_rows and "term_h" in b.schema.names]
+        th = np.concatenate([b["term_h"].to_numpy(zero_copy_only=False)
+                             for b in blocks]) if blocks else np.empty(0, np.uint64)
+        dfv = np.concatenate([b["df"].to_numpy(zero_copy_only=False)
+                              for b in blocks]) if blocks else np.empty(0, np.int64)
+        order = np.argsort(th)
+        ref = ray.put((th[order], dfv[order]))
+
+        def attach(t: pa.Table, _ref=ref) -> pa.Table:
+            ths, dfs = ray.get(_ref)
+            pos = np.searchsorted(ths, t["term_h"].to_numpy(zero_copy_only=False))
+            return t.append_column("df", pa.array(dfs[pos]))
+
+        joined = tf_ds.map_batches(attach, batch_format="pyarrow")
+    else:
+        joined = safe_join(tf_ds, df_ds, on=("term_h",), drop=("right",))
+
+    _EMPTY = pa.table({
+        "doc_id": pa.array([], pa.int64()), "term": pa.array([], pa.string()),
+        "tf": pa.array([], pa.int64()), "df": pa.array([], pa.int64()),
+        "rank": pa.array([], pa.int64()),
+    })
+
+    def topk(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "doc_id" not in g.schema.names:
+            return _EMPTY
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        tf = g["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        df = g["df"].to_numpy(zero_copy_only=False)
+        terms = np.asarray(g["term"].to_pylist(), dtype=str)
+        score = tf * np.log(float(n_docs) / df)
+        order = np.lexsort((terms, -score, doc))
+        d_s = doc[order]
+        new = np.empty(d_s.size, dtype=bool)
+        new[0] = True
+        new[1:] = d_s[1:] != d_s[:-1]
+        starts = np.nonzero(new)[0]
+        seg = np.cumsum(new) - 1
+        rank = np.arange(d_s.size, dtype=np.int64) - starts[seg]
+        keep = order[rank < k]
+        return pa.table({
+            "doc_id": pa.array(doc[keep]),
+            "term": pa.array(terms[keep].tolist(), pa.string()),
+            "tf": pa.array(g["tf"].to_numpy(zero_copy_only=False)[keep]),
+            "df": pa.array(df[keep]),
+            "rank": pa.array((rank[rank < k] + 1).astype(np.int64)),
+        })
+
+    return bucket_apply(joined, "doc_id", topk)

@@ -213,3 +213,94 @@ def test_redact_dataset_roundtrip(ray_session):
     assert list(df["doc_id"]) == list(range(8))
     assert all(r == f"doc {i} mail <EMAIL>" for i, r in enumerate(df["redacted"]))
     assert df["n_emails"].sum() == 8
+
+
+def _docs_ds(texts, ids=None):
+    import pyarrow as pa
+    import ray
+
+    ids = list(range(len(texts))) if ids is None else ids
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+
+
+def test_tfidf_topk_matches_brute(ray_session):
+    import math
+    from collections import Counter
+    import re as _re
+
+    from fora_ray.pipelines.text import tfidf_topk
+
+    texts = [
+        "the cat sat on the mat",
+        "the dog sat on the log",
+        "cat and dog and bird",
+        "completely unique vocabulary here",
+        "",  # empty doc: contributes to N, produces no rows
+        "the the the cat",
+    ]
+    got = (
+        tfidf_topk(_docs_ds(texts), k=3).to_pandas()
+        .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    )
+    # brute replay
+    n = len(texts)
+    toks = [_re.findall(r"[a-z0-9]+", t.lower()) for t in texts]
+    df = Counter()
+    for t in toks:
+        df.update(set(t))
+    want = []
+    for i, t in enumerate(toks):
+        tf = Counter(t)
+        scored = sorted(
+            ((-c * math.log(n / df[w]), w, c) for w, c in tf.items()))
+        for r, (_, w, c) in enumerate(scored[:3], start=1):
+            want.append((i, w, c, df[w], r))
+    assert list(got.itertuples(index=False, name=None)) == want
+
+
+def test_tfidf_topk_join_path_matches_broadcast(ray_session):
+    from fora_ray.pipelines.text import tfidf_topk
+
+    texts = ["alpha beta gamma", "beta gamma delta", "gamma delta alpha beta"]
+    a = (tfidf_topk(_docs_ds(texts), k=2).to_pandas()
+         .sort_values(["doc_id", "rank"]).reset_index(drop=True))
+    b = (tfidf_topk(_docs_ds(texts), k=2, broadcast_budget=0).to_pandas()
+         .sort_values(["doc_id", "rank"]).reset_index(drop=True))
+    assert a.equals(b)
+
+
+def test_decontaminate_planted_and_strategies(ray_session):
+    from fora_ray.pipelines.dedup import decontaminate
+
+    bench_text = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    clean = "one two three four five six seven eight nine ten eleven twelve"
+    # doc 1 embeds a full 8-gram of the benchmark; doc 2 shares only 7
+    # consecutive words (no 8-gram); doc 3 is clean
+    contaminated = ("prefix words alpha bravo charlie delta echo foxtrot "
+                    "golf hotel suffix tail")
+    seven = "alpha bravo charlie delta echo foxtrot golf nothing more here xx"
+    docs = _docs_ds([bench_text, contaminated, seven, clean], ids=[0, 1, 2, 3])
+    bench = _docs_ds([bench_text], ids=[100])
+    for strategy in ("broadcast", "join"):
+        got = (decontaminate(docs, bench, ngram=8, strategy=strategy)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        # doc 0 IS the benchmark text: all 3 of its 8-grams hit;
+        # doc 1 has exactly one matching 8-gram; docs 2/3 clean
+        assert got["doc_id"].tolist() == [0, 1]
+        assert got["n_hits"].tolist() == [3, 1]
+
+
+def test_decontaminate_short_doc_whole_text_shingle(ray_session):
+    from fora_ray.pipelines.dedup import decontaminate
+
+    # < 8 words: whole text is the single shingle — only an exact
+    # (word-sequence) match of the whole short text contaminates
+    docs = _docs_ds(["tiny snippet of text", "tiny snippet of other text"],
+                    ids=[0, 1])
+    bench = _docs_ds(["tiny snippet of text"], ids=[9])
+    got = decontaminate(docs, bench, ngram=8).to_pandas()
+    assert got["doc_id"].tolist() == [0]
+    assert got["n_hits"].tolist() == [1]
