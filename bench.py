@@ -168,6 +168,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     hs = GraphHandle.from_edges(sym, n, P=P)
     alg.connected_components(hs)
     timings["cc"] = time.perf_counter() - t0
+
+    # training-data walk family: 200k walks -> skip-gram pair counts
+    # (reuses the identity symmetrized handle the cc stage built)
+    from fora_ray.pipelines.walks import skipgram_pairs
+
+    t0 = time.perf_counter()
+    corpus, _ = alg.random_walk_corpus(hs, nwalks=1, walk_len=4, seed=7)
+    skipgram_pairs(corpus, window=2).count()
+    timings["walks"] = time.perf_counter() - t0
     hs.close()
 
     t0 = time.perf_counter()
@@ -198,7 +207,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     total = sum(timings.values())
     result = {
-        "metric": "fora_ray headline suite (ingest + 256 SSPPR + pagerank + cc + triangles + dedup + ann)",
+        "metric": "fora_ray headline suite (ingest + 256 SSPPR + pagerank + cc + walks + triangles + dedup + ann)",
         "value": round(total, 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in timings.items()},
