@@ -350,6 +350,12 @@ def _queries_documents():
         "decontaminate": decontaminate_q,
         "redact_pii": redact_pii_q,
         "token_counts": lambda sf: token_counts(_docs(sf)),
+        "repetition_signals": lambda sf: (
+            __import__("fora_ray.pipelines.text", fromlist=["repetition_signals"])
+            .repetition_signals(_docs(sf))
+            .select_columns(["doc_id", "n_lines", "n_distinct_lines",
+                             "dup_line_frac"])
+        ),
         "tfidf_topk": lambda sf: (
             __import__("fora_ray.pipelines.text", fromlist=["tfidf_topk"])
             .tfidf_topk(_docs(sf), k=5).to_pandas()
@@ -886,6 +892,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_exact_dedup": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id"
+        ),
+        "repetition_signals": (
+            "WITH lines AS ("
+            "  SELECT d.doc_id, l.ln FROM documents d,"
+            "  unnest(string_split(d.text, chr(10))) AS l(ln)"
+            "  WHERE l.ln <> ''"
+            "), agg AS ("
+            "  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,"
+            "  CAST(COUNT(DISTINCT ln) AS BIGINT) AS n_distinct_lines,"
+            "  1.0 - COUNT(DISTINCT ln) / CAST(COUNT(*) AS DOUBLE) AS dup_line_frac"
+            "  FROM lines GROUP BY 1"
+            ") SELECT d.doc_id,"
+            "  COALESCE(a.n_lines, CAST(0 AS BIGINT)) AS n_lines,"
+            "  COALESCE(a.n_distinct_lines, CAST(0 AS BIGINT)) AS n_distinct_lines,"
+            "  COALESCE(a.dup_line_frac, 0.0) AS dup_line_frac "
+            "FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"
         ),
         "tfidf_topk": (
             "WITH toks AS ("

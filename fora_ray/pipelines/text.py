@@ -298,3 +298,52 @@ def tfidf_topk(docs_ds, k: int = 5, broadcast_budget: int = 256 << 20):
         })
 
     return bucket_apply(joined, "doc_id", topk)
+
+
+# ---- repetition quality signals (Gopher-style filters) ------------------------
+
+def repetition_batch(t: pa.Table) -> pa.Table:
+    """Per-doc repetition signals (Gopher / MassiveText repetition
+    filters, Rae et al. '21 App. A): duplicate-line fraction and the
+    fraction of tokens covered by occurrences of the single
+    most-frequent word bigram (overlaps counted once, so the value is
+    a true fraction in [0, 1]; ties broken by the larger bigram).
+    Lines split on '\\n' with empties dropped; words = lowercased \\w+
+    (the token_counts tokenizer).  Float math is plain count ratios —
+    the dup-line columns match the DuckDB oracle hash-exactly; empty
+    docs emit 0.0 fractions."""
+    ids = t["doc_id"]
+    n_lines, n_dist, dupf, top_bi = [], [], [], []
+    for txt in t["text"].to_pylist():
+        s = txt or ""
+        lines = [ln for ln in s.split("\n") if ln != ""]
+        nl = len(lines)
+        nd = len(set(lines))
+        n_lines.append(nl)
+        n_dist.append(nd)
+        dupf.append(1.0 - nd / float(nl) if nl else 0.0)
+        toks = _WORD.findall(s.lower())
+        if len(toks) < 2:
+            top_bi.append(0.0)
+            continue
+        from collections import Counter
+
+        big = Counter(zip(toks, toks[1:]))
+        top = max(big.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        covered = np.zeros(len(toks), dtype=bool)
+        for i, pair in enumerate(zip(toks, toks[1:])):
+            if pair == top:
+                covered[i] = covered[i + 1] = True
+        top_bi.append(float(covered.sum()) / len(toks))
+    return pa.table({
+        "doc_id": ids,
+        "n_lines": pa.array(n_lines, pa.int64()),
+        "n_distinct_lines": pa.array(n_dist, pa.int64()),
+        "dup_line_frac": pa.array(dupf, pa.float64()),
+        "top_bigram_frac": pa.array(top_bi, pa.float64()),
+    })
+
+
+def repetition_signals(docs_ds):
+    return docs_ds.map_batches(
+        repetition_batch, batch_format="pyarrow").sort("doc_id")

@@ -304,3 +304,24 @@ def test_decontaminate_short_doc_whole_text_shingle(ray_session):
     got = decontaminate(docs, bench, ngram=8).to_pandas()
     assert got["doc_id"].tolist() == [0]
     assert got["n_hits"].tolist() == [1]
+
+
+def test_repetition_signals_brute(ray_session):
+    from fora_ray.pipelines.text import repetition_signals
+
+    texts = [
+        "a\nb\na\n\nc",              # 4 non-empty lines, 3 distinct
+        "x y x y x y",               # top bigram ('x','y') 3/5 pairs, 6 toks
+        "",                          # empty: all zeros
+        "one line only",
+        "dup\ndup\ndup\ndup",        # 4 lines 1 distinct
+    ]
+    got = repetition_signals(_docs_ds(texts)).to_pandas()
+    assert got["n_lines"].tolist() == [4, 1, 0, 1, 4]
+    assert got["n_distinct_lines"].tolist() == [3, 1, 0, 1, 1]
+    assert got["dup_line_frac"].tolist() == [0.25, 0.0, 0.0, 0.0, 0.75]
+    # 'x y x y x y': top bigram (x,y) occurs at 0,2,4 -> covers all 6
+    # tokens; 'dup'x4: (dup,dup) overlapping occurrences cover all 4
+    # tokens -> exactly 1.0, never above
+    assert got["top_bigram_frac"].tolist() == [
+        2.0 / 4, 1.0, 0.0, 2.0 / 3, 1.0]
