@@ -577,6 +577,15 @@ def _queries_graph():
         df["ppr"] = df["ppr"].round(ROUND)
         return df
 
+    def harmonic_q(sf_dir):
+        from fora_ray.goldens import ROUND
+
+        g = _graph(sf_dir)
+        ds, _stats = alg.harmonic_centrality(g["handle_sym"], n_pivots=8, seed=42)
+        df = ds.to_pandas().sort_values("node_id").reset_index(drop=True)
+        df["harmonic"] = df["harmonic"].round(ROUND)
+        return df
+
     def scc_q(sf_dir):
         from fora_ray.graph.runtime import GraphHandle
 
@@ -633,6 +642,7 @@ def _queries_graph():
         "diameter_est": diameter_est_q,
         "walk_corpus": walk_corpus_q,
         "scc": scc_q,
+        "harmonic": harmonic_q,
         "skipgram_pairs": skipgram_pairs_q,
         "neighbor_sample": neighbor_sample_q,
     }
@@ -1124,6 +1134,10 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": (
             f"SELECT doc_id, n_hits FROM read_parquet('{gold['decontaminate']}') "
             "ORDER BY doc_id"
+        ),
+        "harmonic": (
+            f"SELECT node_id, harmonic FROM read_parquet('{gold['harmonic']}') "
+            "ORDER BY node_id"
         ),
         "scc": (
             f"SELECT node_id, scc FROM read_parquet('{gold['scc']}') "

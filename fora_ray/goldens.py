@@ -41,7 +41,7 @@ from .oracle import lpa_oracle, ppr_column_oracle, ppr_power_iteration
 
 ROUND = 9
 _WORD = re.compile(r"\w+")
-_VERSION = 16  # v16: + decontaminate reference
+_VERSION = 17  # v17: + harmonic centrality reference
 
 
 def _round_col(x: np.ndarray) -> np.ndarray:
@@ -796,6 +796,41 @@ def decontaminate_golden(sf_dir: str, n_bench: int = 5, ngram: int = 8) -> pa.Ta
     return t.sort_by([("doc_id", "ascending")])
 
 
+def harmonic_golden(fix_dir: str, n_pivots: int = 8, seed: int = 42) -> pa.Table:
+    """Python replay of pivot-sampled harmonic centrality on the
+    symmetrized fixture graph: same hash pivot sample, per-pivot BFS,
+    H(v) = ((n-1)/k) * sum 1/d(p, v), accumulated in the same pivot
+    order so float sums are bit-identical."""
+    from collections import deque
+
+    e, n = _fixture_graph(fix_dir)
+    und = np.unique(np.concatenate([e, e[:, ::-1]]), axis=0)
+    adj = [[] for _ in range(n)]
+    for s, d in und:
+        adj[int(s)].append(int(d))
+    deg = np.array([len(a) for a in adj])
+    ids = np.nonzero(deg > 0)[0].astype(np.int64)
+    keys = mix64(np.uint64(seed), ids.astype(np.uint64))
+    order = np.lexsort((ids, keys))[:n_pivots]
+    pivots = [int(v) for v in ids[order]]
+    harm = np.zeros(n, np.float64)
+    for p in pivots:
+        dist = np.full(n, -1, np.int64)
+        dist[p] = 0
+        dq = deque([p])
+        while dq:
+            v = dq.popleft()
+            for w in adj[v]:
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    dq.append(w)
+        reach = dist > 0
+        harm[reach] += 1.0 / dist[reach]
+    harm *= (n - 1) / max(len(pivots), 1)
+    return pa.table({"node_id": pa.array(np.arange(n, dtype=np.int64)),
+                     "harmonic": pa.array(_round_col(harm))})
+
+
 _GRAPH_GOLDENS = {
     "pagerank": pagerank_golden,
     "ppr_exact": ppr_exact_golden,
@@ -812,6 +847,7 @@ _GRAPH_GOLDENS = {
     "hubppr": hubppr_golden,
     "walk_corpus": walk_corpus_golden,
     "scc": scc_golden,
+    "harmonic": harmonic_golden,
     "neighbor_sample": neighbor_sample_golden,
 }
 def distinct_users_hll_golden(sf_dir: str, p: int = 12) -> pa.Table:

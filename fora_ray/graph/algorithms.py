@@ -1179,3 +1179,48 @@ def scc(handle_fwd, handle_rev, max_outer: int = 10_000):
     refs = [w.scc_table.remote() for w in handle_fwd.workers]
     return ray.data.from_arrow_refs(refs), {"outer_rounds": outer,
                                             "label_rounds": inner}
+
+
+def harmonic_centrality(handle, pivots=None, n_pivots: int = 8,
+                        seed: int = 42, max_rounds: int = 10_000):
+    """Approximate harmonic centrality (Boldi-Vigna '14 / Eppstein-Wang
+    sampling): H(v) = sum_u 1/d(u, v), estimated from `n_pivots` BFS
+    sources as ((n-1)/k) * sum_pivots 1/d(p, v).  Pass the SYMMETRIZED
+    handle for undirected distance.
+
+    Pivots default to a deterministic hash sample over NON-DANGLING
+    nodes (k smallest mix64(seed, id): per-shard exact top-k + driver
+    merge of P*k candidates — nothing n-sized crosses the driver).
+    Each pivot costs one multi-source-BFS-shaped superstep run
+    (diameter-bounded rounds, min-combined per destination cell); the
+    1/d fold happens shard-locally, so the driver sees only metas.
+
+    Returns (Dataset (node_id, harmonic) over ALL nodes, stats).
+    Deterministic for a fixed (pivot set | seed).
+    """
+    if pivots is None:
+        parts = handle.call_all("pivot_candidates", int(n_pivots), int(seed))
+        ids = np.concatenate([p[0] for p in parts])
+        keys = np.concatenate([p[1] for p in parts])
+        if ids.size == 0:
+            raise ValueError("harmonic_centrality: graph has no non-dangling nodes")
+        order = np.lexsort((ids, keys))[:n_pivots]
+        pivots = [int(v) for v in ids[order]]
+    handle.call_all("harm_init")
+    rounds_total = 0
+    for p in pivots:
+        eng = [handle.to_engine(int(p))]
+        handle.call_all("bfs_init", eng)
+        rounds = 0
+        while rounds < max_rounds:
+            metas, changed = handle._exchange("bfs_round", "bfs_apply")
+            rounds += 1
+            if sum(changed) == 0 and sum(m["sent"] for m in metas) == 0:
+                break
+        rounds_total += rounds
+        handle.call_all("harm_accumulate")
+    scale = (handle.n - 1) / max(len(pivots), 1)
+    refs = [w.harm_table.remote(float(scale)) for w in handle.workers]
+    return ray.data.from_arrow_refs(refs), {
+        "pivots": pivots, "bfs_rounds": rounds_total,
+    }

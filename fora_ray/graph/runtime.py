@@ -1502,6 +1502,36 @@ class ShardWorkerImpl:
                 changed += int(better.sum())
         return changed
 
+    # ---- harmonic centrality accumulation over pivot BFS runs --------------
+    def harm_init(self):
+        self.harm = np.zeros(self.n_local, np.float64)
+        return True
+
+    def harm_accumulate(self):
+        """Fold the current BFS dist vector into the harmonic sum:
+        harm[v] += 1/d(pivot, v) for reached v != pivot."""
+        _SENT = np.iinfo(np.int64).max
+        reach = (self.dist < _SENT) & (self.dist > 0)
+        self.harm[reach] += 1.0 / self.dist[reach]
+        return int(reach.sum())
+
+    def harm_table(self, scale: float) -> pa.Table:
+        return pa.table({
+            "node_id": pa.array(self.logical_ids),
+            "harmonic": pa.array(self.harm * scale),
+        })
+
+    def pivot_candidates(self, k: int, seed: int):
+        """k smallest mix64(seed, logical_id) among local NON-dangling
+        nodes — per-shard exact top-k, merged on the driver (select_hubs
+        shape, nothing n-sized crosses)."""
+        ids = self.logical_ids[self.out_deg > 0]
+        if ids.size == 0:
+            return ids, np.empty(0, np.uint64)
+        keys = mix64(np.uint64(seed), ids.astype(np.uint64))
+        order = np.argsort(keys, kind="stable")[:k]
+        return ids[order], keys[order]
+
     def get_dists(self) -> pa.Table:
         reach = self.dist < np.iinfo(np.int64).max
         return pa.table({

@@ -76,3 +76,58 @@ def test_scc_requires_alignment(graph600, ray_session):
     finally:
         hf.close()
         hr.close()
+
+
+def _brute_harmonic(edges_sym, n, pivots):
+    from collections import deque
+
+    adj = [[] for _ in range(n)]
+    for s, d in edges_sym:
+        adj[int(s)].append(int(d))
+    harm = np.zeros(n)
+    for p in pivots:
+        dist = np.full(n, -1, np.int64)
+        dist[p] = 0
+        dq = deque([p])
+        while dq:
+            v = dq.popleft()
+            for w in adj[v]:
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    dq.append(w)
+        reach = dist > 0
+        harm[reach] += 1.0 / dist[reach]
+    return harm * ((n - 1) / len(pivots))  # scalar-first: engine grouping
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_harmonic_centrality_matches_brute(graph600, ray_session, P):
+    from .graphs import symmetrized
+
+    edges, n = graph600
+    sym = symmetrized(edges)
+    h = GraphHandle.from_edges(to_dataset(sym), n, P=P)
+    try:
+        ds, stats = alg.harmonic_centrality(h, pivots=[0, 7, 42], seed=1)
+        df = ds.to_pandas().sort_values("node_id").reset_index(drop=True)
+    finally:
+        h.close()
+    want = _brute_harmonic(sym, n, [0, 7, 42])
+    assert np.array_equal(df["harmonic"].to_numpy(), want)  # bitwise
+    assert stats["pivots"] == [0, 7, 42]
+
+
+def test_harmonic_pivot_sample_deterministic(graph600, ray_session):
+    from .graphs import symmetrized
+
+    edges, n = graph600
+    sym = symmetrized(edges)
+    stats = []
+    for P in (2, 4):
+        h = GraphHandle.from_edges(to_dataset(sym), n, P=P)
+        try:
+            _, st = alg.harmonic_centrality(h, n_pivots=4, seed=9)
+        finally:
+            h.close()
+        stats.append(st["pivots"])
+    assert stats[0] == stats[1] and len(stats[0]) == 4
