@@ -350,6 +350,12 @@ def _queries_documents():
         "decontaminate": decontaminate_q,
         "redact_pii": redact_pii_q,
         "token_counts": lambda sf: token_counts(_docs(sf)),
+        "stratified_sample": lambda sf: (
+            __import__("fora_ray.pipelines.text", fromlist=["stratified_sample"])
+            .stratified_sample(_docs(sf), strata_col="lang", frac=0.2)
+            .select_columns(["doc_id", "lang", "n_chars"])
+            .sort("doc_id")
+        ),
         "repetition_signals": lambda sf: (
             __import__("fora_ray.pipelines.text", fromlist=["repetition_signals"])
             .repetition_signals(_docs(sf))
@@ -902,6 +908,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_exact_dedup": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id"
+        ),
+        "stratified_sample": (
+            "WITH ranked AS ("
+            "  SELECT doc_id, lang, n_chars,"
+            "  row_number() OVER (PARTITION BY lang"
+            "    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,"
+            "  COUNT(*) OVER (PARTITION BY lang) AS n_s FROM documents"
+            ") SELECT doc_id, lang, n_chars FROM ranked "
+            "WHERE rn <= CEIL(0.2 * n_s) ORDER BY doc_id"
         ),
         "repetition_signals": (
             "WITH lines AS ("

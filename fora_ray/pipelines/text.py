@@ -347,3 +347,61 @@ def repetition_batch(t: pa.Table) -> pa.Table:
 def repetition_signals(docs_ds):
     return docs_ds.map_batches(
         repetition_batch, batch_format="pyarrow").sort("doc_id")
+
+
+# ---- deterministic stratified sampling ----------------------------------------
+
+def stratified_sample(docs_ds, strata_col: str = "lang", frac: float = 0.2,
+                      id_col: str = "doc_id"):
+    """Deterministic stratified sample: within each stratum, keep the
+    ceil(frac * stratum_size) rows ranked by (md5(id), id) — a fixed
+    pseudo-random total order every engine can reproduce (md5 of the
+    DECIMAL id string, so the plain-SQL oracle is
+    row_number() OVER (PARTITION BY stratum ORDER BY md5(CAST(id AS
+    VARCHAR)), id) <= ceil(frac * count)).  Exact per-stratum quota
+    (unlike Bernoulli hash sampling) and stable under resharding.
+
+    Strata are hash-bucketed (~2x CPUs groups); one kernel per bucket
+    ranks ALL its strata in a single lexsort — no per-stratum tiny
+    groups.  Returns the sampled rows with all input columns.
+    """
+    import hashlib
+    import math
+
+    from ..functions.hashing import hash_str_u64
+    from ..stages.shuffle import bucket_apply, drop_empty_blocks
+
+    if not (0.0 < frac <= 1.0):
+        raise ValueError("frac must be in (0, 1]")
+
+    def add_key(t: pa.Table) -> pa.Table:
+        strata = t[strata_col].to_pylist()
+        return t.append_column(
+            "__stratum_h", pa.array(hash_str_u64([s or "" for s in strata]),
+                                    pa.uint64()))
+
+    def sample(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or id_col not in g.schema.names:
+            return g
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        strata = np.asarray([s or "" for s in g[strata_col].to_pylist()],
+                            dtype=str)
+        md5s = np.asarray(
+            [hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids],
+            dtype=str)
+        order = np.lexsort((ids, md5s, strata))
+        s_sorted = strata[order]
+        new = np.empty(s_sorted.size, dtype=bool)
+        new[0] = True
+        new[1:] = s_sorted[1:] != s_sorted[:-1]
+        starts = np.nonzero(new)[0]
+        sizes = np.diff(np.append(starts, s_sorted.size))
+        quota = np.ceil(frac * sizes).astype(np.int64)
+        seg = np.cumsum(new) - 1
+        rank = np.arange(s_sorted.size, dtype=np.int64) - starts[seg]
+        keep = order[rank < quota[seg]]
+        return g.take(np.sort(keep))
+
+    keyed = docs_ds.map_batches(add_key, batch_format="pyarrow")
+    out = bucket_apply(keyed, "__stratum_h", sample)
+    return drop_empty_blocks(out).drop_columns(["__stratum_h"])

@@ -325,3 +325,32 @@ def test_repetition_signals_brute(ray_session):
     # tokens -> exactly 1.0, never above
     assert got["top_bigram_frac"].tolist() == [
         2.0 / 4, 1.0, 0.0, 2.0 / 3, 1.0]
+
+
+def test_stratified_sample_quota_and_determinism(ray_session):
+    import math
+
+    from fora_ray.pipelines.text import stratified_sample
+
+    import pyarrow as pa
+    import ray as _ray
+
+    langs = ["en"] * 10 + ["de"] * 5 + ["fr"] * 1
+    t = pa.table({
+        "doc_id": pa.array(range(16), pa.int64()),
+        "lang": pa.array(langs),
+        "text": pa.array([f"doc {i}" for i in range(16)]),
+    })
+    got1 = (stratified_sample(_ray.data.from_arrow(t), frac=0.4)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # exact per-stratum quota: ceil(0.4*10)=4 en, ceil(0.4*5)=2 de, 1 fr
+    assert got1.groupby("lang").size().to_dict() == {"en": 4, "de": 2, "fr": 1}
+    # resharding-stable: same rows regardless of partitioning
+    got2 = (stratified_sample(_ray.data.from_arrow(t).repartition(7), frac=0.4)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got1.equals(got2)
+    # frac=1.0 keeps everything; bad frac raises
+    assert stratified_sample(_ray.data.from_arrow(t), frac=1.0).count() == 16
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        stratified_sample(_ray.data.from_arrow(t), frac=0.0)
