@@ -1045,7 +1045,8 @@ def hits(handle_fwd, handle_rev, max_iters: int = 40, tol: float = 0.0):
 
 
 def random_walk_corpus(handle, nwalks: int = 2, walk_len: int = 5,
-                       seed: int = 42):
+                       seed: int = 42, spill_dir: str | None = None,
+                       flush_rows: int = 2_000_000):
     """DeepWalk-style random-walk corpus generation (Perozzi et al.,
     KDD'14): `nwalks` fixed-length uniform walks from EVERY node, emitted
     as a (walk_id, step, node_id) trace table — the training corpus a
@@ -1065,11 +1066,18 @@ def random_walk_corpus(handle, nwalks: int = 2, walk_len: int = 5,
     draws to be a pure function of the logical graph.
 
     Returns (Dataset (walk_id, step, node_id), stats).  Rows total
-    <= n * nwalks * walk_len; each shard buffers only its own slice.
+    <= n * nwalks * walk_len; each shard buffers only its own slice —
+    and with `spill_dir` set (the 100 TB path), each shard flushes its
+    buffer to `spill_dir/part=<p>/rec-<seq>.parquet` every `flush_rows`
+    records (atomic rename per part), so actor memory stays bounded at
+    flush_rows and the returned Dataset reads the partitioned parquet
+    (resumable: finished parts survive a dead driver).
     """
     _require_identity([(handle, "graph")])
     if walk_len < 1:
         raise ValueError("walk_len must be >= 1")
+    if spill_dir is not None:
+        handle.call_all("corpus_spill_config", spill_dir, int(flush_rows))
     spawned = sum(handle.call_all("corpus_init", int(nwalks), int(seed)))
     hops = 0
     for hop in range(1, walk_len):
@@ -1077,6 +1085,11 @@ def random_walk_corpus(handle, nwalks: int = 2, walk_len: int = 5,
         hops += 1
         if sum(m["alive"] for m in metas) == 0:
             break
+    if spill_dir is not None:
+        handle.call_all("corpus_spill")
+        ds = ray.data.read_parquet(spill_dir).select_columns(
+            ["walk_id", "step", "node_id"])  # drop the hive part= column
+        return ds, {"walks": spawned, "hops": hops}
     refs = [w.corpus_table.remote() for w in handle.workers]
     return ray.data.from_arrow_refs(refs), {"walks": spawned, "hops": hops}
 

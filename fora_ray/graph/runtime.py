@@ -453,6 +453,7 @@ class ShardWorkerImpl:
         shard that RECEIVES the walker (it owns the node's logical id)."""
         nl = self.n_local
         self._crec: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        self._crec_rows = 0
         self._cpending = None
         if nl == 0 or nwalks <= 0:
             return 0
@@ -462,6 +463,10 @@ class ShardWorkerImpl:
         cur = np.repeat(self.global_ids, nwalks)
         self._crec.append((wid, np.zeros(wid.size, np.int64),
                            np.repeat(self.logical_ids, nwalks)))
+        self._crec_rows = int(wid.size)
+        if getattr(self, "_cspill_dir", None) is not None \
+                and self._crec_rows >= self._cspill_rows:
+            self.corpus_spill()
         self._cpending = (cur, wid, key)
         return int(wid.size)
 
@@ -504,12 +509,47 @@ class ShardWorkerImpl:
         hop, nxt, wid, key = pl
         self._crec.append((wid, np.full(wid.size, hop, np.int64),
                            self.logical_ids[nxt // self.P]))
+        self._crec_rows += wid.size
+        if getattr(self, "_cspill_dir", None) is not None \
+                and self._crec_rows >= self._cspill_rows:
+            self.corpus_spill()
         if self._cpending is None:
             self._cpending = (nxt, wid, key)
         else:
             self._cpending = tuple(
                 np.concatenate([a, b]) for a, b in zip(self._cpending, (nxt, wid, key))
             )
+
+    def corpus_spill_config(self, spill_dir: str, flush_rows: int):
+        """Scale path: flush this shard's record buffer to partitioned
+        parquet (one directory per shard, one part file per flush) so
+        the trace of a 10^9-node corpus never accumulates in actor
+        memory and a consumer can resume from finished parts."""
+        import os
+
+        self._cspill_dir = os.path.join(spill_dir, f"part={self.part}")
+        os.makedirs(self._cspill_dir, exist_ok=True)
+        self._cspill_rows = int(flush_rows)
+        self._cspill_seq = 0
+        return True
+
+    def corpus_spill(self) -> int:
+        import os
+
+        if not self._crec:
+            return 0
+        t = pa.table({
+            "walk_id": pa.array(np.concatenate([r[0] for r in self._crec])),
+            "step": pa.array(np.concatenate([r[1] for r in self._crec])),
+            "node_id": pa.array(np.concatenate([r[2] for r in self._crec])),
+        })
+        self._crec, self._crec_rows = [], 0
+        path = os.path.join(self._cspill_dir, f"rec-{self._cspill_seq:05d}.parquet")
+        self._cspill_seq += 1
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)  # atomic: a reader never sees a torn part
+        return t.num_rows
 
     def corpus_apply(self, *payloads):
         for pl in payloads:

@@ -217,3 +217,27 @@ def test_skipgram_pairs_empty_and_window_guard(ray_session):
     assert skipgram_pairs(empty, window=2).count() == 0
     with pytest.raises(ValueError, match="window"):
         skipgram_pairs(empty, window=0)
+
+
+def test_walk_corpus_spill_matches_inmemory(graph600, ray_session, tmp_path):
+    """The parquet-spill scale path (tiny flush_rows -> many part files)
+    must produce the identical corpus, and parts must land under
+    part=<p>/ with atomic names."""
+    import os
+
+    edges, n = graph600
+    h = GraphHandle.from_edges(to_dataset(edges), n, P=3)
+    try:
+        mem, _ = _corpus_df(h, nwalks=1, walk_len=4, seed=5)
+        sp = str(tmp_path / "corpus")
+        ds, _ = alg.random_walk_corpus(h, nwalks=1, walk_len=4, seed=5,
+                                       spill_dir=sp, flush_rows=100)
+        spilled = (ds.to_pandas().sort_values(["walk_id", "step"])
+                   .reset_index(drop=True))
+    finally:
+        h.close()
+    assert spilled.equals(mem)
+    parts = [d for d in os.listdir(sp) if d.startswith("part=")]
+    assert len(parts) == 3
+    files = os.listdir(os.path.join(sp, parts[0]))
+    assert len(files) > 1 and all(f.endswith(".parquet") for f in files)
