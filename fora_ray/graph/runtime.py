@@ -2161,7 +2161,9 @@ class GraphHandle:
                 "node_id", alias="deg",
             ).to_pandas()
             out_deg = np.zeros(n, dtype=np.int64)
-            out_deg[deg_pd["node_id"].to_numpy()] = deg_pd["deg"].to_numpy()
+            if len(deg_pd) and "node_id" in deg_pd.columns:  # empty edge
+                # table -> schema-less empty frame, no columns to index
+                out_deg[deg_pd["node_id"].to_numpy()] = deg_pd["deg"].to_numpy()
             shards = build_weighted_reverse_shards(edges_ds, n, P, out_deg).materialize()
         refs = shards.to_arrow_refs()
         parts_per_block = ray.get([_block_parts.remote(r) for r in refs])

@@ -127,3 +127,67 @@ def test_fused_extract_resolve_matches_chain(rows):
         "content": pa.array([r[1] for r in rows], pa.string()),
     })
     assert extract_resolve_batch(batch).equals(resolve_batch(extract_batch(batch)))
+
+
+@settings(max_examples=20, deadline=None)
+@given(random_digraph())
+def test_scc_matches_tarjan_on_random_digraphs(g):
+    """End-to-end property: distributed min-label intersection SCC equals
+    iterative Tarjan on arbitrary digraphs (trivial SCCs, chains,
+    cycles, disconnected parts, dangling nodes)."""
+    import ray
+
+    from fora_ray.graph import algorithms as alg
+    from fora_ray.graph.runtime import GraphHandle
+
+    from .graphs import to_dataset
+
+    edges, n = g
+    if not ray.is_initialized():
+        return
+    hf = GraphHandle.from_edges(to_dataset(edges), n, P=2)
+    hr = GraphHandle.from_reverse_edges(to_dataset(edges), n, P=2)
+    try:
+        ds, _ = alg.scc(hf, hr)
+        df = ds.to_pandas().sort_values("node_id").reset_index(drop=True)
+    finally:
+        hf.close()
+        hr.close()
+    assert df["scc"].to_numpy().tolist() == oracle.scc_oracle(edges, n).tolist()
+
+
+@settings(max_examples=20, deadline=None)
+@given(random_digraph(),
+       st.integers(min_value=1, max_value=3),
+       st.integers(min_value=2, max_value=5),
+       st.integers(min_value=0, max_value=2**31))
+def test_walk_corpus_traces_are_valid_paths(g, nwalks, walk_len, seed):
+    """Structural property on arbitrary digraphs: every emitted trace is
+    a real path in the graph (consecutive records are edges), steps are
+    contiguous from 0, walk counts and origins are exact."""
+    import ray
+
+    from fora_ray.graph import algorithms as alg
+    from fora_ray.graph.runtime import GraphHandle
+
+    from .graphs import to_dataset
+
+    edges, n = g
+    if not ray.is_initialized():
+        return
+    with GraphHandle.from_edges(to_dataset(edges), n, P=2) as h:
+        ds, stats = alg.random_walk_corpus(h, nwalks=nwalks,
+                                           walk_len=walk_len, seed=seed)
+        df = ds.to_pandas().sort_values(["walk_id", "step"]).reset_index(drop=True)
+    assert stats["walks"] == n * nwalks
+    eset = {(int(a), int(b)) for a, b in edges}
+    for wid, grp in df.groupby("walk_id"):
+        steps = grp["step"].tolist()
+        assert steps == list(range(len(steps)))
+        nodes = grp["node_id"].tolist()
+        assert nodes[0] == wid // nwalks  # origin encodes the walk id
+        for a, b in zip(nodes, nodes[1:]):
+            assert (a, b) in eset
+    # exactly nwalks walks per node
+    origins = df[df["step"] == 0]["node_id"].value_counts()
+    assert (origins == nwalks).all() and len(origins) == n
