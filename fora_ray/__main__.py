@@ -17,6 +17,7 @@
                                 [--p P] [--phi X] [--quantiles 0.25,0.5] [--bins N]
     python -m fora_ray walks    --graph DIR --out DIR [--nwalks N] [--walk-len L] [--window W]
                                 [--sample-seeds 0,1,2 --fanouts 10,5]
+    python -m fora_ray analyze  --graph DIR --out DIR --op scc|hits|kcore|bfs|harmonic|diameter
 
 --graph DIR is a shard dir written by `ingest` (csr/ + meta.json).
 Every command writes its result as partitioned Parquet plus a
@@ -420,6 +421,62 @@ def cmd_walks(args):
     print(json.dumps({"walks": stats["walks"], "pairs": n_pairs, "out": args.out}))
 
 
+def cmd_analyze(args):
+    """Extended graph analytics from the job surface: scc | hits |
+    kcore | bfs | harmonic | diameter over an ingested graph dir."""
+    import ray
+
+    from .graph import algorithms as alg
+    from .graph.runtime import GraphHandle
+
+    op = args.op
+    t0 = time.time()
+    os.makedirs(args.out, exist_ok=True)
+    stats: dict = {}
+    if op in ("scc", "hits"):
+        h = _load_graph(args.graph)
+        edges = ray.data.read_parquet(os.path.join(args.graph, "edges"))
+        rev = edges.map_batches(
+            lambda t: t.select(["dst", "src"]).rename_columns(["src", "dst"]),
+            batch_format="pyarrow")
+        hr = GraphHandle.from_edges(rev, h.n, P=h.P, m=h.m)
+        try:
+            if op == "scc":
+                ds, stats = alg.scc(h, hr)
+            else:
+                ds, stats = alg.hits(h, hr, max_iters=args.iters)
+            ds.write_parquet(os.path.join(args.out, op))
+        finally:
+            h.close()
+            hr.close()
+    else:
+        h = _load_graph(args.graph, sym=True)
+        try:
+            if op == "kcore":
+                ds, stats = alg.kcore(h)
+                ds.write_parquet(os.path.join(args.out, op))
+            elif op == "bfs":
+                sources = [int(s) for s in args.sources.split(",")]
+                ds, stats = alg.bfs_hops(h, sources)
+                ds.write_parquet(os.path.join(args.out, op))
+            elif op == "harmonic":
+                ds, stats = alg.harmonic_centrality(
+                    h, n_pivots=args.n_pivots, seed=args.seed)
+                ds.write_parquet(os.path.join(args.out, op))
+            elif op == "diameter":
+                res, stats = alg.diameter_estimate(h, seed_node=0, sweeps=2)
+                with open(os.path.join(args.out, "diameter.json"), "w") as f:
+                    json.dump(res, f)
+            else:
+                raise SystemExit(f"analyze: unknown op {op!r}")
+        finally:
+            h.close()
+    stats = {k: v for k, v in stats.items() if isinstance(v, (int, float, str, list))}
+    _write_metrics(args.out, {"command": f"analyze:{op}",
+                              "wall_s": time.time() - t0, **stats})
+    print(json.dumps({"op": op, "out": args.out}))
+
+
 def cmd_build_index(args):
     from .graph import algorithms as alg
 
@@ -491,6 +548,17 @@ def main(argv=None):
     p.add_argument("--fanouts", default="10,5")
     p.add_argument("--seed", type=int, default=42)
     p.set_defaults(fn=cmd_walks)
+
+    p = sub.add_parser("analyze")
+    p.add_argument("--graph", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--op", default="scc",
+                   choices=["scc", "hits", "kcore", "bfs", "harmonic", "diameter"])
+    p.add_argument("--sources", default="0")
+    p.add_argument("--n-pivots", type=int, default=8)
+    p.add_argument("--iters", type=int, default=40)
+    p.add_argument("--seed", type=int, default=42)
+    p.set_defaults(fn=cmd_analyze)
 
     p = sub.add_parser("build-index")
     p.add_argument("--graph", required=True)

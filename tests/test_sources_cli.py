@@ -296,3 +296,28 @@ def test_cli_walks(fix600, tmp_path):
     # step-0 records exist for every walk
     assert (corpus[corpus.step == 0].groupby("walk_id").size() == 1).all()
     assert corpus["walk_id"].nunique() == 600
+
+
+def test_cli_analyze(fix600, tmp_path):
+    """analyze subcommand: scc + harmonic against their oracles."""
+    import json
+
+    from fora_ray.__main__ import main
+    from fora_ray.oracle import scc_oracle
+
+    g = str(tmp_path / "graph")
+    main(["ingest", "--corpus", f"{fix600}/corpus", "--out", g])
+    out = str(tmp_path / "scc")
+    main(["analyze", "--graph", g, "--out", out, "--op", "scc"])
+    df = (ray.data.read_parquet(f"{out}/scc").to_pandas()
+          .sort_values("node_id").reset_index(drop=True))
+    edges = pq.read_table(f"{fix600}/edges.parquet")
+    e = np.stack([edges["src"].to_numpy(), edges["dst"].to_numpy()], axis=1)
+    assert df["scc"].tolist() == scc_oracle(e, 600).tolist()
+    out2 = str(tmp_path / "harm")
+    main(["analyze", "--graph", g, "--out", out2, "--op", "harmonic",
+          "--n-pivots", "4"])
+    hdf = ray.data.read_parquet(f"{out2}/harmonic").to_pandas()
+    assert len(hdf) == 600 and (hdf["harmonic"] >= 0).all()
+    with open(f"{out2}/METRICS.json") as f:
+        assert json.load(f)["command"] == "analyze:harmonic"
