@@ -350,6 +350,10 @@ def _queries_documents():
         "decontaminate": decontaminate_q,
         "redact_pii": redact_pii_q,
         "token_counts": lambda sf: token_counts(_docs(sf)),
+        "pack_sequences": lambda sf: (
+            __import__("fora_ray.pipelines.text", fromlist=["pack_sequences"])
+            .pack_sequences(_docs(sf), budget=512).sort("doc_id")
+        ),
         "stratified_sample": lambda sf: (
             __import__("fora_ray.pipelines.text", fromlist=["stratified_sample"])
             .stratified_sample(_docs(sf), strata_col="lang", frac=0.2)
@@ -908,6 +912,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_exact_dedup": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id"
+        ),
+        "pack_sequences": (
+            "WITH toks AS ("
+            "  SELECT doc_id,"
+            "  CAST(length(regexp_extract_all(text, '\\w+')) AS BIGINT) AS n_tokens"
+            "  FROM documents"
+            ") SELECT doc_id, n_tokens,"
+            "  CAST(FLOOR(COALESCE(SUM(n_tokens) OVER ("
+            "    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+            "  ), 0) / 512) AS BIGINT) AS seq_id "
+            "FROM toks ORDER BY doc_id"
         ),
         "stratified_sample": (
             "WITH ranked AS ("

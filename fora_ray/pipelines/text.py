@@ -405,3 +405,55 @@ def stratified_sample(docs_ds, strata_col: str = "lang", frac: float = 0.2,
     keyed = docs_ds.map_batches(add_key, batch_format="pyarrow")
     out = bucket_apply(keyed, "__stratum_h", sample)
     return drop_empty_blocks(out).drop_columns(["__stratum_h"])
+
+
+# ---- sequence packing (token-budget chunking) ----------------------------------
+
+def _pack_block_sum(t: pa.Table) -> int:
+    if t.num_rows == 0 or "n_tokens" not in t.schema.names:
+        return 0
+    return int(pc.sum(t["n_tokens"]).as_py() or 0)
+
+
+def _pack_assign(t: pa.Table, offset: int, budget: int) -> pa.Table:
+    if t.num_rows == 0 or "n_tokens" not in t.schema.names:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_tokens": pa.array([], pa.int64()),
+                         "seq_id": pa.array([], pa.int64())})
+    n = t["n_tokens"].to_numpy(zero_copy_only=False)
+    start = offset + np.concatenate([[0], np.cumsum(n[:-1])]).astype(np.int64)
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "n_tokens": t["n_tokens"],
+        "seq_id": pa.array(start // budget),
+    })
+
+
+def pack_sequences(docs_ds, budget: int = 2048):
+    """Sequence packing for training: assign each doc (in doc_id order)
+    to the fixed-token-budget sequence where its cumulative-token START
+    falls — seq_id = floor(prefix_sum(n_tokens) / budget).  The stream
+    is cut at budget boundaries (a doc longer than the budget owns its
+    boundary and overflows into the next cut — the greedy streaming
+    contract, exactly the SQL window sum the oracle runs).
+
+    Distribution: one global sort by doc_id, then a DISTRIBUTED PREFIX
+    SUM — per-block token totals (P scalars) come to the driver, block
+    offsets go back out, and each block assigns its rows independently.
+    This is one of the few places raw Ray tasks are justified: the
+    per-block offset injection isn't expressible through map_batches.
+    Returns Dataset (doc_id, n_tokens, seq_id)."""
+    import ray
+
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    blk_sum = ray.remote(num_cpus=0)(_pack_block_sum)
+    assign = ray.remote(_pack_assign)
+    toks = token_counts(docs_ds).materialize()  # sorted by doc_id
+    refs = toks.to_arrow_refs()
+    sums = ray.get([blk_sum.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(sums[:-1])]).astype(np.int64) \
+        if sums else np.empty(0, np.int64)
+    out = [assign.remote(r, int(o), int(budget))
+           for r, o in zip(refs, offsets)]
+    return ray.data.from_arrow_refs(out)

@@ -354,3 +354,30 @@ def test_stratified_sample_quota_and_determinism(ray_session):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         stratified_sample(_ray.data.from_arrow(t), frac=0.0)
+
+
+def test_pack_sequences_prefix_sum_and_reshard_stability(ray_session):
+    import re as _re
+
+    import pytest as _pytest
+
+    from fora_ray.pipelines.text import pack_sequences
+
+    texts = ["w " * c for c in (100, 300, 250, 50, 400, 10, 120, 90)]
+    ds = _docs_ds(texts)
+    got = (pack_sequences(ds, budget=256).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # brute: seq_id = floor(prefix_sum_before / budget) in doc_id order
+    counts = [len(_re.findall(r"\w+", t)) for t in texts]
+    acc, want = 0, []
+    for c in counts:
+        want.append(acc // 256)
+        acc += c
+    assert got["n_tokens"].tolist() == counts
+    assert got["seq_id"].tolist() == want
+    # stable under input resharding (global sort owns the order)
+    got2 = (pack_sequences(_docs_ds(texts).repartition(5), budget=256)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got.equals(got2)
+    with _pytest.raises(ValueError):
+        pack_sequences(ds, budget=0)
