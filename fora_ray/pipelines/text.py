@@ -257,12 +257,19 @@ def tfidf_topk(docs_ds, k: int = 5, broadcast_budget: int = 256 << 20):
         order = np.argsort(th)
         ref = ray.put((th[order], dfv[order]))
 
-        def attach(t: pa.Table, _ref=ref) -> pa.Table:
-            ths, dfs = ray.get(_ref)
-            pos = np.searchsorted(ths, t["term_h"].to_numpy(zero_copy_only=False))
-            return t.append_column("df", pa.array(dfs[pos]))
+        class Attach:
+            def __init__(self, _ref=ref):
+                self.th, self.df = ray.get(_ref)  # once per actor
 
-        joined = tf_ds.map_batches(attach, batch_format="pyarrow")
+            def __call__(self, t: pa.Table) -> pa.Table:
+                pos = np.searchsorted(
+                    self.th, t["term_h"].to_numpy(zero_copy_only=False))
+                return t.append_column("df", pa.array(self.df[pos]))
+
+        from ..stages.shuffle import pool_size as _ps
+
+        joined = tf_ds.map_batches(Attach, batch_format="pyarrow",
+                                   concurrency=_ps())
     else:
         joined = safe_join(tf_ds, df_ds, on=("term_h",), drop=("right",))
 
