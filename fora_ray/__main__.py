@@ -231,6 +231,12 @@ def cmd_dedup(args):
     if args.method == "exact":
         out_ds = dd.exact_dedup(docs).materialize()
         sub = "kept"
+    elif args.method == "decontaminate":
+        if not args.bench:
+            raise SystemExit("dedup --method decontaminate requires --bench PATH")
+        bench = ray.data.read_parquet(args.bench)
+        out_ds = dd.decontaminate(docs, bench, ngram=args.ngram).materialize()
+        sub = "contaminated"
     elif args.method == "minhash":
         out_ds = dd.minhash_lsh_dups(docs, threshold=args.threshold, seed=args.seed).materialize()
         sub = "pairs"
@@ -571,7 +577,11 @@ def main(argv=None):
     p.add_argument("--docs", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--method", default="exact",
-                   choices=["exact", "minhash", "simhash", "ngram", "embedding"])
+                   choices=["exact", "minhash", "simhash", "ngram", "embedding",
+                            "decontaminate"])
+    p.add_argument("--bench", default=None,
+                   help="benchmark parquet for --method decontaminate")
+    p.add_argument("--ngram", type=int, default=8)
     p.add_argument("--threshold", type=float, default=0.7)
     p.add_argument("--hamming", type=int, default=3)
     p.add_argument("--seed", type=int, default=42)

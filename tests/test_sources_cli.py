@@ -321,3 +321,30 @@ def test_cli_analyze(fix600, tmp_path):
     assert len(hdf) == 600 and (hdf["harmonic"] >= 0).all()
     with open(f"{out2}/METRICS.json") as f:
         assert json.load(f)["command"] == "analyze:harmonic"
+
+
+def test_cli_dedup_decontaminate(tmp_path):
+    import json
+
+    from fora_ray.__main__ import main
+
+    docs_path = str(tmp_path / "docs.parquet")
+    _write_docs_parquet(docs_path)
+    bench_path = str(tmp_path / "bench.parquet")
+    import pyarrow as pa
+
+    base = "the quick brown fox jumps over the lazy dog " * 12
+    pq.write_table(pa.table({
+        "doc_id": pa.array([100], pa.int64()),
+        "text": pa.array([base]),
+    }), bench_path)
+    out = str(tmp_path / "decon")
+    main(["dedup", "--docs", docs_path, "--out", out,
+          "--method", "decontaminate", "--bench", bench_path])
+    flagged = ray.data.read_parquet(f"{out}/contaminated").to_pandas()
+    # docs 0/1/4 contain the benchmark text verbatim (plus doc 3, the
+    # one-word variant, still shares most 8-grams)
+    assert {0, 1, 4}.issubset(set(flagged["doc_id"]))
+    assert 2 not in set(flagged["doc_id"])
+    with open(f"{out}/METRICS.json") as f:
+        assert json.load(f)["method"] == "decontaminate"
