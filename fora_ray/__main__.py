@@ -7,7 +7,7 @@
     python -m fora_ray topk     --graph DIR --source N --k K --out DIR
     python -m fora_ray cc|lpa|triangles --graph DIR --out DIR
     python -m fora_ray build-index --graph DIR --out DIR
-    python -m fora_ray dedup    --docs PATH --out DIR [--method exact|minhash|simhash|ngram|embedding]
+    python -m fora_ray dedup    --docs PATH --out DIR [--method exact|minhash|simhash|ngram|embedding|decontaminate]
                                 [--threshold X] [--clusters]
     python -m fora_ray curate   --docs PATH --out DIR [--min-quality X] [--langs en,de]
     python -m fora_ray ann      --embeddings PATH --out DIR [--method brute|ivf|lsh] [--k K] [--nq N]
