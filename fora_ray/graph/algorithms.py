@@ -1076,8 +1076,9 @@ def random_walk_corpus(handle, nwalks: int = 2, walk_len: int = 5,
     _require_identity([(handle, "graph")])
     if walk_len < 1:
         raise ValueError("walk_len must be >= 1")
-    if spill_dir is not None:
-        handle.call_all("corpus_spill_config", spill_dir, int(flush_rows))
+    # unconditional: spill_dir=None clears any sticky config from a
+    # previous spilled run on the same handle (ADVICE r03)
+    handle.call_all("corpus_spill_config", spill_dir, int(flush_rows))
     spawned = sum(handle.call_all("corpus_init", int(nwalks), int(seed)))
     hops = 0
     for hop in range(1, walk_len):
@@ -1115,6 +1116,13 @@ def neighbor_sample(handle, seeds, fanouts=(10, 5), seed: int = 42):
 
     _require_identity([(handle, "graph")])
     frontier = np.unique(np.asarray(list(seeds), dtype=np.int64))
+    if frontier.size and (frontier[0] < 0 or frontier[-1] >= handle.n):
+        # an out-of-range seed passes the ownership filter (numpy modulo
+        # is positive) and would silently sample a different node's
+        # adjacency via a wrong local index (ADVICE r03)
+        bad = frontier[(frontier < 0) | (frontier >= handle.n)]
+        raise ValueError(
+            f"neighbor_sample: seeds outside [0, {handle.n}): {bad[:5].tolist()}")
     layers = []
     for hop, f in enumerate(fanouts):
         if frontier.size == 0:
@@ -1189,9 +1197,18 @@ def scc(handle_fwd, handle_rev, max_outer: int = 10_000):
             masks = [fw.scc_assigned_mask.remote() for fw in handle_fwd.workers]
             ray.get([rw.scc_set_assigned.remote(mk)
                      for rw, mk in zip(handle_rev.workers, masks)])
+    if assigned < n:
+        # a partial labeling (scc=-1 rows) must never be returned
+        # silently: chain-like graphs need O(#SCCs) outer rounds, and a
+        # too-small max_outer would otherwise look like a result
+        # (ADVICE r03)
+        raise RuntimeError(
+            f"scc: max_outer={max_outer} exhausted with {n - assigned} of "
+            f"{n} nodes unassigned; raise max_outer")
     refs = [w.scc_table.remote() for w in handle_fwd.workers]
     return ray.data.from_arrow_refs(refs), {"outer_rounds": outer,
-                                            "label_rounds": inner}
+                                            "label_rounds": inner,
+                                            "assigned": assigned}
 
 
 def harmonic_centrality(handle, pivots=None, n_pivots: int = 8,

@@ -520,13 +520,22 @@ class ShardWorkerImpl:
                 np.concatenate([a, b]) for a, b in zip(self._cpending, (nxt, wid, key))
             )
 
-    def corpus_spill_config(self, spill_dir: str, flush_rows: int):
+    def corpus_spill_config(self, spill_dir: str | None, flush_rows: int):
         """Scale path: flush this shard's record buffer to partitioned
         parquet (one directory per shard, one part file per flush) so
         the trace of a 10^9-node corpus never accumulates in actor
-        memory and a consumer can resume from finished parts."""
+        memory and a consumer can resume from finished parts.
+
+        spill_dir=None CLEARS the config — random_walk_corpus calls this
+        unconditionally, so a non-spill run on a handle that previously
+        spilled can't silently flush to the stale directory (ADVICE r03)."""
         import os
 
+        if spill_dir is None:
+            self._cspill_dir = None
+            self._cspill_rows = 0
+            self._cspill_seq = 0
+            return True
         self._cspill_dir = os.path.join(spill_dir, f"part={self.part}")
         os.makedirs(self._cspill_dir, exist_ok=True)
         self._cspill_rows = int(flush_rows)
@@ -1737,6 +1746,10 @@ class ShardWorkerImpl:
     # bincounts (the _push_full_sweep discipline), so hub fan-in cannot
     # hotspot and per-round traffic is bounded by P dense slices.
     def hits_init(self, field: str, value: float) -> None:
+        # clear the previous run's converged vectors — hits_scale deltas
+        # against _hits_prev, and a stale entry would let a second run
+        # spuriously early-stop after one iteration (ADVICE r03)
+        self._hits_prev = {}
         setattr(self, "hits_" + field, np.full(self.n_local, value, np.float64))
 
     def hits_sweep(self, field: str):

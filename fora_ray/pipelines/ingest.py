@@ -44,13 +44,14 @@ def build_graph_tables(
     Datasets plus n_nodes.  All lazy except nodes (id assignment sorts and
     pins the metadata-sized nodes table).
     """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     ds = corpus_ds
     if langs:
-        lset = set(langs)
-        ds = ds.map_batches(
-            lambda t, ls=lset: t.filter(
-                [v in ls for v in t["lang"].to_pylist()]  # M8 lang filter
-            ),
+        lvals = pa.array(sorted(set(langs)), pa.string())
+        ds = ds.map_batches(  # M8 lang filter — vectorized is_in kernel
+            lambda t, ls=lvals: t.filter(pc.is_in(t["lang"], value_set=ls)),
             batch_format="pyarrow",
         )
     if manifest_ref is not None:
