@@ -815,10 +815,15 @@ def _redact_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     # the driver compares at sf0.01 -> embed that fixture's path (and make
-    # sure it exists before DuckDB reads it)
+    # sure it exists before DuckDB reads it).  FORA_ORACLE_SF_DIR overrides
+    # the pinned sf so the repo's own gate replica (tools/check_driver.py,
+    # tests/test_full_gate.py) can run the SAME oracle layer at any sf —
+    # the external driver never sets it.
+    import os as _os
+
     from fora_ray.goldens import write_goldens
 
-    sf01 = "/root/testdata/sf0.01"
+    sf01 = _os.environ.get("FORA_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     fix = _fixture_for(sf01)
     corpus = f"{fix}/corpus/*.parquet"
     golden_edges = f"{fix}/edges.parquet"

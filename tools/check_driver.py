@@ -78,22 +78,20 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> dict:
     return res
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+def run_gate(sf_dir: str, only: set[str] | None = None,
+             quiet: bool = False) -> tuple[dict, list[str]]:
+    """Run the gate against an ALREADY-INITIALIZED Ray session.
 
-    import ray
-
-    if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False,
-                 logging_level="ERROR")
-    from ray.data import DataContext
-
-    DataContext.get_current().enable_progress_bars = False
-
+    Sets FORA_ORACLE_SF_DIR so oracle_sql() regenerates its golden layer
+    for `sf_dir` (the external driver runs without the override and gets
+    the pinned sf0.01 paths).  Returns (results, failed_names)."""
     import duckdb
 
-    import __ray_entry__ as e
+    os.environ["FORA_ORACLE_SF_DIR"] = sf_dir
+    try:
+        import __ray_entry__ as e
+    finally:
+        pass
 
     con = duckdb.connect()
     for t in TABLES:
@@ -102,7 +100,10 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs = e.queries()
-    sqls = e.oracle_sql()
+    try:
+        sqls = e.oracle_sql()
+    finally:
+        os.environ.pop("FORA_ORACLE_SF_DIR", None)
     results: dict[str, dict] = {}
     failed = []
     for name, fn in qs.items():
@@ -117,7 +118,8 @@ def main() -> int:
             continue
         if name not in sqls:
             results[name] = {"spark_rows": len(got), "err": "no_oracle"}
-            print(f"  ok {name}: rows={len(got)} (no_oracle)")
+            if not quiet:
+                print(f"  ok {name}: rows={len(got)} (no_oracle)")
             continue
         try:
             want = con.execute(sqls[name]).df()
@@ -128,16 +130,33 @@ def main() -> int:
             continue
         r = compare(name, got, want)
         results[name] = r
-        status = "PASS" if r["values_match"] else "FAIL"
         if not r["values_match"]:
             failed.append(name)
-        print(f"{status} {name}: rows {r['spark_rows']}/{r['oracle_rows']}"
-              + (f"  [{r['err']}]" if r["err"] else ""))
+        if not quiet or not r["values_match"]:
+            status = "PASS" if r["values_match"] else "FAIL"
+            print(f"{status} {name}: rows {r['spark_rows']}/{r['oracle_rows']}"
+                  + (f"  [{r['err']}]" if r["err"] else ""))
     n_oracle = sum(1 for r in results.values() if "values_match" in r)
     print(f"\n{len(results)} queries, {n_oracle} oracled, {len(failed)} failed"
           + (f": {failed}" if failed else ""))
     with open("/tmp/check_driver_last.json", "w") as f:
         json.dump(results, f, indent=1, default=str)
+    return results, failed
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    _results, failed = run_gate(sf_dir, only or None)
     ray.shutdown()
     return 1 if failed else 0
 
