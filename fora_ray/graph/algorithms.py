@@ -346,6 +346,7 @@ def make_replicas(edges_ds, n: int, replicas: int, P: int = 4, m: int | None = N
             edges_ds, n, P, degrees_ds=degrees)
     elif balance == "degree":
         edges_ds, perm, inv = _driver_degree_balance(edges_ds, n, degrees_ds=degrees)
+    inv_ref = ray.put(inv) if inv is not None else None
     shards = build_csr_shards(edges_ds, n, P).materialize()
     refs = shards.to_arrow_refs()
     parts_per_block = ray.get([_block_parts.remote(r) for r in refs])
@@ -363,10 +364,11 @@ def make_replicas(edges_ds, n: int, replicas: int, P: int = 4, m: int | None = N
                 logical_ids=(inv[p::P] if inv is not None else None),
                 logical_block=(logical_refs.get(p) if logical_refs else None),
                 perm_block=(perm_refs.get(p) if perm_refs else None),
+                inv_ref=inv_ref,
             )
             for p in range(P)
         ]
-        h = GraphHandle(workers, n, m, P, perm=perm)
+        h = GraphHandle(workers, n, m, P, perm=perm, inv=inv)
         h.remote_perm = logical_refs is not None
         out.append(h)
     return out
@@ -544,22 +546,18 @@ def bippr(handle_fwd, handle_rev, source: int, target: int, eps: float = 0.5,
     n = handle_fwd.n
     assert handle_fwd.P == handle_rev.P, "BiPPR combine requires aligned v %% P shards"
     # The shard-aligned combine pairs reverse-shard local indices 1:1
-    # with forward-shard local indices, and get_state_value treats
-    # `source` as an engine id — both are only valid under identity
-    # permutations.  A degree-balanced handle would produce a silently
-    # WRONG estimate (ADVICE r02), so refuse loudly.
-    for h, side in ((handle_fwd, "forward"), (handle_rev, "reverse")):
-        if h.perm is not None or getattr(h, "remote_perm", False):
-            raise ValueError(
-                f"bippr requires identity-permutation handles, but the {side} "
-                "handle was built with balance='degree'; rebuild both handles "
-                "without balancing for pairwise BiPPR"
-            )
+    # with forward-shard local indices — valid whenever BOTH handles map
+    # logical ids to the same engine ids: identity, or one SHARED
+    # driver-side degree permutation (build the reverse handle with
+    # perm=fwd.perm, inv=fwd.inv).  Mismatched or distributed
+    # permutations would produce a silently WRONG estimate, so refuse.
+    _require_pair(handle_fwd, handle_rev, "bippr")
     if rmax_b is None:
         rmax_b = eps / _math.sqrt(max(n, 2))
     _scores, bstats = backward_ppr(handle_rev, target, mode="push", rmax_b=rmax_b)
+    src_e = handle_rev.to_engine(source)
     reserve_t_source = ray.get(
-        handle_rev.workers[source % handle_rev.P].get_state_value.remote("reserve", source)
+        handle_rev.workers[src_e % handle_rev.P].get_state_value.remote("reserve", src_e)
     )
     # forward walks: endpoints of W alpha-walks from source ~ pi(s, .)
     W = int(_math.ceil(16.0 * _math.log(max(n, 2)) / (eps * eps)))
@@ -586,19 +584,39 @@ def bippr(handle_fwd, handle_rev, source: int, target: int, eps: float = 0.5,
 # ---- G6 HubPPR (Wang/Tang/Xiao VLDB'16, re-expressed on the superstep
 # runtime; SURVEY 2.4 G6 — supersedes the round-1/2 documented skip) -----
 
-def _require_identity(handles) -> None:
-    for h, side in handles:
-        if h.perm is not None or getattr(h, "remote_perm", False):
-            raise ValueError(
-                f"this operator requires identity-permutation handles, but "
-                f"the {side} handle was built with balance='degree'; rebuild "
-                "without balancing"
-            )
+def _require_local_perm(handle, op: str) -> None:
+    """Walk / sample draws need the engine->logical map ON the workers
+    (inv_ref) to stay a pure function of the logical graph.  Identity
+    and driver-side degree-balanced handles qualify; the distributed-
+    permutation tier does not (its inverse lives sharded — carrying a
+    logical-dst column through the distributed CSR build is the
+    documented extension)."""
+    if getattr(handle, "remote_perm", False):
+        raise ValueError(
+            f"{op} supports identity and driver-side degree-balanced handles; "
+            "the distributed-permutation tier (n > balance_threshold) does "
+            "not ship the engine->logical map to workers — raise "
+            "balance_threshold or run this operator on a driver-balanced handle"
+        )
+
+
+def _require_pair(a, b, op: str) -> None:
+    """Shard-aligned pairwise ops: both pools must share ONE logical ->
+    engine mapping so local indices pair 1:1 (identity + identity, or
+    rev built with perm=fwd.perm)."""
+    if not a.same_perm_as(b):
+        raise ValueError(
+            f"{op} requires shard-aligned handles sharing the same "
+            "permutation: both identity, or the second built with "
+            "perm=first.perm, inv=first.inv (distributed permutations "
+            "are not supported for pairwise ops)"
+        )
 
 
 def select_hubs(handle, H: int) -> np.ndarray:
-    """Top-H nodes by shard out-degree (deg desc, id asc — deterministic
-    under ties).  Per-shard exact top-H + driver merge of P*H candidates
+    """Top-H nodes by shard out-degree (deg desc, LOGICAL id asc —
+    deterministic under ties and permutation-invariant).  Returns
+    LOGICAL ids.  Per-shard exact top-H + driver merge of P*H candidates
     (every global-top element is in its shard's top-H under the same
     total order), so no n-sized degree vector touches the driver.  On
     the forward handle this ranks by out-degree (the paper's degree
@@ -619,9 +637,11 @@ def select_hubs(handle, H: int) -> np.ndarray:
 def build_hub_index(handle, hub_ids, pool_size: int = 1024, seed: int = 42) -> dict:
     """Forward hub walk pools: `pool_size` complete alpha-walk endpoints
     per hub, generated by the FORA+ index walk machinery under the
-    BiPPR absorb-dangling convention (index_walk_round absorb=True)."""
+    BiPPR absorb-dangling convention (index_walk_round absorb=True).
+    `hub_ids` are LOGICAL ids (select_hubs output)."""
     hub_ids = np.asarray(hub_ids, dtype=np.int64)
-    total = sum(handle.call_all("hub_index_init", hub_ids, pool_size, seed))
+    hub_eng = handle.to_engine_array(hub_ids)
+    total = sum(handle.call_all("hub_index_init", hub_eng, pool_size, seed))
     hop, alive = 0, total
     while alive > 0:
         metas, _ = handle._exchange("index_walk_round", "apply_index_walkers", hop, True)
@@ -635,17 +655,21 @@ def build_hub_index(handle, hub_ids, pool_size: int = 1024, seed: int = 42) -> d
 
 def build_backward_hub_oracle(handle_rev, hub_ids, rmax_hub: float,
                               max_rounds: int = 10_000) -> dict:
-    """Backward hub oracles: one fine-rmax backward push per hub (hub
-    id ascending); each shard captures ITS OWN sparse (reserve,
-    residual) slice in place — the oracle never moves through the
-    driver or the object store."""
+    """Backward hub oracles: one fine-rmax backward push per hub
+    (logical hub id ascending); each shard captures ITS OWN sparse
+    (reserve, residual) slice in place — the oracle never moves through
+    the driver or the object store.  `hub_ids` are LOGICAL ids; oracle
+    bookkeeping keys on engine ids (what bpush_round_hub compares
+    against)."""
     hub_ids = np.sort(np.asarray(hub_ids, dtype=np.int64))
     entries = 0
     for h in hub_ids:
         _scores, _stats = backward_ppr(handle_rev, int(h), mode="push",
                                        rmax_b=rmax_hub, max_rounds=max_rounds)
-        entries += sum(handle_rev.call_all("bpush_oracle_capture", int(h)))
-    handle_rev.call_all("bpush_oracle_finalize", hub_ids)
+        entries += sum(handle_rev.call_all(
+            "bpush_oracle_capture", handle_rev.to_engine(int(h))))
+    handle_rev.call_all("bpush_oracle_finalize",
+                        handle_rev.to_engine_array(hub_ids))
     return {"hubs": int(hub_ids.size), "rmax_hub": rmax_hub, "entries": entries}
 
 
@@ -665,11 +689,11 @@ def hubppr(handle_fwd, handle_rev, source: int, target: int, eps: float = 0.5,
 
     n = handle_fwd.n
     assert handle_fwd.P == handle_rev.P, "HubPPR combine requires aligned v %% P shards"
-    _require_identity(((handle_fwd, "forward"), (handle_rev, "reverse")))
+    _require_pair(handle_fwd, handle_rev, "hubppr")
     if rmax_b is None:
         rmax_b = eps / _math.sqrt(max(n, 2))
     P = handle_rev.P
-    handle_rev.call_all("ppr_init", target)
+    handle_rev.call_all("ppr_init", handle_rev.to_engine(target))
     consumed: list = []
     outs = None
     rounds = hub_applies = 0
@@ -692,12 +716,13 @@ def hubppr(handle_fwd, handle_rev, source: int, target: int, eps: float = 0.5,
                 for p, w in enumerate(handle_rev.workers)
             ])
             break
+    src_e = handle_rev.to_engine(source)
     reserve_t_source = ray.get(
-        handle_rev.workers[source % P].get_state_value.remote("reserve", source)
+        handle_rev.workers[src_e % P].get_state_value.remote("reserve", src_e)
     )
     W = int(_math.ceil(16.0 * _math.log(max(n, 2)) / (eps * eps)))
-    handle_fwd.call_all("ppr_init", source)
-    handle_fwd.call_all("spawn_live_walks", source, 1.0, W, seed ^ (source * 0x85EBCA6B))
+    handle_fwd.call_all("ppr_init", src_e)
+    handle_fwd.call_all("spawn_live_walks", src_e, 1.0, W, seed ^ (source * 0x85EBCA6B))
     hop, alive = 0, W
     while alive > 0:
         ms, _ = handle_fwd._exchange("walk_round", "apply_walkers", hop, -1, True)
@@ -1009,12 +1034,10 @@ def hits(handle_fwd, handle_rev, max_iters: int = 40, tol: float = 0.0):
     P = handle_fwd.P
     if handle_rev.P != P or handle_rev.n != handle_fwd.n:
         raise ValueError("hits requires shard-aligned fwd/rev handles (same n, P)")
-    for h, nm in ((handle_fwd, "forward"), (handle_rev, "reverse")):
-        if h.perm is not None or getattr(h, "remote_perm", False):
-            raise ValueError(
-                f"hits requires the identity permutation on the {nm} handle "
-                "(the shard-aligned slice exchange pairs local indices 1:1); "
-                "build both handles with balance=None")
+    # the slice exchange pairs local indices 1:1 across the pools, which
+    # holds for any SHARED logical->engine mapping: identity, or a rev
+    # handle built with perm=fwd.perm (degree balancing)
+    _require_pair(handle_fwd, handle_rev, "hits")
     handle_fwd.call_all("hits_init", "hub", 1.0 / math.sqrt(handle_fwd.n))
     iters = 0
     delta = math.inf
@@ -1061,9 +1084,11 @@ def random_walk_corpus(handle, nwalks: int = 2, walk_len: int = 5,
     zero driver materialization.  A walker at a dangling node truncates
     (shorter trace, no restart).  Counter-RNG (key = mix64(seed,
     walk_id), draw = rng(mix64(key, hop))) makes the corpus identical at
-    any partition count; neighbor slots index CSR rows sorted by engine
-    dst id, so the identity permutation is required (asserted) for the
-    draws to be a pure function of the logical graph.
+    any partition count; neighbor slots index the row's neighbors in
+    LOGICAL-id order (runtime._walk_dst), so the corpus is a pure
+    function of the logical graph on identity AND driver-side
+    degree-balanced handles (bit-identical between them; the
+    distributed-permutation tier is refused — see _require_local_perm).
 
     Returns (Dataset (walk_id, step, node_id), stats).  Rows total
     <= n * nwalks * walk_len; each shard buffers only its own slice —
@@ -1073,7 +1098,7 @@ def random_walk_corpus(handle, nwalks: int = 2, walk_len: int = 5,
     flush_rows and the returned Dataset reads the partitioned parquet
     (resumable: finished parts survive a dead driver).
     """
-    _require_identity([(handle, "graph")])
+    _require_local_perm(handle, "random_walk_corpus")
     if walk_len < 1:
         raise ValueError("walk_len must be >= 1")
     # unconditional: spill_dir=None clears any sticky config from a
@@ -1102,27 +1127,30 @@ def neighbor_sample(handle, seeds, fanouts=(10, 5), seed: int = 42):
     subgraph a GNN trains on.
 
     Selection is hash-rank — the fanouts[h] smallest values of
-    mix64(mix64(mix64(seed, h), src), dst) per src — a fixed total order
-    over (src, dst), so the sample is deterministic and independent of
-    partition count (identity permutation required, asserted).  Each hop
-    is one parallel shard call: a shard touches only the adjacency of
-    the frontier nodes it owns.  The returned subgraph (and therefore
-    driver memory) is bounded by |seeds| * prod(fanouts) edges — the
-    caller sizes it, exactly like a training minibatch.
+    mix64(mix64(mix64(seed, h), src), dst) per src, keyed on LOGICAL
+    ids — a fixed total order over logical (src, dst), so the sample is
+    deterministic and independent of partition count AND of the handle's
+    degree permutation (identity and driver-balanced handles produce
+    bit-identical subgraphs; the distributed-permutation tier is
+    refused).  Each hop is one parallel shard call: a shard touches only
+    the adjacency of the frontier nodes it owns.  The returned subgraph
+    (and therefore driver memory) is bounded by |seeds| * prod(fanouts)
+    edges — the caller sizes it, exactly like a training minibatch.
 
-    Returns (pyarrow.Table (src, dst, hop), stats).
+    Returns (pyarrow.Table (src, dst, hop) in LOGICAL ids, stats).
     """
     import pyarrow as _pa
 
-    _require_identity([(handle, "graph")])
-    frontier = np.unique(np.asarray(list(seeds), dtype=np.int64))
-    if frontier.size and (frontier[0] < 0 or frontier[-1] >= handle.n):
+    _require_local_perm(handle, "neighbor_sample")
+    seeds_l = np.unique(np.asarray(list(seeds), dtype=np.int64))
+    if seeds_l.size and (seeds_l[0] < 0 or seeds_l[-1] >= handle.n):
         # an out-of-range seed passes the ownership filter (numpy modulo
         # is positive) and would silently sample a different node's
         # adjacency via a wrong local index (ADVICE r03)
-        bad = frontier[(frontier < 0) | (frontier >= handle.n)]
+        bad = seeds_l[(seeds_l < 0) | (seeds_l >= handle.n)]
         raise ValueError(
             f"neighbor_sample: seeds outside [0, {handle.n}): {bad[:5].tolist()}")
+    frontier = handle.to_engine_array(seeds_l)  # routing is by engine id
     layers = []
     for hop, f in enumerate(fanouts):
         if frontier.size == 0:
@@ -1135,9 +1163,10 @@ def neighbor_sample(handle, seeds, fanouts=(10, 5), seed: int = 42):
         if tab is None or tab.num_rows == 0:
             frontier = np.empty(0, np.int64)
             break
-        layers.append(tab.append_column(
-            "hop", _pa.array(np.full(tab.num_rows, hop, np.int64))))
-        frontier = np.unique(tab["dst"].to_numpy(zero_copy_only=False))
+        layers.append(
+            tab.drop_columns(["dst_e"]).append_column(
+                "hop", _pa.array(np.full(tab.num_rows, hop, np.int64))))
+        frontier = np.unique(tab["dst_e"].to_numpy(zero_copy_only=False))
     if not layers:
         out = _pa.table({"src": _pa.array([], _pa.int64()),
                          "dst": _pa.array([], _pa.int64()),
@@ -1170,7 +1199,9 @@ def scc(handle_fwd, handle_rev, max_outer: int = 10_000):
     P = handle_fwd.P
     if handle_rev.P != P or handle_rev.n != handle_fwd.n:
         raise ValueError("scc requires shard-aligned fwd/rev handles (same n, P)")
-    _require_identity([(handle_fwd, "forward"), (handle_rev, "reverse")])
+    # min-label values are LOGICAL ids and the assigned-mask exchange
+    # pairs local indices 1:1 — valid for any shared permutation
+    _require_pair(handle_fwd, handle_rev, "scc")
     handle_fwd.call_all("scc_reset")
     handle_rev.call_all("scc_reset")
     n = handle_fwd.n

@@ -68,7 +68,8 @@ class ShardWorkerImpl:
                  shard_file: str | None = None, alpha: float = 0.2,
                  logical_ids: np.ndarray | None = None,
                  logical_block: pa.Table | None = None,
-                 perm_block: pa.Table | None = None):
+                 perm_block: pa.Table | None = None,
+                 inv_ref=None):
         self.part, self.P, self.n, self.alpha = part, P, n, alpha
         self.n_local = n_local_of(n, P, part)
         self.global_ids = np.arange(part, n, P, dtype=np.int64)
@@ -90,6 +91,14 @@ class ShardWorkerImpl:
         if perm_block is not None:
             rows = perm_block.filter(pa.compute.equal(perm_block["part_id"], part))
             self.perm_slice = _list_np(rows["vals"])
+        # full engine->logical permutation (driver-balance tier): ONE
+        # ray.put array, passed by ObjectRef and auto-dereferenced by Ray
+        # into a zero-copy plasma-backed view shared by every worker —
+        # what lets walk/sample draws be a pure function of the LOGICAL
+        # graph under degree balancing (VERDICT r03 next #1).  None on
+        # identity handles and on the distributed-permutation tier.
+        self._inv = np.asarray(inv_ref) if inv_ref is not None else None
+        self._wdst = None
         indptr = indices = None
         if shard is None and shard_file is not None:
             shard = pq.read_table(shard_file, filters=[("part_id", "=", part)])
@@ -125,6 +134,26 @@ class ShardWorkerImpl:
         row = np.repeat(np.arange(idx.size, dtype=np.int64), counts)
         eidx = np.repeat(starts, counts) + (pos - np.repeat(cum, counts))
         return self.indices[eidx], row
+
+    def _walk_dst(self) -> np.ndarray:
+        """Per-row neighbor array in LOGICAL-id order — the array walk /
+        corpus / index / sample draws index with their CSR slot.  CSR
+        rows are built sorted by engine dst (stages/csr.py lexsort), so
+        on identity handles this IS ``self.indices`` (alias, zero cost)
+        and behavior is bit-identical to before.  Under a driver-side
+        degree permutation the rows are re-sorted by logical dst once
+        (lazy, one lexsort of the shard), making every neighbor draw a
+        pure function of the logical graph — balanced and identity
+        handles then produce bit-identical walks for the same seed."""
+        if self._wdst is None:
+            if self._inv is None:
+                self._wdst = self.indices
+            else:
+                edge_row = np.repeat(
+                    np.arange(self.n_local, dtype=np.int64), self.out_deg)
+                order = np.lexsort((self._inv[self.indices], edge_row))
+                self._wdst = self.indices[order]
+        return self._wdst
 
     def _route_add(self, dst: np.ndarray, vals: np.ndarray, apply_local_sparse):
         """Sum-aggregate (dst, vals) per destination partition; apply own
@@ -332,7 +361,11 @@ class ShardWorkerImpl:
         total = int(omega_v.sum())
         cum = np.concatenate([[0], np.cumsum(omega_v[:-1])])
         k_in_origin = np.arange(total, dtype=np.int64) - np.repeat(cum, omega_v)
-        wkey = mix64(np.uint64(seed), mix64(cur.astype(np.uint64), k_in_origin.astype(np.uint64)))
+        # keys derive from LOGICAL origin ids (== engine on identity
+        # handles, so bit-identical to before): walks become a pure
+        # function of the logical graph under degree balancing
+        lg = np.repeat(self.logical_ids[idx], omega_v)
+        wkey = mix64(np.uint64(seed), mix64(lg.astype(np.uint64), k_in_origin.astype(np.uint64)))
         self._pending = (cur, wt, wkey)
         r[idx] = 0.0
         self.counters["walks"] += total
@@ -410,7 +443,7 @@ class ShardWorkerImpl:
         if ok.any():
             u2 = rng_uniform(mix64(wkey[ok], np.full(int(ok.sum()), np.uint64(2 * hop + 1), np.uint64)))
             choice = np.minimum((u2 * d[ok]).astype(np.int64), d[ok] - 1)
-            nxt[ok] = self.indices[self.indptr[loc[ok]] + choice]
+            nxt[ok] = self._walk_dst()[self.indptr[loc[ok]] + choice]
         meta["alive"] = int(cur.size)
         # route walkers by owner of next node
         payloads = [None] * self.P
@@ -474,8 +507,9 @@ class ShardWorkerImpl:
         """Advance pending corpus walkers one uniform hop.  A walker at a
         node with out_deg == 0 truncates (its walk simply ends — shorter
         trace, no restart).  Draw: u = rng(mix64(key, hop)); neighbor =
-        CSR row slot floor(u*d) (rows are sorted by engine dst id, ==
-        logical order under the identity permutation the driver asserts)."""
+        slot floor(u*d) of the row's neighbors in LOGICAL-id order
+        (_walk_dst), so the trace is a pure function of the logical
+        graph under identity and driver-balanced permutations alike."""
         meta = {"alive": 0}
         if getattr(self, "_cpending", None) is None:
             return tuple([meta] + [None] * self.P)
@@ -489,7 +523,7 @@ class ShardWorkerImpl:
         cur, wid, key, loc, d = cur[alive], wid[alive], key[alive], loc[alive], d[alive]
         u = rng_uniform(mix64(key, np.full(key.size, np.uint64(hop), np.uint64)))
         choice = np.minimum((u * d).astype(np.int64), d - 1)
-        nxt = self.indices[self.indptr[loc] + choice]
+        nxt = self._walk_dst()[self.indptr[loc] + choice]
         meta["alive"] = int(nxt.size)
         self.counters["walk_hops"] += int(nxt.size)
         payloads = [None] * self.P
@@ -587,35 +621,43 @@ class ShardWorkerImpl:
     def sample_neighbors(self, frontier: np.ndarray, fanout: int,
                          seed: int, hop: int) -> pa.Table:
         """Deterministic up-to-`fanout` neighbor sample for the frontier
-        nodes this shard owns.  Selection = the `fanout` smallest values
-        of mix64(mix64(seed_hop, src), dst) per src — a fixed hash-rank
-        order over (src, dst), so the sample is independent of partition
-        count, batch order and fanout history (requires the identity
-        permutation, which the driver asserts: engine id == logical id).
-        One ragged gather + one lexsort per call; never materializes
-        non-sampled edges beyond this shard's frontier adjacency."""
+        nodes this shard owns (ENGINE ids in, table out).  Selection =
+        the `fanout` smallest values of mix64(mix64(seed_hop, src_l),
+        dst_l) per src, keyed on LOGICAL ids — a fixed total order over
+        logical (src, dst), so the sample is independent of partition
+        count, batch order, fanout history AND the handle's degree
+        permutation (logical == engine on identity handles, so output is
+        bit-identical to before).  Returned columns: (src, dst) logical
+        pairs plus dst_e, the engine id the driver routes the next hop's
+        frontier with.  One ragged gather + one lexsort per call; never
+        materializes non-sampled edges beyond this shard's frontier
+        adjacency."""
         src = np.asarray(frontier, dtype=np.int64)
         src = src[src % self.P == self.part]
         empty = pa.table({"src": pa.array([], pa.int64()),
-                          "dst": pa.array([], pa.int64())})
+                          "dst": pa.array([], pa.int64()),
+                          "dst_e": pa.array([], pa.int64())})
         if src.size == 0:
             return empty
         loc = src // self.P
         dsts, row = self._gather_edges(loc)
         if dsts.size == 0:
             return empty
+        src_l = self.logical_ids[loc]
+        dst_l = self._inv[dsts] if self._inv is not None else dsts
         seed_hop = mix64(np.uint64(seed), np.uint64(hop))
         keys = mix64(mix64(np.full(dsts.size, seed_hop, np.uint64),
-                           src[row].astype(np.uint64)),
-                     dsts.astype(np.uint64))
+                           src_l[row].astype(np.uint64)),
+                     dst_l.astype(np.uint64))
         order = np.lexsort((keys, row))
         r_sorted = row[order]
         counts = np.bincount(row, minlength=loc.size)
         starts = np.concatenate([[0], np.cumsum(counts[:-1])])
         pos_in_row = np.arange(dsts.size, dtype=np.int64) - starts[r_sorted]
         keep = order[pos_in_row < fanout]
-        return pa.table({"src": pa.array(src[row[keep]]),
-                         "dst": pa.array(dsts[keep])})
+        return pa.table({"src": pa.array(src_l[row[keep]]),
+                         "dst": pa.array(dst_l[keep]),
+                         "dst_e": pa.array(dsts[keep])})
 
     # ---- G5 backward push (BiPPR; weighted reverse CSR) -------------------
     def bpush_round(self, rmax: float, sweep_all: bool):
@@ -804,9 +846,10 @@ class ShardWorkerImpl:
         total = int(omega_v.sum())
         cum = np.concatenate([[0], np.cumsum(omega_v[:-1])])
         k_in = np.arange(total, dtype=np.int64) - np.repeat(cum, omega_v)
+        lg = np.repeat(self.logical_ids[loc], omega_v)  # logical origins
         wkey = mix64(
             mix64(np.uint64(seed), qidx.astype(np.uint64)),
-            mix64(cur.astype(np.uint64), k_in.astype(np.uint64)),
+            mix64(lg.astype(np.uint64), k_in.astype(np.uint64)),
         )
         self._bpending = (cur, qidx, wt, wkey)
         R[loc, qs] = 0.0
@@ -839,7 +882,7 @@ class ShardWorkerImpl:
         if ok.any():
             u2 = rng_uniform(mix64(wkey[ok], np.full(int(ok.sum()), np.uint64(2 * hop + 1), np.uint64)))
             choice = np.minimum((u2 * d[ok]).astype(np.int64), d[ok] - 1)
-            nxt[ok] = self.indices[self.indptr[loc[ok]] + choice]
+            nxt[ok] = self._walk_dst()[self.indptr[loc[ok]] + choice]
         meta["alive"] = int(cur.size)
         payloads = [None] * self.P
         owner = nxt % self.P
@@ -891,7 +934,8 @@ class ShardWorkerImpl:
         origin = np.repeat(self.global_ids, K)
         cum = np.concatenate([[0], np.cumsum(K[:-1])])
         kidx = np.arange(total, dtype=np.int64) - np.repeat(cum, K)
-        wkey = mix64(np.uint64(seed) ^ np.uint64(0xF0F0), mix64(origin.astype(np.uint64), kidx.astype(np.uint64)))
+        lg = np.repeat(self.logical_ids, K)  # logical-keyed (== engine on identity)
+        wkey = mix64(np.uint64(seed) ^ np.uint64(0xF0F0), mix64(lg.astype(np.uint64), kidx.astype(np.uint64)))
         self._ipending = (origin.copy(), origin, kidx, wkey)  # (cur, origin, kidx, key)
         return total
 
@@ -924,7 +968,7 @@ class ShardWorkerImpl:
         if cur.size:
             u2 = rng_uniform(mix64(wkey, np.full(len(wkey), np.uint64(2 * hop + 1), np.uint64)))
             choice = np.minimum((u2 * d).astype(np.int64), d - 1)
-            nxt = self.indices[self.indptr[loc] + choice]
+            nxt = self._walk_dst()[self.indptr[loc] + choice]
             owner = nxt % self.P
             for p in np.unique(owner):
                 m = owner == p
@@ -1079,7 +1123,9 @@ class ShardWorkerImpl:
         wt = np.full(k, mass / k)
         cur = np.full(k, source, dtype=np.int64)
         kidx = np.arange(k, dtype=np.int64)
-        wkey = mix64(np.uint64(seed) ^ np.uint64(0xABCD), mix64(cur.astype(np.uint64), kidx.astype(np.uint64)))
+        lsrc = np.uint64(self.logical_ids[source // self.P])  # logical key stream
+        wkey = mix64(np.uint64(seed) ^ np.uint64(0xABCD),
+                     mix64(np.full(k, lsrc, np.uint64), kidx.astype(np.uint64)))
         self._append_walkers((cur, wt, wkey))
         return k
 
@@ -1112,8 +1158,9 @@ class ShardWorkerImpl:
             return 0
         origin = np.repeat(mine, pool_size)
         kidx = np.tile(np.arange(pool_size, dtype=np.int64), mine.size)
+        lg = np.repeat(self.logical_ids[mine // self.P], pool_size)  # logical keys
         wkey = mix64(np.uint64(seed) ^ np.uint64(0x4855),
-                     mix64(origin.astype(np.uint64), kidx.astype(np.uint64)))
+                     mix64(lg.astype(np.uint64), kidx.astype(np.uint64)))
         self._ipending = (origin.copy(), origin, kidx, wkey)
         return int(origin.size)
 
@@ -1213,14 +1260,16 @@ class ShardWorkerImpl:
         return tuple([meta] + payloads_out)
 
     def top_degree_local(self, k: int):
-        """This shard's top-k (out_deg desc, engine id asc) — exact local
-        sort, so the driver merge of P*k candidates is deterministic."""
+        """This shard's top-k (out_deg desc, LOGICAL id asc) — exact
+        local sort, so the driver merge of P*k candidates is
+        deterministic and permutation-invariant (logical == engine on
+        identity handles).  Returns LOGICAL ids."""
         d = self.out_deg
         k = min(int(k), int(d.size))
         if k <= 0:
             return np.empty(0, np.int64), np.empty(0, np.int64)
-        order = np.lexsort((self.global_ids, -d))[:k]
-        return self.global_ids[order], d[order].astype(np.int64)
+        order = np.lexsort((self.logical_ids, -d))[:k]
+        return self.logical_ids[order], d[order].astype(np.int64)
 
     # ---- P=1 local fast path ----------------------------------------------
     def local_query(self, source, mode: str, rmax: float, omega: float,
@@ -1920,6 +1969,18 @@ def _degrees_frame(degrees_ds):
     )
 
 
+def _relabel_edges(edges_ds, perm_ref):
+    """Relabel (src, dst) through a ray.put logical->engine permutation."""
+
+    def relabel(t: pa.Table) -> pa.Table:
+        pm = ray.get(perm_ref)
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(pm[src]), "dst": pa.array(pm[dst])})
+
+    return edges_ds.map_batches(relabel, batch_format="pyarrow")
+
+
 def _driver_degree_balance(edges_ds, n: int, degrees_ds=None):
     """Degree-descending rank permutation built on the driver (one O(n)
     int64 array — the fast path below GraphHandle's balance_threshold).
@@ -1941,15 +2002,7 @@ def _driver_degree_balance(edges_ds, n: int, degrees_ds=None):
     order = np.lexsort((np.arange(n), -deg))  # degree desc, id asc
     perm = np.empty(n, dtype=np.int64)
     perm[order] = np.arange(n)  # logical -> engine (rank)
-    perm_ref = ray.put(perm)
-
-    def relabel(t: pa.Table) -> pa.Table:
-        pm = ray.get(perm_ref)
-        src = t["src"].to_numpy(zero_copy_only=False)
-        dst = t["dst"].to_numpy(zero_copy_only=False)
-        return pa.table({"src": pa.array(pm[src]), "dst": pa.array(pm[dst])})
-
-    return edges_ds.map_batches(relabel, batch_format="pyarrow"), perm, order
+    return _relabel_edges(edges_ds, ray.put(perm)), perm, order
 
 
 def _distributed_degree_balance(edges_ds, n: int, P: int,
@@ -2057,9 +2110,11 @@ class GraphHandle:
     query sources are translated once on the driver (``to_engine``)."""
 
     def __init__(self, workers, n: int, m: int, P: int, alpha: float = 0.2,
-                 perm: np.ndarray | None = None):
+                 perm: np.ndarray | None = None,
+                 inv: np.ndarray | None = None):
         self.workers, self.n, self.m, self.P, self.alpha = workers, n, m, P, alpha
         self.perm = perm  # logical -> engine, or None (identity)
+        self.inv = inv    # engine -> logical, or None
 
     def to_engine(self, v: int) -> int:
         if self.perm is not None:
@@ -2070,12 +2125,37 @@ class GraphHandle:
             return int(ray.get(self.workers[int(v) % self.P].lookup_engine.remote(int(v))))
         return int(v)
 
+    def to_engine_array(self, arr) -> np.ndarray:
+        """Vectorized logical -> engine translation (driver-perm tier)."""
+        arr = np.asarray(arr, dtype=np.int64)
+        if self.perm is not None:
+            return self.perm[arr]
+        if getattr(self, "remote_perm", False):
+            raise ValueError(
+                "vectorized id translation is not available on the "
+                "distributed-permutation tier; pass a driver-side balanced "
+                "handle (n <= balance_threshold) for this operator")
+        return arr
+
+    def same_perm_as(self, other: "GraphHandle") -> bool:
+        """True when both handles map logical ids to the SAME engine ids
+        (both identity, or built from one shared driver permutation) —
+        the contract the shard-aligned pairwise ops (bippr / hubppr /
+        hits / scc) need so local indices pair 1:1 across the pools."""
+        if getattr(self, "remote_perm", False) or getattr(other, "remote_perm", False):
+            return False
+        if self.perm is None and other.perm is None:
+            return True
+        return self.perm is not None and self.perm is other.perm
+
     @classmethod
     def from_edges(cls, edges_ds, n: int, P: int = 8, alpha: float = 0.2,
                    m: int | None = None, worker_num_cpus: float = 0,
                    balance: str | None = None,
                    balance_threshold: int = 20_000_000,
-                   degrees=None, prewarm: bool = False):
+                   degrees=None, prewarm: bool = False,
+                   perm: np.ndarray | None = None,
+                   inv: np.ndarray | None = None):
         """Build CSR shards with one groupby shuffle, hand each actor a
         zero-copy ref to the block holding its partition.
 
@@ -2098,13 +2178,20 @@ class GraphHandle:
         worker heap that walk-mode-only handles never need."""
         from ..stages.csr import build_csr_shards
 
-        perm = inv = None
         logical_refs = perm_refs = None
-        if balance == "degree" and n > balance_threshold:
+        if perm is not None:
+            # externally shared permutation (pairwise fwd/rev handle
+            # pairs: hits / scc / bippr / hubppr under degree balancing)
+            if inv is None:
+                inv = np.empty(n, dtype=np.int64)
+                inv[perm] = np.arange(n)
+            edges_ds = _relabel_edges(edges_ds, ray.put(perm))
+        elif balance == "degree" and n > balance_threshold:
             edges_ds, logical_refs, perm_refs = _distributed_degree_balance(
                 edges_ds, n, P, degrees_ds=degrees)
         elif balance == "degree":
             edges_ds, perm, inv = _driver_degree_balance(edges_ds, n, degrees_ds=degrees)
+        inv_ref = ray.put(inv) if inv is not None else None
 
         shards = build_csr_shards(edges_ds, n, P).materialize()
         refs = shards.to_arrow_refs()
@@ -2123,12 +2210,13 @@ class GraphHandle:
                 logical_ids=(inv[p::P] if inv is not None else None),
                 logical_block=(logical_refs.get(p) if logical_refs else None),
                 perm_block=(perm_refs.get(p) if perm_refs else None),
+                inv_ref=inv_ref,
             )
             for p in range(P)
         ]
         if m is None:
             m = edges_ds.count()
-        handle = cls(workers, n, m, P, alpha, perm=perm)
+        handle = cls(workers, n, m, P, alpha, perm=perm, inv=inv)
         handle.remote_perm = logical_refs is not None
         if prewarm:
             # refs kept on the handle so the calls are never cancelled;
@@ -2152,13 +2240,27 @@ class GraphHandle:
 
     @classmethod
     def from_reverse_edges(cls, edges_ds, n: int, P: int = 8, alpha: float = 0.2,
-                           m: int | None = None, strategy: str = "auto"):
+                           m: int | None = None, strategy: str = "auto",
+                           perm: np.ndarray | None = None,
+                           inv: np.ndarray | None = None):
         """Weighted reverse-graph handle for backward push (G5/BiPPR).
         Edge weights = 1/out_deg(original source), baked into the shards.
         strategy='broadcast' ships the degree vector once (fast path);
         'join' attaches weights by a degrees hash join and derives the
         dangling self-loops by range anti-join — no O(n) driver array
-        (the 10^12-node path).  'auto' switches on n."""
+        (the 10^12-node path).  'auto' switches on n.
+
+        `perm`/`inv`: share a forward handle's degree permutation (pass
+        ``fwd.perm``, ``fwd.inv``) so the reverse pool is shard-aligned
+        with it — edges are relabeled BEFORE weights are derived
+        (out-degree is permutation-invariant, so the weights are the
+        same numbers attached to relabeled ids)."""
+        if perm is not None:
+            if inv is None:
+                inv = np.empty(n, dtype=np.int64)
+                inv[perm] = np.arange(n)
+            edges_ds = _relabel_edges(edges_ds, ray.put(perm))
+        inv_ref = ray.put(inv) if inv is not None else None
         if strategy == "auto":
             strategy = "broadcast" if n <= 50_000_000 else "join"
         if strategy == "join":
@@ -2185,12 +2287,16 @@ class GraphHandle:
             for p in parts:
                 ref_of_part[p] = ref
         workers = [
-            ShardWorker.remote(p, P, n, shard=ref_of_part.get(p), alpha=alpha)
+            ShardWorker.remote(
+                p, P, n, shard=ref_of_part.get(p), alpha=alpha,
+                logical_ids=(inv[p::P] if inv is not None else None),
+                inv_ref=inv_ref,
+            )
             for p in range(P)
         ]
         if m is None:
             m = edges_ds.count()
-        return cls(workers, n, m, P, alpha)
+        return cls(workers, n, m, P, alpha, perm=perm, inv=inv)
 
     @classmethod
     def from_dir(cls, shard_dir: str, alpha: float = 0.2):

@@ -446,10 +446,12 @@ def test_hits_star_and_guards():
          GraphHandle.from_edges(_rev_dataset(edges), n, P=2) as hr:
         _, stats = alg.hits(hf, hr, max_iters=50, tol=1e-12)
         assert stats["iters"] < 10
-    # permutation guard: balanced handles are refused
+    # permutation guard: MISMATCHED pairs are refused (balanced fwd +
+    # identity rev); a shared permutation is accepted and bit-compatible
+    # (test_extension_ops_on_balanced_handles)
     with GraphHandle.from_edges(to_dataset(edges), n, P=2, balance="degree") as hb, \
          GraphHandle.from_edges(_rev_dataset(edges), n, P=2) as hr:
-        with pytest.raises(ValueError, match="identity permutation"):
+        with pytest.raises(ValueError, match="same"):
             alg.hits(hb, hr)
 
 

@@ -103,14 +103,17 @@ def test_hubppr_deterministic_across_runs(graph600):
         hr.close()
 
 
-def test_hubppr_refuses_degree_balanced_handles(graph600):
+def test_hubppr_refuses_mismatched_permutations(graph600):
+    # balanced forward + identity reverse: local indices would pair
+    # DIFFERENT nodes across the pools — must refuse (a shared perm is
+    # accepted; see test_extension_ops_on_balanced_handles)
     edges, n = graph600
     hf = GraphHandle.from_edges(to_dataset(edges), n, P=2, balance="degree")
     hr = GraphHandle.from_reverse_edges(to_dataset(edges), n, P=2)
     try:
         import pytest
 
-        with pytest.raises(ValueError, match="identity-permutation"):
+        with pytest.raises(ValueError, match="same"):
             alg.hubppr(hf, hr, 0, 1)
     finally:
         hf.close()

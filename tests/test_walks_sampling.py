@@ -93,11 +93,28 @@ def test_walk_corpus_truncates_at_dangling(ray_session):
         assert g["step"].tolist() == list(range(len(g)))
 
 
-def test_walk_corpus_requires_identity(graph600, ray_session):
+def test_walk_corpus_balanced_matches_identity(graph600, ray_session):
+    """Degree-balanced handles produce the bit-identical corpus: keys
+    derive from logical walk_ids and neighbor slots index the row's
+    neighbors in logical order (VERDICT r03 next #1)."""
     edges, n = graph600
-    h = GraphHandle.from_edges(to_dataset(edges), n, P=2, balance="degree")
+    hi = GraphHandle.from_edges(to_dataset(edges), n, P=2)
+    hb = GraphHandle.from_edges(to_dataset(edges), n, P=3, balance="degree")
     try:
-        with pytest.raises(ValueError, match="identity"):
+        di, _ = _corpus_df(hi, nwalks=2, walk_len=4, seed=11)
+        db, _ = _corpus_df(hb, nwalks=2, walk_len=4, seed=11)
+        assert di.equals(db)
+    finally:
+        hi.close()
+        hb.close()
+
+
+def test_walk_corpus_refuses_distributed_perm(graph600, ray_session):
+    edges, n = graph600
+    h = GraphHandle.from_edges(to_dataset(edges), n, P=2, balance="degree",
+                               balance_threshold=0)
+    try:
+        with pytest.raises(ValueError, match="distributed"):
             alg.random_walk_corpus(h)
     finally:
         h.close()
