@@ -41,7 +41,7 @@ from .oracle import lpa_oracle, ppr_column_oracle, ppr_power_iteration
 
 ROUND = 9
 _WORD = re.compile(r"\w+")
-_VERSION = 17  # v17: + harmonic centrality reference
+_VERSION = 18  # v18: topk_ppr push-state reuse (protocol_ref Alg.5 shape)
 
 
 def _round_col(x: np.ndarray) -> np.ndarray:

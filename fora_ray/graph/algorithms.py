@@ -120,11 +120,12 @@ def _push_loop(handle, source, rmax: float, sweep_all: bool, tol: float = 1e-12,
     return stats
 
 
-def _walk_loop(handle, omega: float, seed: int, source) -> dict:
+def _walk_loop(handle, omega: float, seed: int, source, fold: bool = True) -> dict:
     """Monte-Carlo walk phase (G2): message rounds until no walker alive.
     Expected O(1/alpha) rounds; each walker's RNG stream is a pure
     function of (seed, origin, walk index, hop).  Combined apply+step
-    rounds (walk_round2) — one barrier per hop."""
+    rounds (walk_round2) — one barrier per hop.  fold=False leaves the
+    hits in acc (top-k trials read reserve + acc without folding)."""
     import ray as _ray
 
     P = handle.P
@@ -139,7 +140,8 @@ def _walk_loop(handle, omega: float, seed: int, source) -> dict:
         outs = calls
         alive = sum(m["alive"] for m in metas)
         hop += 1
-    handle.call_all("walk_fold")
+    if fold:
+        handle.call_all("walk_fold")
     return {"walks": total, "hops": hop}
 
 
@@ -836,27 +838,55 @@ def topk_ppr(handle, source: int, k: int, eps: float = 0.5, seed: int = 42,
              pfail: float | None = None, max_iters: int = 8,
              use_index: bool = False):
     """G7 — top-k SSPPR with confidence-bound early termination (paper
-    section 4, Alg.4/5 structure): run FORA at geometrically tightening
+    section 4, Alg.4/5 structure): FORA at geometrically tightening
     delta (delta_0 = 1/k, /4 each trial).  At guarantee level
     (eps, delta), every estimate above delta satisfies
     |pi_hat - pi| <= eps*pi, so pi lies in
     [pi_hat/(1+eps), pi_hat/(1-eps)]; estimates below delta are bounded
     above by delta*(1+eps).  Both bounds are monotone in pi_hat, so the
     stop test is LB(k-th) >= UB((k+1)-th) — the k-th candidate provably
-    beats every non-candidate.  Returns (topk Dataset (node_id, ppr)
-    sorted desc, stats)."""
+    beats every non-candidate.
+
+    PUSH STATE IS REUSED ACROSS TRIALS (paper Alg.5; VERDICT r03 #3):
+    trial i+1 continues draining the trial-i (reserve, residual) state
+    at the halved rmax instead of re-pushing from e_s — each trial only
+    pays the incremental push frontier.  The walk phase runs on a
+    residual SNAPSHOT into the separate acc accumulator (estimate =
+    reserve + acc, never folded), so a non-converged trial restores the
+    residual, clears acc and re-walks at the 4x omega.  Replayed
+    bit-exactly by protocol_ref.ShardedFora.topk_ppr (the driver
+    golden).  Returns (topk Dataset (node_id, ppr) sorted desc, stats).
+    """
+    src_e = handle.to_engine(source)
+    handle.call_all("ppr_init", src_e)
     delta = max(1.0 / max(k, 1), 1.0 / handle.n)
-    stats: dict = {"iters": 0, "converged": False}
+    stats: dict = {"iters": 0, "converged": False,
+                   "push_rounds": 0, "walks": 0}
     scores = None
     for i in range(max_iters):
+        p = fora_params(handle.n, handle.m, eps, delta, pfail)
+        pst = _push_loop(handle, src_e, rmax=p["rmax"], sweep_all=False)
+        stats["push_rounds"] += pst["rounds"]
+        handle.call_all("residual_snapshot")
+        wseed = (seed + i) ^ (source * 0x9E3779B9)
         if use_index:
-            scores, st = fora_ssppr_indexed(handle, source, eps=eps, delta=delta,
-                                            pfail=pfail, seed=seed + i)
+            metas, _ = handle._exchange("walk_from_index", "apply_acc", p["omega"])
+            restart_mass = sum(m["restart"] for m in metas)
+            stats["walks"] += sum(m["used"] for m in metas)
+            if restart_mass > 0:
+                count = max(int(math.ceil(restart_mass * p["omega"])), 1)
+                handle.call_all("spawn_live_walks", src_e, restart_mass, count, wseed)
+                hop, alive = 0, count
+                while alive > 0:
+                    ms, _ = handle._exchange("walk_round", "apply_walkers", hop, src_e)
+                    alive = sum(m["alive"] for m in ms)
+                    hop += 1
         else:
-            scores, st = personalized_pagerank(handle, source, mode="fora", eps=eps,
-                                               delta=delta, pfail=pfail, seed=seed + i)
+            wst = _walk_loop(handle, p["omega"], wseed, src_e, fold=False)
+            stats["walks"] += wst["walks"]
         stats["iters"] = i + 1
         stats["delta"] = delta
+        scores = handle.scores_est_dataset()
         top = (
             scores.sort(["ppr", "node_id"], descending=[True, False])
             .limit(k + 1).to_pandas()
@@ -874,6 +904,8 @@ def topk_ppr(handle, source: int, k: int, eps: float = 0.5, seed: int = 42,
                 break
         if at_floor:
             break
+        handle.call_all("residual_restore")
+        handle.call_all("clear_acc")
         delta = max(delta / 4.0, 1.0 / handle.n)
     # deterministic selection AND ordering among exactly-tied scores
     return scores.sort(["ppr", "node_id"], descending=[True, False]).limit(k), stats

@@ -476,6 +476,37 @@ class ShardWorkerImpl:
         self.acc[:] = 0.0
         return True
 
+    # ---- G7 top-k state reuse (paper Alg.4/5 shape; VERDICT r03 #3) -------
+    def residual_snapshot(self):
+        """Copy the residual before a walk phase consumes it, so a
+        non-converged top-k trial can RESUME pushing from the same
+        state at the next (tighter) rmax instead of replaying the whole
+        push from the source."""
+        self._rsnap = self.residual.copy()
+        return True
+
+    def residual_restore(self):
+        self.residual = self._rsnap
+        self._rsnap = None
+        return True
+
+    def clear_acc(self):
+        """Reset the walk accumulator between top-k trials (each trial
+        re-runs its walks at the new omega from the restored residual)."""
+        self.acc[:] = 0.0
+        return True
+
+    def get_scores_est(self, nonzero_only: bool = True) -> pa.Table:
+        """reserve + acc WITHOUT folding — the top-k trial estimate,
+        leaving reserve clean for further incremental pushes."""
+        vals = self.reserve + self.acc
+        if nonzero_only:
+            nz = np.nonzero(vals)[0]
+            return pa.table(
+                {"node_id": pa.array(self.logical_ids[nz]), "ppr": pa.array(vals[nz])}
+            )
+        return pa.table({"node_id": pa.array(self.logical_ids), "ppr": pa.array(vals)})
+
     # ---- random-walk corpus generation (DeepWalk-style training data) -----
     def corpus_init(self, nwalks: int, seed: int):
         """Spawn `nwalks` fixed-length walkers at every local node.
@@ -2342,6 +2373,11 @@ class GraphHandle:
 
     def scores_dataset(self, nonzero_only: bool = True):
         refs = [w.get_scores.remote(nonzero_only) for w in self.workers]
+        return ray.data.from_arrow_refs(refs)
+
+    def scores_est_dataset(self, nonzero_only: bool = True):
+        """reserve + acc estimates (unfolded top-k trials)."""
+        refs = [w.get_scores_est.remote(nonzero_only) for w in self.workers]
         return ray.data.from_arrow_refs(refs)
 
     def labels_dataset(self):

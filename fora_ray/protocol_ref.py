@@ -523,13 +523,26 @@ class ProtocolSim:
 
     def topk_ppr(self, source: int, k: int, seed: int = 42, eps: float = 0.5,
                  pfail: float | None = None, max_iters: int = 8):
-        """Mirrors algorithms.topk_ppr's tightening-delta driver loop.
+        """Mirrors algorithms.topk_ppr's tightening-delta driver loop
+        WITH push-state reuse (paper Alg.5 shape): each trial continues
+        the previous trial's (reserve, residual) push at the halved
+        rmax; walks run per trial on a residual snapshot and accumulate
+        into a cleared acc (estimate = reserve + acc, never folded).
         Returns (node_ids, ppr) of the final top-k, sorted
         (ppr desc, node_id asc)."""
         delta = max(1.0 / max(k, 1), 1.0 / self.n)
+        for sh in self.shards:
+            sh.init_single(source)
         est = None
         for i in range(max_iters):
-            est = self.fora_ppr(source, seed=seed + i, eps=eps, delta=delta, pfail=pfail)
+            p = fora_params(self.n, self.m, eps, delta, pfail)
+            self._push_loop(source, p["rmax"])
+            snaps = [sh.residual.copy() for sh in self.shards]
+            acc = np.zeros(self.n)
+            cur, wt, key = self._spawn_from_residual(
+                p["omega"], (seed + i) ^ (source * 0x9E3779B9))
+            self._walk(cur, wt, key, source, acc)
+            est = self._reserve_dense() + acc
             nz = np.nonzero(est)[0]
             order = nz[np.lexsort((nz, -est[nz]))][: k + 1]
             vals = est[order]
@@ -544,6 +557,8 @@ class ProtocolSim:
                     break
             if at_floor:
                 break
+            for sh, snap in zip(self.shards, snaps):
+                sh.residual = snap
             delta = max(delta / 4.0, 1.0 / self.n)
         nz = np.nonzero(est)[0]
         order = nz[np.lexsort((nz, -est[nz]))][:k]

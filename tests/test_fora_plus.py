@@ -61,6 +61,27 @@ def test_topk_precision(graph600):
     assert precision >= 0.95  # paper reports ~1.0 at eps=0.5
 
 
+def test_topk_reuses_push_state(graph600):
+    """Trial i+1 continues the trial-i push instead of replaying it: the
+    total push count across all tightening trials must undercut what
+    fresh per-trial FORA runs at the same deltas pay (VERDICT r03 #3)."""
+    edges, n = graph600
+    src, k = 0, 10
+    with GraphHandle.from_edges(to_dataset(edges), n, P=2) as h:
+        _top, stats = alg.topk_ppr(h, src, k=k, seed=1)
+        reuse_pushes = h.counters()["pushes"]
+        iters = stats["iters"]
+    assert iters >= 2, "fixture topk should take multiple trials"
+    fresh_pushes = 0
+    delta = max(1.0 / k, 1.0 / n)
+    with GraphHandle.from_edges(to_dataset(edges), n, P=2) as h:
+        for i in range(iters):
+            alg.personalized_pagerank(h, src, mode="fwdpush", delta=delta)
+            fresh_pushes += h.counters()["pushes"]
+            delta = max(delta / 4.0, 1.0 / n)
+    assert reuse_pushes < fresh_pushes, (reuse_pushes, fresh_pushes)
+
+
 def test_index_load_rejects_mismatched_P(graph600, tmp_path):
     edges, n = graph600
     with GraphHandle.from_edges(to_dataset(edges), n, P=2) as h:
