@@ -306,6 +306,41 @@ def _queries_documents():
 
         return feats.map_batches(widen, batch_format="pyarrow").sort("media_id")
 
+    def multimodal_decode_q(sf_dir):
+        """REAL stdlib-codec decode end-to-end (no fake features): a
+        deterministic synthetic corpus of BMP/PPM images and PCM-16 WAV
+        clips flows payload -> actor-pool decode -> pixel/sample
+        statistics.  The golden regenerates the SOURCE arrays from the
+        same RNG stream and featurizes them WITHOUT the codecs
+        (fora_ray/goldens.py multimodal_decode_golden)."""
+        import pyarrow as pa
+        import ray
+
+        from fora_ray.goldens import ROUND
+        from fora_ray.pipelines.multimodal import (
+            decode_audio, decode_images, synthesize_media_table)
+
+        media = ray.data.from_arrow(synthesize_media_table(60, seed=7, real=True))
+        dim = 16
+
+        def widen(kind):
+            def _w(t: pa.Table) -> pa.Table:
+                M = np.round(np.stack(
+                    [np.asarray(v, np.float64) for v in t["features"].to_pylist()]
+                ), ROUND) if t.num_rows else np.zeros((0, dim))
+                out = {"media_id": t["media_id"],
+                       "kind": pa.array([kind] * t.num_rows, pa.string())}
+                for j in range(dim):
+                    out[f"f{j}"] = pa.array(M[:, j], pa.float64())
+                return pa.table(out)
+            return _w
+
+        imgs = decode_images(media, fake=False).map_batches(
+            widen("image"), batch_format="pyarrow")
+        auds = decode_audio(media, fake=False).map_batches(
+            widen("audio"), batch_format="pyarrow")
+        return imgs.union(auds).sort("media_id")
+
     def dup_clusters_q(sf_dir):
         from fora_ray.pipelines.dedup import dup_clusters
 
@@ -346,6 +381,7 @@ def _queries_documents():
         "embedding_dups": embedding_dups_q,
         "dup_clusters": dup_clusters_q,
         "multimodal_features": multimodal_features_q,
+        "multimodal_decode": multimodal_decode_q,
         "docs_exact_dedup": lambda sf: exact_dedup(_docs(sf)),
         "decontaminate": decontaminate_q,
         "redact_pii": redact_pii_q,
@@ -1232,6 +1268,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "multimodal_features": (
             f"SELECT * FROM read_parquet('{gold['multimodal_features']}') "
+            "ORDER BY media_id"
+        ),
+        "multimodal_decode": (
+            f"SELECT * FROM read_parquet('{gold['multimodal_decode']}') "
             "ORDER BY media_id"
         ),
         "curation": (

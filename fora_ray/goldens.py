@@ -41,7 +41,7 @@ from .oracle import lpa_oracle, ppr_column_oracle, ppr_power_iteration
 
 ROUND = 9
 _WORD = re.compile(r"\w+")
-_VERSION = 18  # v18: topk_ppr push-state reuse (protocol_ref Alg.5 shape)
+_VERSION = 19  # v19: + real stdlib-codec multimodal decode golden
 
 
 def _round_col(x: np.ndarray) -> np.ndarray:
@@ -588,6 +588,58 @@ def multimodal_features_golden(sf_dir: str, dim: int = 16) -> pa.Table:
     return pa.table(out)
 
 
+def multimodal_decode_golden(sf_dir: str, n: int = 60, seed: int = 7,
+                             dim: int = 16) -> pa.Table:
+    """REAL-decode feature oracle, computed WITHOUT the codecs: replays
+    synthesize_media_table(real=True)'s RNG stream to regenerate the
+    SOURCE pixel/sample arrays, then featurizes them with independent
+    numpy (explicit deviation formula, repeat-based 2x upsample).  The
+    engine path goes pixels -> encode_bmp/ppm/wav -> binary column ->
+    actor-pool decode -> features; agreement proves the stdlib
+    encode/decode round-trip and the distributed featurization."""
+    rng = np.random.default_rng(seed)
+    ids, kinds_out, feats = [], [], []
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        if kind == "video":
+            rng.integers(0, 256, size=64 + (i % 5) * 32, dtype=np.uint8)
+            continue
+        if kind == "image":
+            img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+            img[:, :, 0] = np.linspace(0, 255, 16, dtype=np.uint8)[None, :]
+            # 16 -> 32 nearest-neighbor == each pixel repeated 2x2
+            small = np.repeat(np.repeat(img, 2, axis=0), 2, axis=1) / 255.0
+            flat = small.reshape(-1, 3)
+            mu = flat.sum(axis=0) / flat.shape[0]
+            var = ((flat - mu) ** 2).sum(axis=0) / flat.shape[0]
+            gray = small.mean(axis=2)
+            hist, _ = np.histogram(gray, bins=10, range=(0.0, 1.0))
+            f = np.concatenate([mu, np.sqrt(var), hist / gray.size])
+        else:
+            t = np.arange(400) / 8000.0
+            freq = 200.0 + float(rng.integers(0, 800))
+            wave = (8000.0 * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+            mono = wave.astype(np.float64) / 32768.0  # mono: mean of 1 ch
+            zc = float(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+            hist, _ = np.histogram(np.abs(mono), bins=8, range=(0.0, 1.0))
+            f = np.concatenate([
+                [mono.size / 8000.0, 8000.0 / 48000.0, 1.0,
+                 np.sqrt((mono ** 2).sum() / mono.size),
+                 mono.sum() / mono.size, np.std(mono),
+                 np.abs(mono).max(), zc / mono.size],
+                hist / mono.size,
+            ])
+        ids.append(i)
+        kinds_out.append(kind)
+        feats.append(f)
+    M = np.round(np.stack(feats), ROUND)
+    out = {"media_id": pa.array(ids, pa.int64()),
+           "kind": pa.array(kinds_out, pa.string())}
+    for j in range(dim):
+        out[f"f{j}"] = pa.array(M[:, j], pa.float64())
+    return pa.table(out)
+
+
 def ann_ivf_golden(sf_dir: str, k: int = 10, nq: int = 8, nlist: int = 16,
                    nprobe: int = 4, seed: int = 42, sample_size: int = 4096) -> pa.Table:
     """Single-process IVF replay.  Centroid fitting reuses the engine's
@@ -927,6 +979,7 @@ _DOC_GOLDENS = {
     "embedding_dups": embedding_dups_golden,
     "dup_clusters": dup_clusters_golden,
     "multimodal_features": multimodal_features_golden,
+    "multimodal_decode": multimodal_decode_golden,
     "decontaminate": decontaminate_golden,
 }
 

@@ -1,15 +1,17 @@
 """Multimodal column plumbing — image/audio/video as opaque binary
 columns with typed metadata (task brief).
 
-The container has no image/audio codecs, so the actual decode kernels
-are STUBS: ``decode_image``/``decode_audio`` raise NotImplementedError
-unless ``fake=True``, in which case a deterministic fake decoder (hash
-of the bytes -> fixed-shape feature vector) exercises the real Ray-side
-plumbing — schema, actor-pool signature, batch size, output layout —
-which is what the tests assert.
-
-Real deployments drop in Pillow/torchaudio inside Decoder.__init__ and
-keep everything else unchanged.
+Decode tiers:
+- fake=True: deterministic hash-of-bytes feature vector — exercises the
+  Ray-side plumbing (schema, actor-pool signature, batch size, output
+  layout) for payloads in formats this sandbox cannot decode.
+- fake=False: REAL decode for the stdlib-decodable formats
+  (functions/codecs.py: uncompressed BMP, binary PPM, PCM-16 WAV) —
+  pixels/samples -> feature vectors end-to-end (VERDICT r03 next #7).
+  Compressed formats (PNG/JPEG/MP3/MP4) raise ValueError per row-batch:
+  real deployments drop Pillow/torchaudio into Decoder.__init__ and
+  keep everything else unchanged.  Video container parsing stays a
+  declared stub (FrameSampler indexes frames without decoding).
 """
 
 from __future__ import annotations
@@ -18,6 +20,8 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+
+from ..functions.codecs import decode_bmp, decode_ppm, decode_wav_pcm16
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -32,21 +36,48 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
-def synthesize_media_table(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic fake media corpus matching MEDIA_SCHEMA."""
+def synthesize_media_table(n: int, seed: int = 42, real: bool = False) -> pa.Table:
+    """Deterministic media corpus matching MEDIA_SCHEMA.
+
+    real=False: opaque random bytes (the fake-decode plumbing corpus).
+    real=True: image rows are valid 16x16 BMPs (seeded pixel patterns,
+    alternating with PPM every other image) and audio rows are valid
+    PCM-16 WAV sine clips — decodable by the stdlib codecs, so the
+    fake=False pipeline runs end-to-end.  Video payloads stay opaque
+    (container parsing is the declared stub)."""
+    from ..functions.codecs import encode_bmp, encode_ppm, encode_wav_pcm16
+
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     rows = {k.name: [] for k in MEDIA_SCHEMA}
     for i in range(n):
         kind = kinds[i % 3]
-        payload = rng.integers(0, 256, size=64 + (i % 5) * 32, dtype=np.uint8).tobytes()
+        if not real or kind == "video":
+            payload = rng.integers(0, 256, size=64 + (i % 5) * 32, dtype=np.uint8).tobytes()
+            mime = {"image": "image/png", "audio": "audio/wav",
+                    "video": "video/mp4"}[kind]
+            w = h = 64 if kind != "audio" else 0
+        elif kind == "image":
+            img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+            img[:, :, 0] = np.linspace(0, 255, 16, dtype=np.uint8)[None, :]
+            if (i // 3) % 2 == 0:
+                payload, mime = encode_bmp(img), "image/bmp"
+            else:
+                payload, mime = encode_ppm(img), "image/x-portable-pixmap"
+            w = h = 16
+        else:  # real audio: 50 ms sine at a seeded frequency, 8 kHz mono
+            t = np.arange(400) / 8000.0
+            freq = 200.0 + float(rng.integers(0, 800))
+            wave = (8000.0 * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+            payload, mime = encode_wav_pcm16(wave, 8000), "audio/wav"
+            w = h = 0
         rows["media_id"].append(i)
         rows["kind"].append(kind)
         rows["payload"].append(payload)
-        rows["mime"].append({"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind])
-        rows["width"].append(64 if kind != "audio" else 0)
-        rows["height"].append(64 if kind != "audio" else 0)
-        rows["duration_ms"].append(0 if kind == "image" else 1000 + i)
+        rows["mime"].append(mime)
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["duration_ms"].append(0 if kind == "image" else (50 if real else 1000 + i))
     return pa.table(
         {f.name: pa.array(rows[f.name], f.type) for f in MEDIA_SCHEMA}
     )
@@ -54,31 +85,101 @@ def synthesize_media_table(n: int, seed: int = 42) -> pa.Table:
 
 class ImageDecoder:
     """Actor-pool decode/feature stage.  fake=True -> deterministic
-    16-float feature from sha256(payload); fake=False -> real decoder
-    (not available in this container)."""
+    16-float feature from sha256(payload); fake=False -> REAL stdlib
+    decode (BMP / PPM, functions/codecs.py): pixels are nearest-neighbor
+    resized to `resize` and summarized as [mean_r, mean_g, mean_b,
+    std_r, std_g, std_b, 10-bin grayscale histogram fractions] — 16
+    float64 features per image.  Unsupported formats raise ValueError
+    (a real deployment swaps Pillow into __init__)."""
 
     FEATURE_DIM = 16
 
     def __init__(self, fake: bool = False, resize: tuple[int, int] = (32, 32)):
         self.fake = fake
         self.resize = resize
-        if not fake:
-            raise NotImplementedError(
-                "real image decoding requires an imaging library not present "
-                "in this environment; construct with fake=True for the "
-                "deterministic plumbing-test decoder"
-            )
 
     def _fake_features(self, payload: bytes) -> np.ndarray:
         d = hashlib.sha256(payload or b"").digest()
-        return np.frombuffer(d[: self.FEATURE_DIM * 2], dtype=np.uint16).astype(np.float32) / 65535.0
+        return np.frombuffer(d[: self.FEATURE_DIM * 2], dtype=np.uint16).astype(np.float64) / 65535.0
+
+    @staticmethod
+    def decode(payload: bytes) -> np.ndarray:
+        if payload[:2] == b"BM":
+            return decode_bmp(payload)
+        if payload[:2] == b"P6":
+            return decode_ppm(payload)
+        raise ValueError(
+            "ImageDecoder: payload is not BMP/PPM — the only formats "
+            "decodable with the stdlib; use fake=True or add a codec lib")
+
+    def features(self, payload: bytes) -> np.ndarray:
+        img = self.decode(payload)
+        h, w, _ = img.shape
+        rh, rw = self.resize
+        # nearest-neighbor resize via index gather (pure numpy)
+        yi = np.minimum(((np.arange(rh) + 0.5) * h / rh).astype(np.int64), h - 1)
+        xi = np.minimum(((np.arange(rw) + 0.5) * w / rw).astype(np.int64), w - 1)
+        small = img[yi][:, xi].astype(np.float64) / 255.0
+        gray = small.mean(axis=2)
+        hist, _ = np.histogram(gray, bins=10, range=(0.0, 1.0))
+        return np.concatenate([
+            small.reshape(-1, 3).mean(axis=0),
+            small.reshape(-1, 3).std(axis=0),
+            hist.astype(np.float64) / gray.size,
+        ])
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        feats = [self._fake_features(p) for p in t["payload"].to_pylist()]
+        fn = self._fake_features if self.fake else self.features
+        feats = [fn(p) for p in t["payload"].to_pylist()]
         return pa.table(
             {
                 "media_id": t["media_id"],
-                "features": pa.array([f.tolist() for f in feats], pa.list_(pa.float32())),
+                "features": pa.array([f.tolist() for f in feats], pa.list_(pa.float64())),
+            }
+        )
+
+
+class AudioDecoder:
+    """Actor-pool audio decode/feature stage (PCM-16 WAV via the stdlib
+    RIFF parser).  16 float64 features per clip: [duration_s,
+    rate/48000, n_channels, rms, mean, std, peak, zero-crossing rate,
+    8-bin |amplitude| histogram fractions]."""
+
+    FEATURE_DIM = 16
+
+    def __init__(self, fake: bool = False):
+        self.fake = fake
+
+    def _fake_features(self, payload: bytes) -> np.ndarray:
+        d = hashlib.sha256(payload or b"").digest()
+        return np.frombuffer(d[: self.FEATURE_DIM * 2], dtype=np.uint16).astype(np.float64) / 65535.0
+
+    def features(self, payload: bytes) -> np.ndarray:
+        samples, rate = decode_wav_pcm16(payload)
+        x = samples.astype(np.float64) / 32768.0
+        mono = x.mean(axis=1)
+        zc = float(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+        hist, _ = np.histogram(np.abs(mono), bins=8, range=(0.0, 1.0))
+        n = max(mono.size, 1)
+        return np.concatenate([
+            np.array([
+                mono.size / rate, rate / 48000.0, samples.shape[1],
+                float(np.sqrt(np.mean(mono**2))) if mono.size else 0.0,
+                float(mono.mean()) if mono.size else 0.0,
+                float(mono.std()) if mono.size else 0.0,
+                float(np.abs(mono).max()) if mono.size else 0.0,
+                zc / n,
+            ], dtype=np.float64),
+            hist.astype(np.float64) / n,
+        ])
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        fn = self._fake_features if self.fake else self.features
+        feats = [fn(p) for p in t["payload"].to_pylist()]
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "features": pa.array([f.tolist() for f in feats], pa.list_(pa.float64())),
             }
         )
 
@@ -117,6 +218,25 @@ def decode_images(media_ds, fake: bool = False, batch_size: int = 64, concurrenc
     )
     return imgs.map_batches(
         ImageDecoder,
+        fn_constructor_kwargs={"fake": fake},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def decode_audio(media_ds, fake: bool = False, batch_size: int = 64, concurrency=None):
+    """Audio twin of decode_images: PCM-16 WAV rows through the
+    AudioDecoder actor pool."""
+    if concurrency is None:
+        from ..stages.shuffle import pool_size
+
+        concurrency = pool_size()
+    clips = media_ds.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["kind"], "audio")), batch_format="pyarrow"
+    )
+    return clips.map_batches(
+        AudioDecoder,
         fn_constructor_kwargs={"fake": fake},
         batch_format="pyarrow",
         batch_size=batch_size,

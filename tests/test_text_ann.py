@@ -140,11 +140,67 @@ def test_multimodal_stub_plumbing():
     assert feats["media_id"].tolist() == feats2["media_id"].tolist()
     frames = sample_frames(media, fps=2.0, fake=True).to_pandas()
     assert (frames["frame_idx"] >= 0).all() and len(frames) > 10
-    # real decoder is an explicit stub
+    # real decoder refuses formats the stdlib can't parse (PNG bytes)
     import pytest
 
-    with pytest.raises(NotImplementedError):
-        ImageDecoder(fake=False)
+    with pytest.raises(ValueError, match="BMP/PPM"):
+        ImageDecoder(fake=False).features(b"\x89PNG\r\n\x1a\nxxxx")
+
+
+def test_multimodal_real_stdlib_decode():
+    """fake=False end-to-end: BMP/PPM pixels and WAV samples synthesized
+    by codecs.encode_*, shipped as opaque binary columns, decoded and
+    featurized inside the actor pools (VERDICT r03 next #7).  Oracles:
+    (a) byte-exact codec round-trips on arrays the encoder never saw,
+    (b) the distributed pipeline output equals a local single-process
+    featurization, (c) closed-form features of a constant-color image
+    computed by hand — independent of both codec and featurizer."""
+    import numpy as np
+    import pytest
+
+    from fora_ray.functions.codecs import (
+        decode_bmp, decode_ppm, decode_wav_pcm16,
+        encode_bmp, encode_ppm, encode_wav_pcm16,
+    )
+    from fora_ray.pipelines.multimodal import (
+        AudioDecoder, ImageDecoder, decode_audio, decode_images,
+        synthesize_media_table,
+    )
+
+    # codec round-trips are byte-exact
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)  # odd width -> row padding
+    assert (decode_bmp(encode_bmp(img)) == img).all()
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+    snd = rng.integers(-30000, 30000, size=(333, 2), dtype=np.int16)
+    got, rate = decode_wav_pcm16(encode_wav_pcm16(snd, 44100))
+    assert rate == 44100 and (got == snd).all()
+
+    media_tab = synthesize_media_table(30, seed=7, real=True)
+    media = ray.data.from_arrow(media_tab)
+    ifeats = decode_images(media, fake=False).to_pandas().sort_values("media_id")
+    afeats = decode_audio(media, fake=False).to_pandas().sort_values("media_id")
+    assert len(ifeats) == 10 and len(afeats) == 10
+    # oracle: features from the ORIGINAL pixels/samples (decode-free)
+    dec_i, dec_a = ImageDecoder(fake=False), AudioDecoder(fake=False)
+    payloads = dict(zip(media_tab["media_id"].to_pylist(),
+                        media_tab["payload"].to_pylist()))
+    for _, row in ifeats.iterrows():
+        want = dec_i.features(payloads[row["media_id"]])
+        assert np.allclose(np.asarray(row["features"]), want)
+        # features are real statistics, not hashes: mean channel values
+        # of a uint8 pattern land strictly inside (0, 1)
+        assert 0.0 < row["features"][0] < 1.0
+    for _, row in afeats.iterrows():
+        want = dec_a.features(payloads[row["media_id"]])
+        assert np.allclose(np.asarray(row["features"]), want)
+        assert row["features"][0] == pytest.approx(0.05)  # 50 ms clips
+    # closed-form oracle: constant-color image -> means exact, stds 0,
+    # grayscale mass in one histogram bin
+    flat = np.full((9, 11, 3), 51, dtype=np.uint8)  # 51/255 = 0.2
+    f = dec_i.features(encode_bmp(flat))
+    assert np.allclose(f[:3], 0.2, atol=1e-5) and np.allclose(f[3:6], 0.0, atol=1e-5)
+    assert f[6 + 2] == pytest.approx(1.0) and f[6:].sum() == pytest.approx(1.0)
 
 
 def test_curation_pipeline():
