@@ -203,6 +203,10 @@ class ShardWorkerImpl:
     def rsum(self) -> float:
         return float(self.residual.sum()) if self.residual is not None else 0.0
 
+    def edge_count(self) -> int:
+        """This shard's edge mass (skew diagnostics, A6 convention)."""
+        return int(self.indices.size)
+
     def get_counters(self):
         return dict(self.counters)
 
@@ -250,6 +254,13 @@ class ShardWorkerImpl:
     def warm_sweep_cache(self):
         """Prewarm hook (see GraphHandle.from_edges prewarm=True)."""
         self._ensure_sweep_cache()
+        return True
+
+    def warm_walk_order(self):
+        """Prewarm the logical-order walk array (one lexsort of the
+        shard under a degree permutation; free on identity handles) so
+        the first walk/corpus/sample round doesn't pay it inline."""
+        self._walk_dst()
         return True
 
     def _push_full_sweep(self):
