@@ -27,7 +27,21 @@ from ..stages.shuffle import clean_sort, pool_size
 
 
 def _to_matrix(col) -> np.ndarray:
-    return np.stack([np.asarray(v, dtype=np.float64) for v in col.to_pylist()])
+    """Embedding list column -> (rows, dim) float64 matrix via Arrow
+    buffer flatten (no per-row Python lists — this runs on every ANN
+    batch over the corpus).  Requires uniform row length, which the
+    embedding tables guarantee; ragged input raises."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        raise ValueError("_to_matrix: null embedding rows")
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    if n == 0:
+        return flat.reshape(0, 0)
+    if flat.size % n:
+        raise ValueError("_to_matrix: ragged embedding lengths")
+    return flat.reshape(n, flat.size // n)
 
 
 def _topk_tie_aware(scores: np.ndarray, k: int, ids: np.ndarray) -> np.ndarray:

@@ -797,8 +797,10 @@ def embedding_dups(emb_ds, threshold: float = 0.95, n_bands: int = 8,
             self.planes, self.nb, self.ppb = ray.get(ref), nb, ppb
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            from .ann import _to_matrix
+
             ids = t["vec_id"].to_numpy(zero_copy_only=False)
-            vecs = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
+            vecs = _to_matrix(t["embedding"])  # Arrow-flatten, no row lists
             sig = (vecs @ self.planes > 0).astype(np.uint64)  # (n, nb*ppb)
             shifts = np.arange(self.ppb, dtype=np.uint64)
             bands, hashes, out_ids = [], [], []
@@ -836,12 +838,13 @@ def embedding_dups(emb_ds, threshold: float = 0.95, n_bands: int = 8,
         # acero hash joins reject list-typed non-key columns, so the
         # vector rides through the join as a float64 byte blob
         def _pack(t: pa.Table, idc: str, embc: str) -> pa.Table:
+            from .ann import _to_matrix
+
+            M = _to_matrix(t["embedding"])
             return pa.table({
                 idc: t["vec_id"],
-                embc: pa.array(
-                    [np.asarray(v, dtype=np.float64).tobytes() for v in t["embedding"].to_pylist()],
-                    pa.large_binary(),
-                ),
+                embc: pa.array([M[i].tobytes() for i in range(M.shape[0])],
+                               pa.large_binary()),
             })
 
         va = emb_ds.map_batches(lambda t: _pack(t, "a_id", "emb_a"), batch_format="pyarrow")
