@@ -587,19 +587,20 @@ def bippr(handle_fwd, handle_rev, source: int, target: int, eps: float = 0.5,
 # runtime; SURVEY 2.4 G6 — supersedes the round-1/2 documented skip) -----
 
 def _require_local_perm(handle, op: str) -> None:
-    """Walk / sample draws need the engine->logical map ON the workers
-    (inv_ref) to stay a pure function of the logical graph.  Identity
-    and driver-side degree-balanced handles qualify; the distributed-
-    permutation tier does not (its inverse lives sharded — carrying a
-    logical-dst column through the distributed CSR build is the
-    documented extension)."""
+    """Walk / sample draws need per-edge logical ids ON the workers to
+    stay a pure function of the logical graph.  Identity and
+    driver-balanced handles always qualify; distributed-permutation
+    handles qualify when their CSR shards carry the ind_logical column
+    (every shard built by this repo's distributed path does — the guard
+    catches only permuted shards loaded from a pre-r4 persisted dir)."""
     if getattr(handle, "remote_perm", False):
-        raise ValueError(
-            f"{op} supports identity and driver-side degree-balanced handles; "
-            "the distributed-permutation tier (n > balance_threshold) does "
-            "not ship the engine->logical map to workers — raise "
-            "balance_threshold or run this operator on a driver-balanced handle"
-        )
+        import ray as _ray
+
+        if not all(_ray.get([w.has_logical_edges.remote() for w in handle.workers])):
+            raise ValueError(
+                f"{op} on a distributed-permutation handle requires CSR shards "
+                "carrying ind_logical (rebuild the graph with this version)"
+            )
 
 
 def _require_pair(a, b, op: str) -> None:

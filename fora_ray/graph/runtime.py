@@ -103,6 +103,7 @@ class ShardWorkerImpl:
         if shard is None and shard_file is not None:
             shard = pq.read_table(shard_file, filters=[("part_id", "=", part)])
         self.edge_weights = None
+        self.ind_logical = None  # per-edge logical dst (distributed-perm tier)
         if shard is not None and shard.num_rows:
             rows = shard.filter(pa.compute.equal(shard["part_id"], part))
             if rows.num_rows:
@@ -110,6 +111,8 @@ class ShardWorkerImpl:
                 indices = _list_np(rows["indices"])
                 if "weights" in rows.schema.names:
                     self.edge_weights = _list_np(rows["weights"], dtype=np.float64)
+                if "ind_logical" in rows.schema.names:
+                    self.ind_logical = _list_np(rows["ind_logical"])
         if indptr is None:
             indptr = np.zeros(self.n_local + 1, dtype=np.int64)
             indices = np.empty(0, dtype=np.int64)
@@ -135,23 +138,54 @@ class ShardWorkerImpl:
         eidx = np.repeat(starts, counts) + (pos - np.repeat(cum, counts))
         return self.indices[eidx], row
 
+    def _gather_edges_idx(self, idx: np.ndarray):
+        """_gather_edges variant that also returns the per-edge CSR
+        positions (for gathering parallel per-edge arrays)."""
+        counts = self.out_deg[idx]
+        total = int(counts.sum())
+        if total == 0:
+            e = np.empty(0, np.int64)
+            return e, e, e
+        starts = self.indptr[idx]
+        cum = np.concatenate([[0], np.cumsum(counts[:-1])])
+        pos = np.arange(total, dtype=np.int64)
+        row = np.repeat(np.arange(idx.size, dtype=np.int64), counts)
+        eidx = np.repeat(starts, counts) + (pos - np.repeat(cum, counts))
+        return self.indices[eidx], row, eidx
+
+    def _logical_dst(self) -> np.ndarray | None:
+        """Per-edge LOGICAL dst ids aligned with self.indices, or None
+        on identity handles.  Sources, in order: the ind_logical column
+        carried through the distributed CSR build (no O(n) array
+        anywhere), or the driver-perm inverse array (inv[indices],
+        cached)."""
+        if self.ind_logical is not None:
+            return self.ind_logical
+        if self._inv is None:
+            return None
+        if getattr(self, "_ind_l_cache", None) is None:
+            self._ind_l_cache = self._inv[self.indices]
+        return self._ind_l_cache
+
     def _walk_dst(self) -> np.ndarray:
         """Per-row neighbor array in LOGICAL-id order — the array walk /
         corpus / index / sample draws index with their CSR slot.  CSR
         rows are built sorted by engine dst (stages/csr.py lexsort), so
         on identity handles this IS ``self.indices`` (alias, zero cost)
-        and behavior is bit-identical to before.  Under a driver-side
-        degree permutation the rows are re-sorted by logical dst once
-        (lazy, one lexsort of the shard), making every neighbor draw a
-        pure function of the logical graph — balanced and identity
-        handles then produce bit-identical walks for the same seed."""
+        and behavior is bit-identical to before.  Under a degree
+        permutation (driver OR distributed tier) the rows are re-sorted
+        by logical dst once (lazy, one lexsort of the shard), making
+        every neighbor draw a pure function of the logical graph —
+        balanced and identity handles produce bit-identical walks for
+        the same seed."""
         if self._wdst is None:
-            if self._inv is None:
+            lg = self._logical_dst()
+            if lg is None:
                 self._wdst = self.indices
             else:
                 edge_row = np.repeat(
                     np.arange(self.n_local, dtype=np.int64), self.out_deg)
-                order = np.lexsort((self._inv[self.indices], edge_row))
+                order = np.lexsort((lg, edge_row))
                 self._wdst = self.indices[order]
         return self._wdst
 
@@ -682,11 +716,12 @@ class ShardWorkerImpl:
         if src.size == 0:
             return empty
         loc = src // self.P
-        dsts, row = self._gather_edges(loc)
+        dsts, row, eidx = self._gather_edges_idx(loc)
         if dsts.size == 0:
             return empty
         src_l = self.logical_ids[loc]
-        dst_l = self._inv[dsts] if self._inv is not None else dsts
+        lg = self._logical_dst()
+        dst_l = lg[eidx] if lg is not None else dsts
         seed_hop = mix64(np.uint64(seed), np.uint64(hop))
         keys = mix64(mix64(np.full(dsts.size, seed_hop, np.uint64),
                            src_l[row].astype(np.uint64)),
@@ -774,6 +809,20 @@ class ShardWorkerImpl:
         """logical id -> engine id under distributed degree balancing
         (this shard holds the slice for logical ids ≡ part mod P)."""
         return int(self.perm_slice[v // self.P])
+
+    def lookup_engine_batch(self, vs: np.ndarray) -> np.ndarray:
+        """Vectorized lookup_engine for the logical ids this shard's
+        perm slice covers (vs ≡ part mod P)."""
+        return self.perm_slice[np.asarray(vs, dtype=np.int64) // self.P]
+
+    def has_logical_edges(self) -> bool:
+        """True when this shard can order neighbor draws by logical id
+        (identity, driver inverse array, the ind_logical column the
+        distributed CSR build carries, or trivially: no edges)."""
+        return (self.indices.size == 0
+                or self.ind_logical is not None or self._inv is not None
+                or self.logical_ids is self.global_ids
+                or bool(np.array_equal(self.logical_ids, self.global_ids)))
 
     # ---- multi-source batched PPR (SURVEY 4.4: "batch multiple queries
     # per superstep wave" — amortizes the driver barrier over Q queries;
@@ -2106,10 +2155,14 @@ def _distributed_degree_balance(edges_ds, n: int, P: int,
         e1, perm_ds.rename_columns({"node_id": "d_id", "engine_id": "dst_e"}),
         on=("dst",), right_on=("d_id",), num_partitions=num_partitions,
     )
+    # dst_l (the logical dst) rides into the CSR build as ind_logical —
+    # the distributed tier's substitute for the driver-perm inverse
+    # array, keeping walk/sample draws logical-ordered at any n
     relabeled = e2.map_batches(
-        lambda t: pa.table({"src": t["src_e"], "dst": t["dst_e"]})
+        lambda t: pa.table({"src": t["src_e"], "dst": t["dst_e"], "dst_l": t["dst"]})
         if t.num_rows and "src_e" in t.schema.names
-        else pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}),
+        else pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64()),
+                       "dst_l": pa.array([], pa.int64())}),
         batch_format="pyarrow",
     )
 
@@ -2168,15 +2221,25 @@ class GraphHandle:
         return int(v)
 
     def to_engine_array(self, arr) -> np.ndarray:
-        """Vectorized logical -> engine translation (driver-perm tier)."""
+        """Vectorized logical -> engine translation.  Driver-perm tier:
+        one array gather.  Distributed tier: batched per-owner worker
+        lookups (each worker holds the perm slice for logical ids ≡ its
+        part mod P) — sized for query/seed batches, not corpus columns."""
         arr = np.asarray(arr, dtype=np.int64)
         if self.perm is not None:
             return self.perm[arr]
         if getattr(self, "remote_perm", False):
-            raise ValueError(
-                "vectorized id translation is not available on the "
-                "distributed-permutation tier; pass a driver-side balanced "
-                "handle (n <= balance_threshold) for this operator")
+            out = np.empty_like(arr)
+            owner = arr % self.P
+            parts = np.unique(owner)
+            refs, masks = [], []
+            for p in parts:
+                m = owner == p
+                refs.append(self.workers[int(p)].lookup_engine_batch.remote(arr[m]))
+                masks.append(m)
+            for m, vals in zip(masks, ray.get(refs)):
+                out[m] = vals
+            return out
         return arr
 
     def same_perm_as(self, other: "GraphHandle") -> bool:

@@ -35,25 +35,33 @@ def _large_list(values: np.ndarray) -> pa.LargeListArray:
     )
 
 
-def build_csr_table(src: np.ndarray, dst: np.ndarray, n: int, P: int, p: int) -> pa.Table:
-    """CSR for one partition from its (src, dst) edge arrays."""
+def build_csr_table(src: np.ndarray, dst: np.ndarray, n: int, P: int, p: int,
+                    dst_l: np.ndarray | None = None) -> pa.Table:
+    """CSR for one partition from its (src, dst[, dst_logical]) edge
+    arrays.  dst_l (the LOGICAL id of each engine dst) rides along as a
+    parallel ind_logical list — what lets walk/sample draws stay a pure
+    function of the logical graph on the distributed-permutation tier,
+    where no worker can hold the O(n) inverse array."""
     n_local = n_local_of(n, P, p)
     loc = src // P
     order = np.lexsort((dst, loc))
     loc_s, dst_s = loc[order], dst[order]
     counts = np.bincount(loc_s, minlength=n_local)
     indptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
-    return pa.table(
-        {
-            "part_id": pa.array([p], pa.int32()),
-            "indptr": _large_list(indptr),
-            "indices": _large_list(dst_s.astype(np.int64)),
-        }
-    )
+    cols = {
+        "part_id": pa.array([p], pa.int32()),
+        "indptr": _large_list(indptr),
+        "indices": _large_list(dst_s.astype(np.int64)),
+    }
+    if dst_l is not None:
+        cols["ind_logical"] = _large_list(dst_l[order].astype(np.int64))
+    return pa.table(cols)
 
 
 def build_csr_shards(edges_ds, n: int, P: int):
-    """edges Dataset -> Dataset of P CSR shard rows (one groupby shuffle)."""
+    """edges Dataset -> Dataset of P CSR shard rows (one groupby
+    shuffle).  An optional dst_l column (logical dst ids) is carried
+    through into ind_logical."""
 
     def add_part(batch: pa.Table) -> pa.Table:
         src = batch["src"].to_numpy(zero_copy_only=False)
@@ -62,7 +70,9 @@ def build_csr_shards(edges_ds, n: int, P: int):
     def build(group: pa.Table) -> pa.Table:
         src = group["src"].to_numpy(zero_copy_only=False)
         dst = group["dst"].to_numpy(zero_copy_only=False)
-        return build_csr_table(src, dst, n, P, int(src[0] % P))
+        dst_l = (group["dst_l"].to_numpy(zero_copy_only=False)
+                 if "dst_l" in group.schema.names else None)
+        return build_csr_table(src, dst, n, P, int(src[0] % P), dst_l=dst_l)
 
     return (
         edges_ds.map_batches(add_part, batch_format="pyarrow")

@@ -109,15 +109,28 @@ def test_walk_corpus_balanced_matches_identity(graph600, ray_session):
         hb.close()
 
 
-def test_walk_corpus_refuses_distributed_perm(graph600, ray_session):
+def test_walk_corpus_distributed_perm_matches_identity(graph600, ray_session):
+    """The DISTRIBUTED permutation tier (balance_threshold=0) carries
+    per-edge logical dst ids through the CSR build (ind_logical), so
+    walks are bit-identical to identity handles there too — no O(n)
+    driver array anywhere."""
     edges, n = graph600
-    h = GraphHandle.from_edges(to_dataset(edges), n, P=2, balance="degree",
-                               balance_threshold=0)
+    hi = GraphHandle.from_edges(to_dataset(edges), n, P=2)
+    hd = GraphHandle.from_edges(to_dataset(edges), n, P=3, balance="degree",
+                                balance_threshold=0)
     try:
-        with pytest.raises(ValueError, match="distributed"):
-            alg.random_walk_corpus(h)
+        di, _ = _corpus_df(hi, nwalks=1, walk_len=4, seed=5)
+        dd, _ = _corpus_df(hd, nwalks=1, walk_len=4, seed=5)
+        assert di.equals(dd)
+        # neighbor sampling too: seeds translate via sharded perm lookups
+        ti, _ = alg.neighbor_sample(hi, [0, 5, 17], fanouts=(4, 2), seed=3)
+        td, _ = alg.neighbor_sample(hd, [0, 5, 17], fanouts=(4, 2), seed=3)
+        a = ti.to_pandas().sort_values(["hop", "src", "dst"]).reset_index(drop=True)
+        b = td.to_pandas().sort_values(["hop", "src", "dst"]).reset_index(drop=True)
+        assert a.equals(b)
     finally:
-        h.close()
+        hi.close()
+        hd.close()
 
 
 def _brute_sample(edges: np.ndarray, n: int, seeds, fanouts, seed: int):
