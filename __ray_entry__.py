@@ -648,6 +648,13 @@ def _queries_graph():
         return (ds.to_pandas()
                 .sort_values(["walk_id", "step"]).reset_index(drop=True))
 
+    def node2vec_corpus_q(sf_dir):
+        g = _graph(sf_dir)
+        ds, _stats = alg.node2vec_corpus(g["handle"], nwalks=2, walk_len=5,
+                                         p=0.5, q=2.0, seed=42)
+        return (ds.to_pandas()
+                .sort_values(["walk_id", "step"]).reset_index(drop=True))
+
     def skipgram_pairs_q(sf_dir):
         from fora_ray.pipelines.walks import skipgram_pairs
 
@@ -687,6 +694,7 @@ def _queries_graph():
         "link_pred": link_pred_q,
         "diameter_est": diameter_est_q,
         "walk_corpus": walk_corpus_q,
+        "node2vec_corpus": node2vec_corpus_q,
         "scc": scc_q,
         "harmonic": harmonic_q,
         "skipgram_pairs": skipgram_pairs_q,
@@ -1216,6 +1224,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "walk_corpus": (
             f"SELECT walk_id, step, node_id FROM read_parquet('{gold['walk_corpus']}') "
+            "ORDER BY walk_id, step"
+        ),
+        "node2vec_corpus": (
+            f"SELECT walk_id, step, node_id "
+            f"FROM read_parquet('{gold['node2vec_corpus']}') "
             "ORDER BY walk_id, step"
         ),
         "skipgram_pairs": (

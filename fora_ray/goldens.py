@@ -41,7 +41,7 @@ from .oracle import lpa_oracle, ppr_column_oracle, ppr_power_iteration
 
 ROUND = 9
 _WORD = re.compile(r"\w+")
-_VERSION = 19  # v19: + real stdlib-codec multimodal decode golden
+_VERSION = 20  # v20: + node2vec biased-walk corpus golden
 
 
 def _round_col(x: np.ndarray) -> np.ndarray:
@@ -774,6 +774,71 @@ def walk_corpus_golden(fix_dir: str, nwalks: int = 2, walk_len: int = 5,
     return t.sort_by([("walk_id", "ascending"), ("step", "ascending")])
 
 
+def node2vec_corpus_golden(fix_dir: str, nwalks: int = 2, walk_len: int = 5,
+                           p: float = 0.5, q: float = 2.0,
+                           seed: int = 42) -> pa.Table:
+    """Single-process replay of node2vec_corpus: the same counter-RNG
+    rejection-sampling protocol (u_prop = rng(mix64(hkey, 2*attempt)),
+    u_acc = rng(mix64(hkey, 2*attempt + 1)), hkey = mix64(key, hop),
+    GLOBAL lockstep attempt counter, accept alpha / M) replayed over the
+    fixture's dst-sorted CSR — shares only the hashing primitives with
+    the engine; the walk loop is an independent numpy replay."""
+    from .functions.hashing import rng_uniform
+
+    indptr, indices, n = _sorted_csr(fix_dir)
+    deg = np.diff(indptr)
+    invp, invq = 1.0 / p, 1.0 / q
+    m_env = max(invp, 1.0, invq)
+    wid = np.repeat(np.arange(n, dtype=np.int64) * nwalks, nwalks) \
+        + np.tile(np.arange(nwalks, dtype=np.int64), n)
+    key = mix64(np.uint64(seed), wid.astype(np.uint64))
+    cur = np.repeat(np.arange(n, dtype=np.int64), nwalks)
+    prev = np.full(wid.size, -1, np.int64)
+    recs = [(wid, np.zeros(wid.size, np.int64), cur)]
+    w, k, c, pv = wid, key, cur, prev
+    for hop in range(1, walk_len):
+        alive = deg[c] > 0
+        if not alive.any():
+            break
+        w, k, c, pv = w[alive], k[alive], c[alive], pv[alive]
+        hkey = mix64(k, np.full(k.size, np.uint64(hop), np.uint64))
+        new_c = np.empty_like(c)
+        idx = np.arange(c.size, dtype=np.int64)
+        attempt = 0
+        while idx.size:
+            a2 = np.uint64(2 * attempt)
+            u_p = rng_uniform(mix64(hkey[idx], np.full(idx.size, a2, np.uint64)))
+            d = deg[c[idx]]
+            x = indices[indptr[c[idx]] + np.minimum((u_p * d).astype(np.int64), d - 1)]
+            u_a = rng_uniform(mix64(
+                hkey[idx], np.full(idx.size, a2 + np.uint64(1), np.uint64)))
+            first = pv[idx] < 0
+            back = (~first) & (x == pv[idx])
+            others = ~first & ~back
+            alpha = np.ones(idx.size)
+            alpha[back] = invp
+            if others.any():
+                po, xo = pv[idx][others], x[others]
+                found = np.zeros(po.size, dtype=bool)
+                for i in range(po.size):  # golden-side clarity; rows tiny
+                    row = indices[indptr[po[i]]:indptr[po[i] + 1]]
+                    j = np.searchsorted(row, xo[i])
+                    found[i] = j < row.size and row[j] == xo[i]
+                alpha[others] = np.where(found, 1.0, invq)
+            acc = first | (u_a < alpha / m_env)
+            new_c[idx[acc]] = x[acc]
+            idx = idx[~acc]
+            attempt += 1
+        pv, c = c, new_c
+        recs.append((w, np.full(w.size, hop, np.int64), c))
+    t = pa.table({
+        "walk_id": pa.array(np.concatenate([r[0] for r in recs])),
+        "step": pa.array(np.concatenate([r[1] for r in recs])),
+        "node_id": pa.array(np.concatenate([r[2] for r in recs])),
+    })
+    return t.sort_by([("walk_id", "ascending"), ("step", "ascending")])
+
+
 def neighbor_sample_golden(fix_dir: str, n_seeds: int = 8,
                            fanouts=(3, 2), seed: int = 42) -> pa.Table:
     """Single-process replay of neighbor_sample over seeds 0..n_seeds-1:
@@ -898,6 +963,7 @@ _GRAPH_GOLDENS = {
     "topk_ppr": topk_ppr_golden,
     "hubppr": hubppr_golden,
     "walk_corpus": walk_corpus_golden,
+    "node2vec_corpus": node2vec_corpus_golden,
     "scc": scc_golden,
     "harmonic": harmonic_golden,
     "neighbor_sample": neighbor_sample_golden,

@@ -1153,6 +1153,103 @@ def random_walk_corpus(handle, nwalks: int = 2, walk_len: int = 5,
     return ray.data.from_arrow_refs(refs), {"walks": spawned, "hops": hops}
 
 
+def node2vec_corpus(handle, nwalks: int = 2, walk_len: int = 5,
+                    p: float = 1.0, q: float = 1.0, seed: int = 42,
+                    spill_dir: str | None = None,
+                    flush_rows: int = 2_000_000, max_attempts: int = 256):
+    """node2vec biased-walk corpus (Grover & Leskovec, KDD'16): `nwalks`
+    second-order walks from EVERY node, where the step from cur with
+    previous node prev weights each neighbor x by alpha = 1/p (x ==
+    prev), 1 (x in N(prev)) or 1/q (otherwise).  Emitted as the same
+    (walk_id, step, node_id) trace table random_walk_corpus produces;
+    p = q = 1 is the uniform DeepWalk distribution (different RNG
+    stream, same law).
+
+    Distribution: alpha needs N(prev), which lives on prev's owner —
+    never on cur's.  Instead of shipping adjacency lists with walkers
+    (hub walkers would carry O(max_deg)), the step is sampled EXACTLY
+    by rejection (the KnightKing scheme, Yang et al., SOSP'19): cur's
+    owner proposes a uniform neighbor and an accept uniform; proposals
+    equal to prev resolve locally (alpha = 1/p), the rest route to
+    prev's owner, which binary-searches the proposal in prev's
+    logically-sorted adjacency and accepts with alpha / M
+    (M = max(1/p, 1, 1/q)).  Rejected walkers retry in GLOBAL lockstep
+    attempts; expected attempts per hop <= M / min(1/p, 1, 1/q) — a
+    small constant for practical p, q — and every payload is O(pending
+    walkers), so hub degree never inflates messages.  Draws are
+    counter-RNG on (mix64(seed, walk_id), hop, attempt) over LOGICAL
+    ids, so the corpus is bit-identical at any partition count and on
+    identity / degree-balanced handles alike.
+
+    Returns (Dataset (walk_id, step, node_id), stats).  `spill_dir`
+    behaves exactly as in random_walk_corpus (per-shard parquet flush,
+    bounded actor memory, resumable parts).
+    """
+    _require_local_perm(handle, "node2vec_corpus")
+    if walk_len < 1:
+        raise ValueError("walk_len must be >= 1")
+    if p <= 0 or q <= 0:
+        raise ValueError("node2vec p and q must be > 0")
+    handle.call_all("corpus_spill_config", spill_dir, int(flush_rows))
+    spawned = sum(handle.call_all(
+        "n2v_init", int(nwalks), int(seed), float(p), float(q)))
+    P, workers = handle.P, handle.workers
+    hops = attempts_total = 0
+    for hop in range(1, walk_len):
+        retry = [[] for _ in range(P)]  # per-DESTINATION shard refs
+        attempt = 0
+        while True:
+            outs = [
+                w.n2v_propose.options(num_returns=2 * P + 1)
+                .remote(hop, attempt, *retry[pi])
+                for pi, w in enumerate(workers)
+            ]
+            metas = ray.get([o[0] for o in outs])
+            ray.get([
+                w.n2v_apply_moves.remote(hop, *[outs[s][1 + pd] for s in range(P)])
+                for pd, w in enumerate(workers)
+            ])
+            n_test = sum(m["tests"] for m in metas)
+            n_kept = sum(m["kept"] for m in metas)
+            retry = [[] for _ in range(P)]
+            n_retry = 0
+            if n_test:
+                touts = [
+                    w.n2v_test.options(num_returns=2 * P + 1)
+                    .remote(hop, *[outs[s][1 + P + pd] for s in range(P)])
+                    for pd, w in enumerate(workers)
+                ]
+                tmetas = ray.get([t[0] for t in touts])
+                ray.get([
+                    w.n2v_apply_moves.remote(
+                        hop, *[touts[s][1 + pd] for s in range(P)])
+                    for pd, w in enumerate(workers)
+                ])
+                retry = [[touts[s][1 + P + pd] for s in range(P)]
+                         for pd in range(P)]
+                n_retry = sum(m["retries"] for m in tmetas)
+            attempts_total += 1
+            if n_retry == 0 and n_kept == 0:
+                break
+            attempt += 1
+            if attempt >= max_attempts:
+                raise RuntimeError(
+                    f"node2vec rejection sampling did not settle within "
+                    f"{max_attempts} attempts at hop {hop} (extreme p/q?)")
+        hops += 1
+        if sum(handle.call_all("n2v_advance")) == 0:
+            break
+    if spill_dir is not None:
+        handle.call_all("corpus_spill")
+        ds = ray.data.read_parquet(spill_dir).select_columns(
+            ["walk_id", "step", "node_id"])
+        return ds, {"walks": spawned, "hops": hops,
+                    "attempt_rounds": attempts_total}
+    refs = [w.corpus_table.remote() for w in handle.workers]
+    return ray.data.from_arrow_refs(refs), {
+        "walks": spawned, "hops": hops, "attempt_rounds": attempts_total}
+
+
 def neighbor_sample(handle, seeds, fanouts=(10, 5), seed: int = 42):
     """GraphSAGE-style k-hop neighborhood sampling (Hamilton et al.,
     NeurIPS'17): starting from `seeds`, draw up to fanouts[h] neighbors

@@ -99,6 +99,7 @@ class ShardWorkerImpl:
         # identity handles and on the distributed-permutation tier.
         self._inv = np.asarray(inv_ref) if inv_ref is not None else None
         self._wdst = None
+        self._wdst_l = None
         indptr = indices = None
         if shard is None and shard_file is not None:
             shard = pq.read_table(shard_file, filters=[("part_id", "=", part)])
@@ -182,12 +183,48 @@ class ShardWorkerImpl:
             lg = self._logical_dst()
             if lg is None:
                 self._wdst = self.indices
+                self._wdst_l = self.indices  # logical == engine
             else:
                 edge_row = np.repeat(
                     np.arange(self.n_local, dtype=np.int64), self.out_deg)
                 order = np.lexsort((lg, edge_row))
                 self._wdst = self.indices[order]
+                self._wdst_l = lg[order]
         return self._wdst
+
+    def _walk_dst_logical(self) -> np.ndarray:
+        """Per-row neighbor LOGICAL ids, sorted ascending within each
+        row (same order as _walk_dst) — i.e. each row's slice is a
+        sorted set, which the node2vec membership test binary-searches.
+        On identity handles this aliases ``self.indices``."""
+        self._walk_dst()
+        return self._wdst_l
+
+    def _row_member(self, loc: np.ndarray, x_l: np.ndarray) -> np.ndarray:
+        """Vectorized ragged membership: for each (local row loc[i],
+        logical id x_l[i]) return whether x_l[i] is an out-neighbor of
+        the row.  Each row's slice of _walk_dst_logical is sorted, so a
+        lockstep binary search over all queries costs O(log max_deg)
+        vectorized passes — no per-row Python loop."""
+        wl = self._walk_dst_logical()
+        lo = self.indptr[loc].copy()
+        hi = lo + self.out_deg[loc]
+        end = hi - 1
+        while True:
+            open_m = lo < hi
+            if not open_m.any():
+                break
+            mid = (lo + hi) // 2
+            v = wl[np.minimum(mid, np.maximum(end, 0))]
+            go_right = open_m & (v < x_l)
+            lo = np.where(go_right, mid + 1, lo)
+            hi = np.where(open_m & ~go_right, mid, hi)
+        deg = self.out_deg[loc]
+        valid = (deg > 0) & (lo < self.indptr[loc] + deg)
+        found = np.zeros(loc.size, dtype=bool)
+        if valid.any():
+            found[valid] = wl[lo[valid]] == x_l[valid]
+        return found
 
     def _route_add(self, dst: np.ndarray, vals: np.ndarray, apply_local_sparse):
         """Sum-aggregate (dst, vals) per destination partition; apply own
@@ -735,6 +772,185 @@ class ShardWorkerImpl:
         return pa.table({"src": pa.array(src_l[row[keep]]),
                          "dst": pa.array(dst_l[keep]),
                          "dst_e": pa.array(dsts[keep])})
+
+    # ---- node2vec biased walks (exact rejection sampling) -----------------
+    def n2v_init(self, nwalks: int, seed: int, p: float, q: float):
+        """Spawn `nwalks` node2vec walkers at every local node (same
+        walk_id / key scheme as corpus_init; step-0 records written
+        here).  Transition weights (Grover & Leskovec, KDD'16):
+        alpha = 1/p if dst == prev, 1 if dst in N(prev), 1/q otherwise —
+        sampled EXACTLY by rejection (the KnightKing scheme, Yang et
+        al., SOSP'19): propose uniform from N(cur), accept with
+        alpha / M, M = max(1/p, 1, 1/q).  Every draw is counter-RNG on
+        (key, hop, attempt) with a GLOBAL lockstep attempt counter, so
+        the corpus is a pure function of the logical graph — identical
+        at any partition count and under any local degree permutation."""
+        nl = self.n_local
+        self._crec = []
+        self._crec_rows = 0
+        self._cpending = None
+        self._n2v_invp = 1.0 / float(p)
+        self._n2v_invq = 1.0 / float(q)
+        self._n2v_m = max(self._n2v_invp, 1.0, self._n2v_invq)
+        self._n2v_pending = None
+        self._n2v_next = None
+        if nl == 0 or nwalks <= 0:
+            return 0
+        wid = np.repeat(self.logical_ids * nwalks, nwalks) \
+            + np.tile(np.arange(nwalks, dtype=np.int64), nl)
+        key = mix64(np.uint64(seed), wid.astype(np.uint64))
+        cur = np.repeat(self.global_ids, nwalks)
+        self._crec.append((wid, np.zeros(wid.size, np.int64),
+                           np.repeat(self.logical_ids, nwalks)))
+        self._crec_rows = int(wid.size)
+        if getattr(self, "_cspill_dir", None) is not None \
+                and self._crec_rows >= self._cspill_rows:
+            self.corpus_spill()
+        prev = np.full(wid.size, -1, np.int64)  # hop 1 has no prev: uniform
+        self._n2v_pending = (cur, prev, prev.copy(), wid, key)
+        return int(wid.size)
+
+    @staticmethod
+    def _n2v_cat(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return tuple(np.concatenate([x, y]) for x, y in zip(a, b))
+
+    def _n2v_record(self, hop: int, pl):
+        """Accepted move lands here (this shard owns the new node):
+        record the visit and queue the walker for the NEXT hop with
+        prev = the node it came from."""
+        if pl is None:
+            return True
+        x_e, pl_l, pe, wid, key = pl
+        self._crec.append((wid, np.full(wid.size, hop, np.int64),
+                           self.logical_ids[x_e // self.P]))
+        self._crec_rows += int(wid.size)
+        if getattr(self, "_cspill_dir", None) is not None \
+                and self._crec_rows >= self._cspill_rows:
+            self.corpus_spill()
+        self._n2v_next = self._n2v_cat(self._n2v_next, (x_e, pl_l, pe, wid, key))
+        return True
+
+    def n2v_propose(self, hop: int, attempt: int, *retry_payloads):
+        """Phase A of one rejection round: each pending walker draws a
+        uniform proposal from its current node's adjacency (logical
+        slot order).  dst == prev resolves locally (alpha = 1/p known
+        here; rejected walkers stay pending for the next attempt);
+        hop-1 walkers (prev < 0) always accept; every other proposal
+        routes to PREV's owner for the N(prev) membership test
+        (n2v_test).  Returns meta + P move payloads + P test payloads."""
+        meta = {"tests": 0, "kept": 0, "moved": 0}
+        pend = self._n2v_pending
+        self._n2v_pending = None
+        for pl in retry_payloads:
+            pend = self._n2v_cat(pend, pl)
+        if pend is None or pend[0].size == 0:
+            return tuple([meta] + [None] * (2 * self.P))
+        cur, prev_l, prev_e, wid, key = pend
+        loc = cur // self.P
+        d = self.out_deg[loc]
+        alive = d > 0  # walkers at dangling nodes truncate
+        if not alive.any():
+            return tuple([meta] + [None] * (2 * self.P))
+        cur, prev_l, prev_e, wid, key, loc, d = (
+            cur[alive], prev_l[alive], prev_e[alive], wid[alive],
+            key[alive], loc[alive], d[alive])
+        hkey = mix64(key, np.full(key.size, np.uint64(hop), np.uint64))
+        a2 = np.uint64(2 * attempt)
+        u_prop = rng_uniform(mix64(hkey, np.full(key.size, a2, np.uint64)))
+        slot = self.indptr[loc] + np.minimum((u_prop * d).astype(np.int64), d - 1)
+        x_e = self._walk_dst()[slot]
+        x_l = self._walk_dst_logical()[slot]
+        u_acc = rng_uniform(mix64(
+            hkey, np.full(key.size, a2 + np.uint64(1), np.uint64)))
+        cur_l = self.logical_ids[loc]
+        first = prev_l < 0
+        back = (~first) & (x_l == prev_l)
+        acc_back = back & (u_acc < self._n2v_invp / self._n2v_m)
+        keep = back & ~acc_back
+        test = ~first & ~back
+        move = first | acc_back
+        move_pl = [None] * self.P
+        test_pl = [None] * self.P
+        if move.any():
+            mv = (x_e[move], cur_l[move], cur[move], wid[move], key[move])
+            owner = mv[0] % self.P
+            for pp in np.unique(owner):
+                m = owner == pp
+                pl = tuple(a[m] for a in mv)
+                if pp == self.part:
+                    self._n2v_record(hop, pl)
+                else:
+                    move_pl[int(pp)] = pl
+            meta["moved"] = int(move.sum())
+        if test.any():
+            tv = (cur[test], cur_l[test], prev_e[test], x_e[test],
+                  x_l[test], u_acc[test], wid[test], key[test])
+            owner = tv[2] % self.P
+            for pp in np.unique(owner):
+                m = owner == pp
+                test_pl[int(pp)] = tuple(a[m] for a in tv)
+            meta["tests"] = int(test.sum())
+        if keep.any():
+            self._n2v_pending = (cur[keep], prev_l[keep], prev_e[keep],
+                                 wid[keep], key[keep])
+            meta["kept"] = int(keep.sum())
+        return tuple([meta] + move_pl + test_pl)
+
+    def n2v_test(self, hop: int, *payloads):
+        """Phase B at prev's owner: alpha = 1 if the proposal is an
+        out-neighbor of prev (ragged binary search over the row's
+        logically-sorted adjacency), 1/q otherwise.  Accepted walkers
+        route to the proposal's owner (move); rejected ones route back
+        to cur's owner for the next lockstep attempt (retry)."""
+        meta = {"retries": 0, "moved": 0}
+        pend = None
+        for pl in payloads:
+            pend = self._n2v_cat(pend, pl)
+        if pend is None or pend[0].size == 0:
+            return tuple([meta] + [None] * (2 * self.P))
+        cur, cur_l, prev_e, x_e, x_l, u_acc, wid, key = pend
+        loc = prev_e // self.P
+        found = self._row_member(loc, x_l)
+        alpha = np.where(found, 1.0, self._n2v_invq)
+        acc = u_acc < alpha / self._n2v_m
+        move_pl = [None] * self.P
+        retry_pl = [None] * self.P
+        if acc.any():
+            mv = (x_e[acc], cur_l[acc], cur[acc], wid[acc], key[acc])
+            owner = mv[0] % self.P
+            for pp in np.unique(owner):
+                m = owner == pp
+                pl = tuple(a[m] for a in mv)
+                if pp == self.part:
+                    self._n2v_record(hop, pl)
+                else:
+                    move_pl[int(pp)] = pl
+            meta["moved"] = int(acc.sum())
+        rej = ~acc
+        if rej.any():
+            rv = (cur[rej], self.logical_ids[loc[rej]], prev_e[rej],
+                  wid[rej], key[rej])
+            owner = rv[0] % self.P
+            for pp in np.unique(owner):
+                m = owner == pp
+                retry_pl[int(pp)] = tuple(a[m] for a in rv)
+            meta["retries"] = int(rej.sum())
+        return tuple([meta] + move_pl + retry_pl)
+
+    def n2v_apply_moves(self, hop: int, *payloads):
+        for pl in payloads:
+            self._n2v_record(hop, pl)
+        return True
+
+    def n2v_advance(self) -> int:
+        """End of hop: promote walkers that moved this hop to pending."""
+        self._n2v_pending = self._n2v_next
+        self._n2v_next = None
+        return 0 if self._n2v_pending is None else int(self._n2v_pending[0].size)
 
     # ---- G5 backward push (BiPPR; weighted reverse CSR) -------------------
     def bpush_round(self, rmax: float, sweep_all: bool):

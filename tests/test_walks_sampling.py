@@ -271,3 +271,144 @@ def test_walk_corpus_spill_matches_inmemory(graph600, ray_session, tmp_path):
     assert len(parts) == 3
     files = os.listdir(os.path.join(sp, parts[0]))
     assert len(files) > 1 and all(f.endswith(".parquet") for f in files)
+
+
+# ---------------------------------------------------------------------------
+# node2vec biased walks (rejection sampling)
+# ---------------------------------------------------------------------------
+
+def _n2v_df(handle, **kw):
+    ds, stats = alg.node2vec_corpus(handle, **kw)
+    return (
+        ds.to_pandas().sort_values(["walk_id", "step"]).reset_index(drop=True),
+        stats,
+    )
+
+
+def _brute_n2v(edges: np.ndarray, n: int, nwalks: int, walk_len: int,
+               p: float, q: float, seed: int):
+    """Independent per-walker python replay of the rejection protocol.
+    The engine retries in GLOBAL lockstep attempts, but each walker's
+    accept decision depends only on its OWN consecutive attempt index,
+    so a per-walker replay is equivalent."""
+    adj = {v: [] for v in range(n)}
+    for s, d in edges:
+        adj[int(s)].append(int(d))
+    nbsets = {}
+    for v in adj:
+        adj[v] = sorted(set(adj[v]))
+        nbsets[v] = set(adj[v])
+    invp, invq = 1.0 / p, 1.0 / q
+    m_env = max(invp, 1.0, invq)
+    rows = []
+    for v in range(n):
+        for k in range(nwalks):
+            wid = v * nwalks + k
+            key = np.uint64(mix64(np.uint64(seed), np.uint64(wid)))
+            cur, prev = v, -1
+            rows.append((wid, 0, v))
+            for hop in range(1, walk_len):
+                nb = adj[cur]
+                if not nb:
+                    break
+                hkey = np.uint64(mix64(key, np.uint64(hop)))
+                attempt = 0
+                while True:
+                    u_p = float(rng_uniform(np.array(
+                        [mix64(hkey, np.uint64(2 * attempt))], np.uint64))[0])
+                    x = nb[min(int(u_p * len(nb)), len(nb) - 1)]
+                    u_a = float(rng_uniform(np.array(
+                        [mix64(hkey, np.uint64(2 * attempt + 1))], np.uint64))[0])
+                    if prev < 0:
+                        break
+                    if x == prev:
+                        alpha = invp
+                    elif x in nbsets[prev]:
+                        alpha = 1.0
+                    else:
+                        alpha = invq
+                    if u_a < alpha / m_env:
+                        break
+                    attempt += 1
+                prev, cur = cur, x
+                rows.append((wid, hop, cur))
+    rows.sort()
+    return rows
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_node2vec_matches_brute_replay(ray_session, P):
+    edges = np.unique(BRIDGE8, axis=0)
+    h = GraphHandle.from_edges(to_dataset(edges), 8, P=P)
+    try:
+        df, stats = _n2v_df(h, nwalks=3, walk_len=6, p=0.5, q=2.0, seed=7)
+    finally:
+        h.close()
+    got = list(df.itertuples(index=False, name=None))
+    assert got == _brute_n2v(edges, 8, 3, 6, 0.5, 2.0, 7)
+    assert stats["walks"] == 8 * 3
+
+
+def test_node2vec_matches_golden_replay(fix600, graph600, ray_session):
+    from fora_ray.goldens import node2vec_corpus_golden
+
+    edges, n = graph600
+    h = GraphHandle.from_edges(to_dataset(edges), n, P=4)
+    try:
+        df, _ = _n2v_df(h, nwalks=2, walk_len=5, p=0.5, q=2.0, seed=42)
+    finally:
+        h.close()
+    gold = node2vec_corpus_golden(fix600, nwalks=2, walk_len=5,
+                                  p=0.5, q=2.0, seed=42).to_pandas()
+    assert df.equals(gold.reset_index(drop=True))
+
+
+def test_node2vec_balanced_matches_identity(graph600, ray_session):
+    edges, n = graph600
+    hi = GraphHandle.from_edges(to_dataset(edges), n, P=2)
+    hb = GraphHandle.from_edges(to_dataset(edges), n, P=3, balance="degree")
+    try:
+        di, _ = _n2v_df(hi, nwalks=1, walk_len=4, p=2.0, q=0.5, seed=11)
+        db, _ = _n2v_df(hb, nwalks=1, walk_len=4, p=2.0, q=0.5, seed=11)
+        assert di.equals(db)
+    finally:
+        hi.close()
+        hb.close()
+
+
+def test_node2vec_transition_law(ray_session):
+    """Empirical second-step frequencies follow the node2vec alpha
+    weights.  From 0, step 1 is uniform over N(0) = {1, 2}; conditioned
+    on step1 == 1 (prev = 0), step 2 over N(1) = {0, 2, 3} weights
+    (1/p, 1, 1/q) = (2, 1, 0.5) at p = 0.5, q = 2 -> probs (4, 2, 1)/7."""
+    E = np.array([[0, 1], [0, 2], [1, 0], [1, 2], [1, 3], [2, 1], [3, 1]],
+                 dtype=np.int64)
+    nw = 30_000
+    h = GraphHandle.from_edges(to_dataset(E), 4, P=2)
+    try:
+        df, _ = _n2v_df(h, nwalks=nw, walk_len=3, p=0.5, q=2.0, seed=3)
+    finally:
+        h.close()
+    df = df[df.walk_id < nw]  # walks spawned at node 0
+    piv = df.pivot(index="walk_id", columns="step", values="node_id")
+    via1 = piv[piv[1] == 1]
+    freq = via1[2].value_counts(normalize=True)
+    assert abs(freq[0] - 4 / 7) < 0.02
+    assert abs(freq[2] - 2 / 7) < 0.02
+    assert abs(freq[3] - 1 / 7) < 0.02
+
+
+def test_node2vec_truncates_and_guards(ray_session):
+    h = GraphHandle.from_edges(to_dataset(DANGLE3), 3, P=2)
+    try:
+        df, _ = _n2v_df(h, nwalks=2, walk_len=10, p=0.5, q=2.0, seed=1)
+        lens = df.groupby("walk_id").size()
+        assert (lens <= 3).all()
+        for _, g in df.groupby("walk_id"):
+            assert g["step"].tolist() == list(range(len(g)))
+        with pytest.raises(ValueError):
+            alg.node2vec_corpus(h, p=0.0)
+        with pytest.raises(ValueError):
+            alg.node2vec_corpus(h, q=-1.0)
+    finally:
+        h.close()
