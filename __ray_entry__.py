@@ -383,6 +383,10 @@ def _queries_documents():
         "multimodal_features": multimodal_features_q,
         "multimodal_decode": multimodal_decode_q,
         "docs_exact_dedup": lambda sf: exact_dedup(_docs(sf)),
+        "chunk_dedup": lambda sf: (
+            __import__("fora_ray.pipelines.dedup", fromlist=["chunk_dedup_stats"])
+            .chunk_dedup_stats(_docs(sf), chunk_words=20)
+        ),
         "decontaminate": decontaminate_q,
         "redact_pii": redact_pii_q,
         "token_counts": lambda sf: token_counts(_docs(sf)),
@@ -641,6 +645,18 @@ def _queries_graph():
         ds, _stats = alg.scc(g["handle"], g["handle_rev"])
         return ds.to_pandas().sort_values("node_id").reset_index(drop=True)
 
+    def betweenness_q(sf_dir):
+        from fora_ray.graph.runtime import GraphHandle
+
+        g = _graph(sf_dir)
+        if "handle_rev" not in g:
+            g["handle_rev"] = GraphHandle.from_reverse_edges(g["edges"], g["n"], P=4)
+        ds, _stats = alg.betweenness_centrality(g["handle"], g["handle_rev"],
+                                                n_pivots=8, seed=42)
+        df = ds.to_pandas().sort_values("node_id").reset_index(drop=True)
+        df["betweenness"] = df["betweenness"].round(6)
+        return df
+
     def walk_corpus_q(sf_dir):
         g = _graph(sf_dir)
         ds, _stats = alg.random_walk_corpus(g["handle"], nwalks=2,
@@ -695,6 +711,7 @@ def _queries_graph():
         "diameter_est": diameter_est_q,
         "walk_corpus": walk_corpus_q,
         "node2vec_corpus": node2vec_corpus_q,
+        "betweenness": betweenness_q,
         "scc": scc_q,
         "harmonic": harmonic_q,
         "skipgram_pairs": skipgram_pairs_q,
@@ -961,6 +978,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_exact_dedup": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id"
+        ),
+        "chunk_dedup": (
+            # fixed-granularity (20-word) exact substring dedup: per-doc
+            # chunk counts + globally-duplicated chunk counts (first
+            # occurrence by (doc_id, chunk_idx) kept)
+            "WITH w AS ("
+            "  SELECT doc_id, string_split(text, ' ') AS ws FROM documents"
+            "), ch AS ("
+            "  SELECT doc_id, CAST(t.i AS BIGINT) AS chunk_idx,"
+            "         array_to_string(ws[t.i * 20 + 1 : (t.i + 1) * 20], ' ') AS chunk"
+            "  FROM w, UNNEST(range(CAST(ceil(len(ws) / 20.0) AS BIGINT))) AS t(i)"
+            "), rk AS ("
+            "  SELECT doc_id, chunk_idx, row_number() OVER ("
+            "    PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn"
+            "  FROM ch"
+            ") SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,"
+            "  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)"
+            "    AS n_dup_chunks"
+            " FROM rk GROUP BY doc_id ORDER BY doc_id"
         ),
         "pack_sequences": (
             "WITH toks AS ("
@@ -1230,6 +1266,11 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT walk_id, step, node_id "
             f"FROM read_parquet('{gold['node2vec_corpus']}') "
             "ORDER BY walk_id, step"
+        ),
+        "betweenness": (
+            f"SELECT node_id, betweenness "
+            f"FROM read_parquet('{gold['betweenness']}') "
+            "ORDER BY node_id"
         ),
         "skipgram_pairs": (
             f"SELECT a.node_id AS center, b.node_id AS context, "

@@ -15,9 +15,9 @@
                                 [--window-s N] [--slide-s N] [--gap-s N] [--k K] [--keys a,b]
     python -m fora_ray sketch   --input PATH --on COL --out DIR [--op distinct|heavy-hitters|quantiles]
                                 [--p P] [--phi X] [--quantiles 0.25,0.5] [--bins N]
-    python -m fora_ray walks    --graph DIR --out DIR [--nwalks N] [--walk-len L] [--window W]
+    python -m fora_ray walks    --graph DIR --out DIR [--nwalks N] [--walk-len L] [--window W] [--p P --q Q]
                                 [--sample-seeds 0,1,2 --fanouts 10,5]
-    python -m fora_ray analyze  --graph DIR --out DIR --op scc|hits|kcore|bfs|harmonic|diameter
+    python -m fora_ray analyze  --graph DIR --out DIR --op scc|hits|kcore|bfs|harmonic|diameter|betweenness
 
 --graph DIR is a shard dir written by `ingest` (csr/ + meta.json).
 Every command writes its result as partitioned Parquet plus a
@@ -398,8 +398,13 @@ def cmd_walks(args):
     h = _load_graph(args.graph)
     t0 = time.time()
     os.makedirs(args.out, exist_ok=True)
-    corpus, stats = alg.random_walk_corpus(
-        h, nwalks=args.nwalks, walk_len=args.walk_len, seed=args.seed)
+    if args.p != 1.0 or args.q != 1.0:
+        corpus, stats = alg.node2vec_corpus(
+            h, nwalks=args.nwalks, walk_len=args.walk_len,
+            p=args.p, q=args.q, seed=args.seed)
+    else:
+        corpus, stats = alg.random_walk_corpus(
+            h, nwalks=args.nwalks, walk_len=args.walk_len, seed=args.seed)
     corpus = corpus.materialize()
     corpus.write_parquet(os.path.join(args.out, "corpus"))
     n_pairs = 0
@@ -439,7 +444,7 @@ def cmd_analyze(args):
     t0 = time.time()
     os.makedirs(args.out, exist_ok=True)
     stats: dict = {}
-    if op in ("scc", "hits"):
+    if op in ("scc", "hits", "betweenness"):
         h = _load_graph(args.graph)
         edges = ray.data.read_parquet(os.path.join(args.graph, "edges"))
         rev = edges.map_batches(
@@ -449,6 +454,9 @@ def cmd_analyze(args):
         try:
             if op == "scc":
                 ds, stats = alg.scc(h, hr)
+            elif op == "betweenness":
+                ds, stats = alg.betweenness_centrality(
+                    h, hr, n_pivots=args.n_pivots, seed=args.seed)
             else:
                 ds, stats = alg.hits(h, hr, max_iters=args.iters)
             ds.write_parquet(os.path.join(args.out, op))
@@ -549,6 +557,10 @@ def main(argv=None):
     p.add_argument("--walk-len", type=int, default=5)
     p.add_argument("--window", type=int, default=2,
                    help="skip-gram window; 0 skips pair generation")
+    p.add_argument("--p", type=float, default=1.0,
+                   help="node2vec return parameter; p=q=1 -> uniform walks")
+    p.add_argument("--q", type=float, default=1.0,
+                   help="node2vec in-out parameter; p=q=1 -> uniform walks")
     p.add_argument("--sample-seeds", default=None,
                    help="comma-separated seed node ids -> neighbor-sample subgraph")
     p.add_argument("--fanouts", default="10,5")
@@ -559,7 +571,8 @@ def main(argv=None):
     p.add_argument("--graph", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--op", default="scc",
-                   choices=["scc", "hits", "kcore", "bfs", "harmonic", "diameter"])
+                   choices=["scc", "hits", "kcore", "bfs", "harmonic",
+                            "diameter", "betweenness"])
     p.add_argument("--sources", default="0")
     p.add_argument("--n-pivots", type=int, default=8)
     p.add_argument("--iters", type=int, default=40)

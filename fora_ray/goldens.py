@@ -41,7 +41,7 @@ from .oracle import lpa_oracle, ppr_column_oracle, ppr_power_iteration
 
 ROUND = 9
 _WORD = re.compile(r"\w+")
-_VERSION = 20  # v20: + node2vec biased-walk corpus golden
+_VERSION = 21  # v21: + node2vec corpus + pivot-Brandes betweenness goldens
 
 
 def _round_col(x: np.ndarray) -> np.ndarray:
@@ -948,6 +948,53 @@ def harmonic_golden(fix_dir: str, n_pivots: int = 8, seed: int = 42) -> pa.Table
                      "harmonic": pa.array(_round_col(harm))})
 
 
+def betweenness_golden(fix_dir: str, n_pivots: int = 8,
+                       seed: int = 42) -> pa.Table:
+    """Python replay of pivot-sampled Brandes betweenness on the
+    DIRECTED fixture graph: same hash pivot sample (k smallest
+    mix64(seed, id) over out-degree > 0 nodes), per-pivot BFS +
+    dependency accumulation, scaled n/k.  Summation order differs from
+    the engine's shard order, so both sides round to 6 decimals (the
+    engine is run-deterministic at fixed P, so the comparison is too)."""
+    from collections import deque
+
+    e, n = _fixture_graph(fix_dir)
+    adj = [[] for _ in range(n)]
+    for s, d in e:
+        adj[int(s)].append(int(d))
+    deg = np.array([len(a) for a in adj])
+    ids = np.nonzero(deg > 0)[0].astype(np.int64)
+    keys = mix64(np.uint64(seed), ids.astype(np.uint64))
+    order = np.lexsort((ids, keys))[:n_pivots]
+    pivots = [int(v) for v in ids[order]]
+    bc = np.zeros(n, np.float64)
+    for s in pivots:
+        dist = np.full(n, -1, np.int64)
+        sigma = np.zeros(n, np.float64)
+        dist[s], sigma[s] = 0, 1.0
+        bfs_order = [s]
+        dq = deque([s])
+        while dq:
+            v = dq.popleft()
+            for w in adj[v]:
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    dq.append(w)
+                    bfs_order.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+        delta = np.zeros(n, np.float64)
+        for v in reversed(bfs_order):
+            for w in adj[v]:
+                if dist[w] == dist[v] + 1:
+                    delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+        delta[s] = 0.0
+        bc += delta
+    bc *= n / max(len(pivots), 1)
+    return pa.table({"node_id": pa.array(np.arange(n, dtype=np.int64)),
+                     "betweenness": pa.array(np.round(bc, 6))})
+
+
 _GRAPH_GOLDENS = {
     "pagerank": pagerank_golden,
     "ppr_exact": ppr_exact_golden,
@@ -964,6 +1011,7 @@ _GRAPH_GOLDENS = {
     "hubppr": hubppr_golden,
     "walk_corpus": walk_corpus_golden,
     "node2vec_corpus": node2vec_corpus_golden,
+    "betweenness": betweenness_golden,
     "scc": scc_golden,
     "harmonic": harmonic_golden,
     "neighbor_sample": neighbor_sample_golden,

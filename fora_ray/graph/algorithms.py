@@ -1107,8 +1107,8 @@ def random_walk_corpus(handle, nwalks: int = 2, walk_len: int = 5,
     KDD'14): `nwalks` fixed-length uniform walks from EVERY node, emitted
     as a (walk_id, step, node_id) trace table — the training corpus a
     skip-gram embedding stage consumes.  node2vec with p = q = 1 is this
-    walk; biased p/q walks need the previous node's adjacency at the
-    current owner and are out of scope.
+    walk; biased p/q walks are node2vec_corpus (exact rejection
+    sampling — prev's adjacency never ships with the walker).
 
     Distribution: the FORA walk superstep shape — each hop advances all
     pending walkers shard-locally and routes survivors to the owner of
@@ -1119,9 +1119,10 @@ def random_walk_corpus(handle, nwalks: int = 2, walk_len: int = 5,
     walk_id), draw = rng(mix64(key, hop))) makes the corpus identical at
     any partition count; neighbor slots index the row's neighbors in
     LOGICAL-id order (runtime._walk_dst), so the corpus is a pure
-    function of the logical graph on identity AND driver-side
-    degree-balanced handles (bit-identical between them; the
-    distributed-permutation tier is refused — see _require_local_perm).
+    function of the logical graph on identity AND degree-balanced
+    handles — bit-identical between them, including the distributed
+    permutation tier, whose CSR shards carry per-edge logical ids
+    (see _require_local_perm).
 
     Returns (Dataset (walk_id, step, node_id), stats).  Rows total
     <= n * nwalks * walk_len; each shard buffers only its own slice —
@@ -1414,4 +1415,66 @@ def harmonic_centrality(handle, pivots=None, n_pivots: int = 8,
     refs = [w.harm_table.remote(float(scale)) for w in handle.workers]
     return ray.data.from_arrow_refs(refs), {
         "pivots": pivots, "bfs_rounds": rounds_total,
+    }
+
+
+def betweenness_centrality(handle, handle_rev, pivots=None,
+                           n_pivots: int = 8, seed: int = 42,
+                           max_rounds: int = 10_000):
+    """Pivot-sampled betweenness centrality (Brandes '01 with the
+    Brandes-Pich '07 source-sampling estimator): bc(v) ~= (n/k) *
+    sum_{s in pivots} delta_s(v), where delta_s is the shortest-path
+    dependency of source s.  Directed; pass the same pivots= list of
+    ALL nodes for the exact (unscaled) value on small graphs.
+
+    Per pivot: (1) a level-synchronous forward superstep run on the
+    FORWARD pool computes dist and the shortest-path counts sigma
+    (float64 — counts overflow int64 on large graphs) with per-cell
+    pre-summed payloads; (2) (dist, sigma) hand off to the aligned
+    REVERSE pool as P object-store blobs (shared permutation — shard
+    p's local indices match); (3) the backward dependency pass walks
+    levels deepest-first, each level one superstep pushing
+    (1 + delta)/sigma along REVERSE edges, receivers accepting only
+    from true shortest-path-DAG edges (dist difference of exactly 1).
+    Nothing n-sized ever crosses the driver; per-round payloads are
+    pre-aggregated per destination, so hub fan-in cannot hotspot.
+
+    Pivots default to the same deterministic hash sample over
+    non-dangling nodes harmonic_centrality uses.  Returns
+    (Dataset (node_id, betweenness) over ALL nodes, stats).
+    """
+    _require_pair(handle, handle_rev, "betweenness_centrality")
+    if pivots is None:
+        parts = handle.call_all("pivot_candidates", int(n_pivots), int(seed))
+        ids = np.concatenate([p[0] for p in parts])
+        keys = np.concatenate([p[1] for p in parts])
+        if ids.size == 0:
+            raise ValueError(
+                "betweenness_centrality: graph has no non-dangling nodes")
+        order = np.lexsort((ids, keys))[:n_pivots]
+        pivots = [int(v) for v in ids[order]]
+    handle_rev.call_all("bc_init")
+    fwd_rounds = bwd_rounds = 0
+    for pvt in pivots:
+        eng = int(handle.to_engine(int(pvt)))
+        handle.call_all("bc_fwd_init", [eng])
+        level = 0
+        while level < max_rounds:
+            metas, newly = handle._exchange("bc_fwd_round", "bc_fwd_apply",
+                                            level)
+            if sum(newly) + sum(m["self_new"] for m in metas) == 0:
+                break
+            level += 1
+        fwd_rounds += level + 1
+        srefs = [w.bc_state.remote() for w in handle.workers]
+        ray.get([rw.bc_bwd_init.remote(sref)
+                 for rw, sref in zip(handle_rev.workers, srefs)])
+        for lv in range(level, 0, -1):
+            handle_rev._exchange("bc_bwd_round", "bc_bwd_apply", lv)
+            bwd_rounds += 1
+        handle_rev.call_all("bc_accumulate", eng)
+    scale = handle.n / max(len(pivots), 1)
+    refs = [w.bc_table.remote(float(scale)) for w in handle_rev.workers]
+    return ray.data.from_arrow_refs(refs), {
+        "pivots": pivots, "fwd_rounds": fwd_rounds, "bwd_rounds": bwd_rounds,
     }

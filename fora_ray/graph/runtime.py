@@ -1944,6 +1944,143 @@ class ShardWorkerImpl:
             "dist": pa.array(self.dist[reach]),
         })
 
+    # ---- betweenness centrality (pivot-sampled Brandes) --------------------
+    def bc_init(self):
+        """Zero the betweenness accumulator (lives on the REVERSE pool,
+        where the backward dependency pass applies its updates)."""
+        self._bc_acc = np.zeros(self.n_local, np.float64)
+        return True
+
+    def bc_fwd_init(self, sources_engine):
+        _SENT = np.iinfo(np.int64).max
+        self._bc_dist = np.full(self.n_local, _SENT, np.int64)
+        self._bc_sig = np.zeros(self.n_local, np.float64)
+        src = np.asarray(sources_engine, dtype=np.int64)
+        mine = src[src % self.P == self.part] // self.P
+        self._bc_dist[mine] = 0
+        self._bc_sig[mine] = 1.0
+        self._bc_front = mine
+        return int(mine.size)
+
+    def bc_fwd_round(self, level: int):
+        """Brandes forward superstep: the level-`level` frontier pushes
+        its shortest-path counts (sigma, float64) along out-edges,
+        pre-summed per destination cell; receivers at unset dist join
+        level+1, receivers already at level+1 add counts
+        (bc_fwd_apply).  Level-synchronous, so every sigma contribution
+        to a node arrives in the one round its level is discovered."""
+        idx = self._bc_front
+        self._bc_front = np.empty(0, np.int64)
+        meta = {"sent": int(idx.size), "self_new": 0}
+        if idx.size == 0:
+            return tuple([meta] + [None] * self.P)
+        dsts, row = self._gather_edges(idx)
+        if dsts.size == 0:
+            return tuple([meta] + [None] * self.P)
+        vals = self._bc_sig[idx][row]
+        payloads = [None] * self.P
+        owner = dsts % self.P
+        for p in np.unique(owner):
+            m = owner == p
+            nl = n_local_of(self.n, self.P, int(p))
+            acc = np.zeros(nl, np.float64)
+            np.add.at(acc, dsts[m] // self.P, vals[m])
+            nz = np.nonzero(acc)[0]
+            pl = (level, nz.astype(np.int64), acc[nz])
+            if p == self.part:
+                meta["self_new"] = self.bc_fwd_apply(pl)
+            else:
+                payloads[int(p)] = pl
+        return tuple([meta] + payloads)
+
+    def bc_fwd_apply(self, *payloads):
+        _SENT = np.iinfo(np.int64).max
+        newly = 0
+        for pl in payloads:
+            if pl is None:
+                continue
+            level, ids, vals = pl
+            fresh = self._bc_dist[ids] == _SENT
+            if fresh.any():
+                fi = ids[fresh]
+                self._bc_dist[fi] = level + 1
+                self._bc_front = np.concatenate([self._bc_front, fi])
+                newly += int(fresh.sum())
+            ok = self._bc_dist[ids] == level + 1
+            np.add.at(self._bc_sig, ids[ok], vals[ok])
+        return newly
+
+    def bc_state(self):
+        """(dist, sigma) slice hand-off to the aligned reverse pool —
+        shard p's arrays index the same nodes on both pools (shared
+        permutation), so the transfer is P object-store blobs, nothing
+        through the driver."""
+        return self._bc_dist, self._bc_sig
+
+    def bc_bwd_init(self, state):
+        dist, sig = state
+        self._bc_dist = np.asarray(dist)
+        self._bc_sig = np.asarray(sig)
+        self._bc_delta = np.zeros(self.n_local, np.float64)
+        return True
+
+    def bc_bwd_round(self, level: int):
+        """Backward dependency superstep on the REVERSE pool: nodes at
+        dist == level push (1 + delta)/sigma along reverse edges
+        (pre-summed per destination); a receiver u accepts only if
+        dist(u) == level - 1 — then u->w is a shortest-path-DAG edge —
+        and folds sigma(u) * sum into delta(u) (bc_bwd_apply)."""
+        idx = np.nonzero(self._bc_dist == level)[0]
+        meta = {"sent": int(idx.size)}
+        if idx.size == 0:
+            return tuple([meta] + [None] * self.P)
+        w_val = (1.0 + self._bc_delta[idx]) / self._bc_sig[idx]
+        dsts, row = self._gather_edges(idx)
+        if dsts.size == 0:
+            return tuple([meta] + [None] * self.P)
+        vals = w_val[row]
+        payloads = [None] * self.P
+        owner = dsts % self.P
+        for p in np.unique(owner):
+            m = owner == p
+            nl = n_local_of(self.n, self.P, int(p))
+            acc = np.zeros(nl, np.float64)
+            np.add.at(acc, dsts[m] // self.P, vals[m])
+            nz = np.nonzero(acc)[0]
+            pl = (level, nz.astype(np.int64), acc[nz])
+            if p == self.part:
+                self.bc_bwd_apply(pl)
+            else:
+                payloads[int(p)] = pl
+        return tuple([meta] + payloads)
+
+    def bc_bwd_apply(self, *payloads):
+        applied = 0
+        for pl in payloads:
+            if pl is None:
+                continue
+            level, ids, vals = pl
+            ok = self._bc_dist[ids] == level - 1
+            if ok.any():
+                oi = ids[ok]
+                self._bc_delta[oi] += self._bc_sig[oi] * vals[ok]
+                applied += int(ok.sum())
+        return applied
+
+    def bc_accumulate(self, pivot_engine: int):
+        """Fold delta into the betweenness accumulator; Brandes excludes
+        the source's own dependency."""
+        if pivot_engine % self.P == self.part:
+            self._bc_delta[pivot_engine // self.P] = 0.0
+        self._bc_acc += self._bc_delta
+        return True
+
+    def bc_table(self, scale: float) -> pa.Table:
+        return pa.table({
+            "node_id": pa.array(self.logical_ids),
+            "betweenness": pa.array(self._bc_acc * scale),
+        })
+
     # ---- G10 label propagation --------------------------------------------
     def lpa_init(self):
         self.labels = self.logical_ids.copy()

@@ -1114,3 +1114,152 @@ def decontaminate(docs_ds, bench_ds, ngram: int = 8,
         docs_ds.map_batches(Scan, batch_format="pyarrow",
                             concurrency=pool_size()),
         ["doc_id"])
+
+
+# ---- fixed-granularity exact substring (chunk) dedup --------------------------
+
+def _chunk_rows(t: pa.Table, chunk_words: int, id_col: str,
+                text_col: str) -> pa.Table:
+    """Per doc: consecutive `chunk_words`-word chunks (simple space
+    split, so the rule is plain-SQL-reproducible); emits only the
+    chunk's u64 hash — strings never leave the mapper."""
+    ids, idxs, texts = [], [], []
+    for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+        ws = (txt or "").split(" ")
+        for i in range(0, len(ws), chunk_words):
+            ids.append(did)
+            idxs.append(i // chunk_words)
+            texts.append(" ".join(ws[i:i + chunk_words]))
+    return pa.table({
+        id_col: pa.array(ids, pa.int64()),
+        "chunk_idx": pa.array(idxs, pa.int64()),
+        "chunk_h": pa.array(hash_str_u64(texts) if texts
+                            else np.empty(0, np.uint64), pa.uint64()),
+    })
+
+
+def chunk_dedup(docs_ds, chunk_words: int = 20, id_col: str = "doc_id",
+                text_col: str = "text", sort: bool = True):
+    """Fixed-granularity exact substring dedup (the practical form of
+    Lee et al. '21 ExactSubstr / the RefinedWeb paragraph rule): split
+    each doc into consecutive `chunk_words`-word chunks, keep the FIRST
+    global occurrence of every distinct chunk (lexicographic min
+    (doc_id, chunk_idx)) and flag the rest.  Returns a chunk-level
+    Dataset (doc_id, chunk_idx, is_dup).
+
+    Shuffle shape: chunks hash to u64 (blake2b-8) at the mapper, ONE
+    bucketed exchange co-locates equal hashes, and a single lexsort per
+    bucket ranks (chunk_h, doc_id, chunk_idx) and marks everything
+    after each hash's first row — no chunk strings move after the
+    mapper and no per-chunk tiny groups exist.  Scale: output is one
+    row per chunk; per-bucket memory is the bucket's chunk count.
+    """
+    from ..stages.shuffle import bucket_apply
+
+    if chunk_words < 1:
+        raise ValueError("chunk_words must be >= 1")
+
+    def mark(g: pa.Table) -> pa.Table:
+        h = g["chunk_h"].to_numpy(zero_copy_only=False)
+        d = g[id_col].to_numpy(zero_copy_only=False)
+        ci = g["chunk_idx"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ci, d, h))
+        hs = h[order]
+        first_in_run = np.ones(hs.size, dtype=bool)
+        first_in_run[1:] = hs[1:] != hs[:-1]
+        dup = np.empty(hs.size, dtype=bool)
+        dup[order] = ~first_in_run
+        return pa.table({
+            id_col: g[id_col], "chunk_idx": g["chunk_idx"],
+            "is_dup": pa.array(dup),
+        })
+
+    chunks = docs_ds.map_batches(
+        lambda t: _chunk_rows(t, chunk_words, id_col, text_col),
+        batch_format="pyarrow")
+    out = bucket_apply(chunks, "chunk_h", mark)
+    return clean_sort(out, [id_col, "chunk_idx"]) if sort else out
+
+
+def chunk_dedup_stats(docs_ds, chunk_words: int = 20, id_col: str = "doc_id",
+                      text_col: str = "text"):
+    """Per-doc chunk-dedup summary: (doc_id, n_chunks, n_dup_chunks) —
+    the contamination signal a curation pipeline filters on.  One
+    extra bucketed exchange re-keys the chunk flags by doc; a single
+    lexsort + reduceat per bucket sums every doc in the bucket."""
+    from ..stages.shuffle import bucket_apply
+
+    flags = chunk_dedup(docs_ds, chunk_words, id_col, text_col, sort=False)
+
+    def fold(g: pa.Table) -> pa.Table:
+        d = g[id_col].to_numpy(zero_copy_only=False)
+        dup = g["is_dup"].to_numpy(zero_copy_only=False)
+        order = np.argsort(d, kind="stable")
+        ds_, dup_ = d[order], dup[order]
+        starts = np.nonzero(np.concatenate([[True], ds_[1:] != ds_[:-1]]))[0]
+        return pa.table({
+            id_col: pa.array(ds_[starts], pa.int64()),
+            "n_chunks": pa.array(np.diff(np.concatenate([starts, [ds_.size]])),
+                                 pa.int64()),
+            "n_dup_chunks": pa.array(np.add.reduceat(dup_.astype(np.int64),
+                                                     starts), pa.int64()),
+        })
+
+    return clean_sort(bucket_apply(flags, id_col, fold), id_col)
+
+
+def drop_dup_chunks(docs_ds, chunk_words: int = 20, id_col: str = "doc_id",
+                    text_col: str = "text"):
+    """Cleaned corpus: each doc's text with globally-duplicated chunks
+    removed (first occurrence kept).  The dup flags and the original
+    docs are harmonized and unioned (no Dataset join), hash-bucketed by
+    doc id, and one kernel per bucket re-splits each doc and drops its
+    flagged chunk indices.  Docs whose every chunk survives pass
+    through byte-identical; a doc reduced to nothing emits ''."""
+    flags = chunk_dedup(docs_ds, chunk_words, id_col, text_col, sort=False)
+
+    def project_drops(t: pa.Table) -> pa.Table:
+        t = t.filter(t["is_dup"])
+        return pa.table({
+            id_col: t[id_col],
+            "chunk_idx": t["chunk_idx"],
+            text_col: pa.array([None] * t.num_rows, pa.string()),
+        })
+
+    drops = flags.map_batches(project_drops, batch_format="pyarrow")
+    docs_side = docs_ds.map_batches(
+        lambda t: pa.table({
+            id_col: t[id_col],
+            "chunk_idx": pa.array(np.full(t.num_rows, -1), pa.int64()),
+            text_col: t[text_col],
+        }), batch_format="pyarrow")
+    from ..stages.shuffle import bucket_apply, drop_empty_blocks
+
+    both = drop_empty_blocks(docs_side.union(drops))
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        d = g[id_col].to_numpy(zero_copy_only=False)
+        ci = g["chunk_idx"].to_numpy(zero_copy_only=False)
+        txt = g[text_col].to_pylist()
+        drop_of: dict[int, set] = {}
+        for did, c in zip(d[ci >= 0].tolist(), ci[ci >= 0].tolist()):
+            drop_of.setdefault(did, set()).add(c)
+        out_ids, out_txt = [], []
+        for did, c, s in zip(d.tolist(), ci.tolist(), txt):
+            if c >= 0:
+                continue
+            ws = (s or "").split(" ")
+            dropped = drop_of.get(did)
+            if not dropped:
+                out_ids.append(did)
+                out_txt.append(s)
+                continue
+            kept = [" ".join(ws[i:i + chunk_words])
+                    for i in range(0, len(ws), chunk_words)
+                    if i // chunk_words not in dropped]
+            out_ids.append(did)
+            out_txt.append(" ".join(kept))
+        return pa.table({id_col: pa.array(out_ids, pa.int64()),
+                         text_col: pa.array(out_txt, pa.string())})
+
+    return clean_sort(bucket_apply(both, id_col, rebuild), id_col)

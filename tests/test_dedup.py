@@ -318,3 +318,86 @@ def test_jac_vectorized_matches_scalar():
     want = np.array([_jac_arrays(lookup(int(x)), lookup(int(y)))
                      for x, y in zip(a, b)])
     assert np.array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# fixed-granularity exact substring (chunk) dedup
+# ---------------------------------------------------------------------------
+
+def _brute_chunks(ids, texts, W):
+    """first-occurrence chunk flags, python replay."""
+    seen = {}
+    rows = []
+    for did, txt in sorted(zip(ids, texts)):
+        ws = (txt or "").split(" ")
+        for i in range(0, len(ws), W):
+            c = " ".join(ws[i:i + W])
+            key = (did, i // W)
+            if c in seen:
+                rows.append((did, i // W, True))
+            else:
+                seen[c] = key
+                rows.append((did, i // W, False))
+    rows.sort()
+    return rows
+
+
+def test_chunk_dedup_matches_brute():
+    from fora_ray.pipelines.dedup import chunk_dedup
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ids, txts = t["doc_id"].to_pylist(), t["text"].to_pylist()
+    got = chunk_dedup(_docs(), chunk_words=20).to_pandas()
+    got_rows = list(got.itertuples(index=False, name=None))
+    assert got_rows == _brute_chunks(ids, txts, 20)
+    # non-vacuous: the fixture plants dup chunks
+    assert got["is_dup"].sum() > 0
+
+
+def test_chunk_dedup_stats_and_reshard_stability(ray_session):
+    from fora_ray.pipelines.dedup import chunk_dedup, chunk_dedup_stats
+
+    a = chunk_dedup_stats(_docs(), chunk_words=20).to_pandas()
+    b = chunk_dedup_stats(_docs().repartition(13), chunk_words=20).to_pandas()
+    assert a.equals(b)
+    assert (a["n_chunks"] > 0).all()
+    assert a["n_dup_chunks"].sum() == int(
+        chunk_dedup(_docs(), chunk_words=20).to_pandas()["is_dup"].sum())
+
+
+def test_drop_dup_chunks_matches_brute():
+    from fora_ray.pipelines.dedup import drop_dup_chunks
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ids, txts = t["doc_id"].to_pylist(), t["text"].to_pylist()
+    W = 20
+    flags = {}
+    for did, ci, dup in _brute_chunks(ids, txts, W):
+        if dup:
+            flags.setdefault(did, set()).add(ci)
+    want = {}
+    for did, txt in zip(ids, txts):
+        ws = (txt or "").split(" ")
+        kept = [" ".join(ws[i:i + W]) for i in range(0, len(ws), W)
+                if i // W not in flags.get(did, set())]
+        want[did] = " ".join(kept)
+    got = drop_dup_chunks(_docs(), chunk_words=W).to_pandas()
+    assert dict(zip(got["doc_id"], got["text"])) == want
+    # docs with no dup chunks pass through byte-identical
+    clean = [did for did in ids if did not in flags]
+    orig = dict(zip(ids, txts))
+    gmap = dict(zip(got["doc_id"], got["text"]))
+    assert all(gmap[d] == orig[d] for d in clean)
+
+
+def test_chunk_dedup_guards():
+    import pytest as _pt
+
+    from fora_ray.pipelines.dedup import chunk_dedup
+
+    with _pt.raises(ValueError):
+        chunk_dedup(_docs(), chunk_words=0)

@@ -131,3 +131,111 @@ def test_harmonic_pivot_sample_deterministic(graph600, ray_session):
             h.close()
         stats.append(st["pivots"])
     assert stats[0] == stats[1] and len(stats[0]) == 4
+
+
+# ---------------------------------------------------------------------------
+# betweenness centrality (pivot-sampled Brandes)
+# ---------------------------------------------------------------------------
+
+def _brute_brandes(edges: np.ndarray, n: int, sources) -> np.ndarray:
+    """Textbook Brandes on the directed graph, restricted to `sources`."""
+    from collections import deque
+
+    adj = [[] for _ in range(n)]
+    for s, d in edges:
+        adj[int(s)].append(int(d))
+    bc = np.zeros(n, np.float64)
+    for s in sources:
+        dist = np.full(n, -1, np.int64)
+        sigma = np.zeros(n, np.float64)
+        dist[s], sigma[s] = 0, 1.0
+        order, dq = [s], deque([s])
+        while dq:
+            v = dq.popleft()
+            for w in adj[v]:
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    dq.append(w)
+                    order.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+        delta = np.zeros(n, np.float64)
+        for v in reversed(order):
+            for w in adj[v]:
+                if dist[w] == dist[v] + 1:
+                    delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+        delta[s] = 0.0
+        bc += delta
+    return bc
+
+
+def _bc_df(edges: np.ndarray, n: int, P: int, **kw):
+    hf = GraphHandle.from_edges(to_dataset(edges), n, P=P)
+    hr = GraphHandle.from_reverse_edges(to_dataset(edges), n, P=P)
+    try:
+        ds, stats = alg.betweenness_centrality(hf, hr, **kw)
+        df = ds.to_pandas().sort_values("node_id").reset_index(drop=True)
+    finally:
+        hf.close()
+        hr.close()
+    return df, stats
+
+
+@pytest.mark.parametrize("name", list(MICROS))
+@pytest.mark.parametrize("P", [1, 3])
+def test_betweenness_exact_micro(ray_session, name, P):
+    """pivots = ALL nodes -> scale n/k = 1 -> the EXACT directed
+    betweenness; compared against textbook Brandes."""
+    edges, n = MICROS[name]
+    edges = np.unique(edges, axis=0)
+    df, _ = _bc_df(edges, n, P, pivots=list(range(n)))
+    assert np.allclose(df["betweenness"].to_numpy(),
+                       _brute_brandes(edges, n, range(n)), atol=1e-9)
+    assert df["node_id"].tolist() == list(range(n))
+
+
+@pytest.mark.parametrize("P", [2, 4])
+def test_betweenness_pivot_sample_fixture(graph600, ray_session, P):
+    """Pivot-sampled estimate on the 600-node fixture: engine pivots
+    must equal the brute hash sample, values allclose to brute Brandes
+    restricted to those pivots (scaled n/k)."""
+    from fora_ray.functions.hashing import mix64
+
+    edges, n = graph600
+    df, stats = _bc_df(edges, n, P, n_pivots=8, seed=42)
+    deg = np.zeros(n, np.int64)
+    np.add.at(deg, edges[:, 0], 1)
+    ids = np.nonzero(deg > 0)[0].astype(np.int64)
+    keys = mix64(np.uint64(42), ids.astype(np.uint64))
+    pivots = [int(v) for v in ids[np.lexsort((ids, keys))[:8]]]
+    assert stats["pivots"] == pivots
+    want = _brute_brandes(edges, n, pivots) * (n / 8)
+    assert np.allclose(df["betweenness"].to_numpy(), want, rtol=1e-9, atol=1e-9)
+
+
+def test_betweenness_balanced_pair_matches_identity(graph600, ray_session):
+    edges, n = graph600
+    di, _ = _bc_df(edges, n, 2, n_pivots=6, seed=7)
+    hf = GraphHandle.from_edges(to_dataset(edges), n, P=3, balance="degree")
+    hr = GraphHandle.from_reverse_edges(to_dataset(edges), n, P=3,
+                                        perm=hf.perm, inv=hf.inv)
+    try:
+        ds, _ = alg.betweenness_centrality(hf, hr, n_pivots=6, seed=7)
+        db = ds.to_pandas().sort_values("node_id").reset_index(drop=True)
+    finally:
+        hf.close()
+        hr.close()
+    assert np.allclose(di["betweenness"].to_numpy(),
+                       db["betweenness"].to_numpy(), rtol=1e-9, atol=1e-12)
+
+
+def test_betweenness_refuses_mismatched_pair(graph600, ray_session):
+    edges, n = graph600
+    hf = GraphHandle.from_edges(to_dataset(edges), n, P=2, balance="degree")
+    hr = GraphHandle.from_reverse_edges(to_dataset(edges), n, P=2)
+    try:
+        with pytest.raises(ValueError, match="shard-aligned"):
+            alg.betweenness_centrality(hf, hr)
+    finally:
+        hf.close()
+        hr.close()
