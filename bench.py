@@ -201,9 +201,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         for i in range(dedup_rep)
     ])
     docs = rd.from_arrow(big_docs).repartition(num_cpus * 2).materialize()
+    # GRAFT_DEDUP_PAIRS=star selects the O(group) cluster-dedup pair
+    # mode for the large replicated tiers, where the default all-pairs
+    # contract is quadratic in the 100x dup-group size by definition
+    pair_mode = os.environ.get("GRAFT_DEDUP_PAIRS", "all")
     t0 = time.perf_counter()
     exact_dedup(docs).count()
-    minhash_lsh_dups(docs, threshold=0.6).count()
+    minhash_lsh_dups(docs, threshold=0.6, pairs=pair_mode).count()
     timings["dedup"] = time.perf_counter() - t0
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")

@@ -161,6 +161,12 @@ def _pairs_for_ids(ids: np.ndarray, cap: int, out_a: list, out_b: list) -> None:
     lsh_bucket_stats (A6 counter convention)."""
     if ids.size < 2:
         return
+    if cap == 0:  # star mode: anchor spanning pairs, O(b) per bucket
+        root = ids.min()
+        others = ids[ids != root]
+        out_a.append(np.full(others.size, root, np.int64))
+        out_b.append(others)
+        return
     if ids.size > cap:
         n_sub = -(-ids.size // cap)  # ceil
         sub = (mix64(ids.astype(np.uint64), np.uint64(0x5CA1AB1E))
@@ -206,7 +212,11 @@ def _candidate_pairs(sigs_ds, cap: int = BUCKET_CAP):
     of a sort-based groupby over millions of tiny LSH buckets: each of
     the ~2xCPU bucket groups holds MANY signature buckets, segmented
     inside one vectorized lexsort pass — the repo's standard pattern,
-    ~2x cheaper than Ray's sort-based map_groups at this shape."""
+    ~2x cheaper than Ray's sort-based map_groups at this shape.
+
+    cap=0 selects STAR pair generation: each bucket contributes only
+    (min_id, other) spanning pairs — O(b) instead of O(b^2) per
+    bucket (see minhash_lsh_dups(pairs='star'))."""
     from ..stages.shuffle import bucket_apply
 
     def add_key(t: pa.Table) -> pa.Table:
@@ -285,7 +295,8 @@ def minhash_lsh_dups(docs_ds, threshold: float = 0.7, num_perm: int = 64,
                      bands: int = 16, shingle_k: int = 5, seed: int = 42,
                      verify_strategy: str = "auto",
                      broadcast_bytes: int = _TEXT_BROADCAST_BYTES,
-                     num_partitions: int | None = None):
+                     num_partitions: int | None = None,
+                     pairs: str = "all"):
     """Near-duplicate pairs by MinHash-LSH, Jaccard-verified.
 
     Returns Dataset (a, b, jaccard) with a < b, jaccard >= threshold,
@@ -298,7 +309,28 @@ def minhash_lsh_dups(docs_ds, threshold: float = 0.7, num_perm: int = 64,
     - 'auto': broadcast while the corpus is under `broadcast_bytes`
       (byte-metered, not row-counted — a wide-text corpus routes to
       the join path regardless of row count).
+
+    pairs:
+    - 'all' (default): every within-bucket pair — the complete
+      verified near-dup PAIR LIST.  Inherently O(b^2) per dup group:
+      a corpus whose docs repeat b times emits ~b^2/2 verified rows
+      per group, so cost (and output size) is quadratic in group
+      size no matter how it's computed.
+    - 'star': each bucket contributes only (min_id, other) spanning
+      pairs — O(b) per group.  This is the cluster-dedup practice at
+      web scale (BigCode / RefinedWeb shape): feed the verified star
+      pairs to dup_clusters for components, keep one doc per cluster.
+      A star pair that fails verification can disconnect a cluster
+      that a missing transitive pair would have held together —
+      exact for identical-copy groups, approximate for chains of
+      barely-similar docs.  Measured at the 500k-doc / 100-replica
+      bench tier (32 CPUs): 432M -> 8.6M raw candidates, 27.3M ->
+      513k verified rows, dedup stage 320 s -> 17.5 s, and 8->32 CPU
+      efficiency 0.28 -> 0.92 (all-pairs is object-store-bound on
+      the quadratic pair shuffle; star is compute-bound).
     """
+    if pairs not in ("all", "star"):
+        raise ValueError("pairs must be 'all' or 'star'")
     # shingle ONCE (materialized: the compact hash-set table feeds both
     # the signature stage and the verify joins — without the pin, Ray
     # re-executes the shingling lineage for each consumer, which was
@@ -309,7 +341,9 @@ def minhash_lsh_dups(docs_ds, threshold: float = 0.7, num_perm: int = 64,
     # (snowflake-style ids exceed 2^32) -> always the pair-safe distinct
     from ..stages.edges import dedup_edges
 
-    cand = dedup_edges(_candidate_pairs(sigs), wide_ids=True)
+    cand = dedup_edges(
+        _candidate_pairs(sigs, cap=0 if pairs == "star" else BUCKET_CAP),
+        wide_ids=True)
     if verify_strategy == "auto":
         verify_strategy = "broadcast" if broadcast_fits(docs_ds, broadcast_bytes) else "join"
     return _verify_jaccard(cand, sets_ds, threshold,

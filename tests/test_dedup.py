@@ -401,3 +401,47 @@ def test_chunk_dedup_guards():
 
     with _pt.raises(ValueError):
         chunk_dedup(_docs(), chunk_words=0)
+
+
+def test_minhash_star_mode_subset_and_same_clusters(ray_session):
+    """pairs='star' emits a subset of the all-pairs result, and on
+    identical-copy dup groups dup_clusters reconstructs the SAME
+    clusters from the star pairs (the web-scale cluster-dedup path)."""
+    import pandas as pd
+
+    from fora_ray.pipelines.dedup import minhash_lsh_dups
+
+    alla = minhash_lsh_dups(_dup_corpus(), threshold=0.6).to_pandas()
+    star = minhash_lsh_dups(_dup_corpus(), threshold=0.6,
+                            pairs="star").to_pandas()
+    all_set = set(zip(alla["a"], alla["b"]))
+    star_set = set(zip(star["a"], star["b"]))
+    assert star_set <= all_set
+    assert 0 < len(star_set) < len(all_set) or len(all_set) <= 1
+
+    def clusters(df: pd.DataFrame):
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(df["a"], df["b"]):
+            parent[find(a)] = find(b)
+        out = {}
+        for x in list(parent):
+            out.setdefault(find(x), set()).add(x)
+        return sorted(frozenset(v) for v in out.values())
+
+    assert clusters(alla) == clusters(star)
+
+
+def test_minhash_pairs_guard():
+    import pytest as _pt
+
+    from fora_ray.pipelines.dedup import minhash_lsh_dups
+
+    with _pt.raises(ValueError):
+        minhash_lsh_dups(_docs(), pairs="bogus")
