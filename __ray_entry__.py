@@ -645,6 +645,11 @@ def _queries_graph():
         ds, _stats = alg.scc(g["handle"], g["handle_rev"])
         return ds.to_pandas().sort_values("node_id").reset_index(drop=True)
 
+    def mis_q(sf_dir):
+        g = _graph(sf_dir)
+        ds, _stats = alg.maximal_independent_set(g["handle_sym"], seed=42)
+        return ds.to_pandas().sort_values("node_id").reset_index(drop=True)
+
     def betweenness_q(sf_dir):
         from fora_ray.graph.runtime import GraphHandle
 
@@ -712,6 +717,7 @@ def _queries_graph():
         "walk_corpus": walk_corpus_q,
         "node2vec_corpus": node2vec_corpus_q,
         "betweenness": betweenness_q,
+        "mis": mis_q,
         "scc": scc_q,
         "harmonic": harmonic_q,
         "skipgram_pairs": skipgram_pairs_q,
@@ -1270,6 +1276,10 @@ def oracle_sql() -> dict[str, str]:
         "betweenness": (
             f"SELECT node_id, betweenness "
             f"FROM read_parquet('{gold['betweenness']}') "
+            "ORDER BY node_id"
+        ),
+        "mis": (
+            f"SELECT node_id, in_mis FROM read_parquet('{gold['mis']}') "
             "ORDER BY node_id"
         ),
         "skipgram_pairs": (

@@ -17,7 +17,7 @@
                                 [--p P] [--phi X] [--quantiles 0.25,0.5] [--bins N]
     python -m fora_ray walks    --graph DIR --out DIR [--nwalks N] [--walk-len L] [--window W] [--p P --q Q]
                                 [--sample-seeds 0,1,2 --fanouts 10,5]
-    python -m fora_ray analyze  --graph DIR --out DIR --op scc|hits|kcore|bfs|harmonic|diameter|betweenness
+    python -m fora_ray analyze  --graph DIR --out DIR --op scc|hits|kcore|bfs|harmonic|diameter|betweenness|mis
 
 --graph DIR is a shard dir written by `ingest` (csr/ + meta.json).
 Every command writes its result as partitioned Parquet plus a
@@ -473,6 +473,9 @@ def cmd_analyze(args):
                 sources = [int(s) for s in args.sources.split(",")]
                 ds, stats = alg.bfs_hops(h, sources)
                 ds.write_parquet(os.path.join(args.out, op))
+            elif op == "mis":
+                ds, stats = alg.maximal_independent_set(h, seed=args.seed)
+                ds.write_parquet(os.path.join(args.out, op))
             elif op == "harmonic":
                 ds, stats = alg.harmonic_centrality(
                     h, n_pivots=args.n_pivots, seed=args.seed)
@@ -572,7 +575,7 @@ def main(argv=None):
     p.add_argument("--out", required=True)
     p.add_argument("--op", default="scc",
                    choices=["scc", "hits", "kcore", "bfs", "harmonic",
-                            "diameter", "betweenness"])
+                            "diameter", "betweenness", "mis"])
     p.add_argument("--sources", default="0")
     p.add_argument("--n-pivots", type=int, default=8)
     p.add_argument("--iters", type=int, default=40)

@@ -41,7 +41,7 @@ from .oracle import lpa_oracle, ppr_column_oracle, ppr_power_iteration
 
 ROUND = 9
 _WORD = re.compile(r"\w+")
-_VERSION = 21  # v21: + node2vec corpus + pivot-Brandes betweenness goldens
+_VERSION = 22  # v22: + node2vec, betweenness, Luby-MIS goldens
 
 
 def _round_col(x: np.ndarray) -> np.ndarray:
@@ -948,6 +948,39 @@ def harmonic_golden(fix_dir: str, n_pivots: int = 8, seed: int = 42) -> pa.Table
                      "harmonic": pa.array(_round_col(harm))})
 
 
+def mis_golden(fix_dir: str, seed: int = 42) -> pa.Table:
+    """Python replay of the deterministic Luby-style MIS on the
+    symmetrized fixture graph: same counter-RNG priorities
+    (mix64(mix64(seed, round), id)), same strict (key, id) local-min
+    join rule, self-loops dropped — bit-identical to the engine at any
+    partition count."""
+    e, n = _fixture_graph(fix_dir)
+    und = np.unique(np.concatenate([e, e[:, ::-1]]), axis=0)
+    und = und[und[:, 0] != und[:, 1]]
+    adj = [[] for _ in range(n)]
+    for s, d in und:
+        adj[int(s)].append(int(d))
+    status = np.full(n, -1, np.int8)
+    rnd = 0
+    while (status == -1).any():
+        rseed = mix64(np.uint64(seed), np.uint64(rnd))
+        ids = np.arange(n, dtype=np.int64)
+        keys = mix64(np.full(n, rseed, np.uint64), ids.astype(np.uint64))
+        joined = []
+        for v in np.nonzero(status == -1)[0]:
+            nb = [u for u in adj[v] if status[u] == -1]
+            if all((keys[v], v) < (keys[u], u) for u in nb):
+                joined.append(v)
+        status[joined] = 1
+        for v in joined:
+            for u in adj[v]:
+                if status[u] == -1:
+                    status[u] = 0
+        rnd += 1
+    return pa.table({"node_id": pa.array(np.arange(n, dtype=np.int64)),
+                     "in_mis": pa.array(status == 1)})
+
+
 def betweenness_golden(fix_dir: str, n_pivots: int = 8,
                        seed: int = 42) -> pa.Table:
     """Python replay of pivot-sampled Brandes betweenness on the
@@ -1012,6 +1045,7 @@ _GRAPH_GOLDENS = {
     "walk_corpus": walk_corpus_golden,
     "node2vec_corpus": node2vec_corpus_golden,
     "betweenness": betweenness_golden,
+    "mis": mis_golden,
     "scc": scc_golden,
     "harmonic": harmonic_golden,
     "neighbor_sample": neighbor_sample_golden,

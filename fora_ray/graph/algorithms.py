@@ -925,6 +925,36 @@ def connected_components(handle, max_rounds: int = 10_000):
     return handle.labels_dataset(), {"rounds": rounds}
 
 
+def maximal_independent_set(handle, seed: int = 42, max_rounds: int = 10_000):
+    """Deterministic Luby-style maximal independent set over the
+    SYMMETRIZED graph (Luby '86 / Blelloch et al. random-priority
+    greedy): each round every undecided node draws a counter-RNG
+    priority key = mix64(mix64(seed, round), logical_id); a node joins
+    the MIS iff its (key, id) is strictly smaller than every undecided
+    neighbor's, then joined nodes knock their neighbors out.  Two
+    pre-aggregated supersteps per round (a lexicographic-min priority
+    exchange + an exclusion broadcast), O(log n) rounds w.h.p., and
+    the result is a pure function of (logical graph, seed) — identical
+    at any partition count and permutation.
+
+    Returns (Dataset (node_id, in_mis) over ALL nodes, stats).
+    Independence and maximality are exact (ties broken by id, so
+    adjacent u64 hash collisions cannot both join).
+    """
+    handle.call_all("mis_init", int(seed))
+    rounds = 0
+    while rounds < max_rounds:
+        metas, _ = handle._exchange("mis_round", "mis_apply", rounds)
+        if sum(m["undecided"] for m in metas) == 0:
+            break
+        handle._exchange("mis_commit", "mis_exclude_apply", rounds)
+        rounds += 1
+    else:
+        raise RuntimeError("maximal_independent_set did not converge")
+    refs = [w.mis_table.remote() for w in handle.workers]
+    return ray.data.from_arrow_refs(refs), {"rounds": rounds}
+
+
 def kcore(handle, max_rounds: int = 10_000):
     """k-core decomposition: per-vertex core numbers via the distributed
     h-index iteration (init core = degree, repeatedly replace with the

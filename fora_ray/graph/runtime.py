@@ -1772,6 +1772,113 @@ class ShardWorkerImpl:
                 changed += int(better.sum())
         return changed
 
+    # ---- maximal independent set (Luby-style random priorities) ------------
+    def mis_init(self, seed: int):
+        self._mis = np.full(self.n_local, -1, np.int8)  # -1 und / 1 in / 0 out
+        self._mis_seed = np.uint64(seed)
+        self._mis_key = None
+        return int(self.n_local)
+
+    def mis_round(self, rnd: int):
+        """Priority exchange: every UNDECIDED node draws key =
+        mix64(mix64(seed, round), logical_id) and sends (key, id) along
+        its edges; receivers keep the lexicographic min (key, id) per
+        cell (one lexsort per peer — ids break u64 key ties exactly, so
+        adjacent hash collisions cannot both join).  Self-loops are
+        dropped (a node never competes with itself)."""
+        _UMAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+        _IMAX = np.iinfo(np.int64).max
+        self._mis_min_key = np.full(self.n_local, _UMAX, np.uint64)
+        self._mis_min_id = np.full(self.n_local, _IMAX, np.int64)
+        und = np.nonzero(self._mis == -1)[0]
+        meta = {"undecided": int(und.size)}
+        if und.size == 0:
+            self._mis_key = (und, np.empty(0, np.uint64))
+            return tuple([meta] + [None] * self.P)
+        rseed = mix64(self._mis_seed, np.uint64(rnd))
+        key = mix64(np.full(und.size, rseed, np.uint64),
+                    self.logical_ids[und].astype(np.uint64))
+        self._mis_key = (und, key)
+        dsts, row = self._gather_edges(und)
+        payloads = [None] * self.P
+        if dsts.size:
+            keep = dsts != self.global_ids[und][row]  # drop self-loops
+            dsts, row = dsts[keep], row[keep]
+        if dsts.size == 0:
+            return tuple([meta] + [None] * self.P)
+        k_e, s_e = key[row], self.logical_ids[und][row]
+        owner = dsts % self.P
+        for p in np.unique(owner):
+            m = owner == p
+            d = dsts[m] // self.P
+            order = np.lexsort((s_e[m], k_e[m], d))
+            ds_, ks_, ss_ = d[order], k_e[m][order], s_e[m][order]
+            first = np.concatenate([[True], ds_[1:] != ds_[:-1]])
+            pl = (ds_[first], ks_[first], ss_[first])
+            if p == self.part:
+                self.mis_apply(pl)
+            else:
+                payloads[int(p)] = pl
+        return tuple([meta] + payloads)
+
+    def mis_apply(self, *payloads):
+        for pl in payloads:
+            if pl is None:
+                continue
+            ids, k, sid = pl
+            cur_k, cur_i = self._mis_min_key[ids], self._mis_min_id[ids]
+            better = (k < cur_k) | ((k == cur_k) & (sid < cur_i))
+            if better.any():
+                bi = ids[better]
+                self._mis_min_key[bi] = k[better]
+                self._mis_min_id[bi] = sid[better]
+        return True
+
+    def mis_commit(self, rnd: int):
+        """An undecided node joins the MIS iff its (key, id) is strictly
+        smaller than the best undecided neighbor's (no neighbor ->
+        joins); joined nodes broadcast exclusion along their edges."""
+        und, key = self._mis_key
+        meta = {"joined": 0}
+        if und.size == 0:
+            return tuple([meta] + [None] * self.P)
+        mk, mid = self._mis_min_key[und], self._mis_min_id[und]
+        lid = self.logical_ids[und]
+        win = (key < mk) | ((key == mk) & (lid < mid))
+        join = und[win]
+        self._mis[join] = 1
+        meta["joined"] = int(join.size)
+        payloads = [None] * self.P
+        if join.size == 0:
+            return tuple([meta] + [None] * self.P)
+        dsts, _row = self._gather_edges(join)
+        if dsts.size == 0:
+            return tuple([meta] + [None] * self.P)
+        owner = dsts % self.P
+        for p in np.unique(owner):
+            m = owner == p
+            pl = np.unique(dsts[m] // self.P)
+            if p == self.part:
+                self.mis_exclude_apply(pl)
+            else:
+                payloads[int(p)] = pl
+        return tuple([meta] + payloads)
+
+    def mis_exclude_apply(self, *payloads):
+        for ids in payloads:
+            if ids is None:
+                continue
+            m = self._mis[ids] == -1
+            if m.any():
+                self._mis[ids[m]] = 0
+        return True
+
+    def mis_table(self) -> pa.Table:
+        return pa.table({
+            "node_id": pa.array(self.logical_ids),
+            "in_mis": pa.array(self._mis == 1),
+        })
+
     # ---- SCC (min-label forward/backward intersection) ---------------------
     def scc_reset(self):
         self.scc = np.full(self.n_local, -1, np.int64)

@@ -239,3 +239,56 @@ def test_betweenness_refuses_mismatched_pair(graph600, ray_session):
     finally:
         hf.close()
         hr.close()
+
+
+# ---------------------------------------------------------------------------
+# maximal independent set (deterministic Luby)
+# ---------------------------------------------------------------------------
+
+def _sym(edges: np.ndarray) -> np.ndarray:
+    und = np.unique(np.concatenate([edges, edges[:, ::-1]]), axis=0)
+    return und[und[:, 0] != und[:, 1]]
+
+
+def _mis_df(edges: np.ndarray, n: int, P: int, seed: int = 42):
+    h = GraphHandle.from_edges(to_dataset(_sym(edges)), n, P=P)
+    try:
+        ds, stats = alg.maximal_independent_set(h, seed=seed)
+        df = ds.to_pandas().sort_values("node_id").reset_index(drop=True)
+    finally:
+        h.close()
+    return df, stats
+
+
+@pytest.mark.parametrize("name", list(MICROS))
+@pytest.mark.parametrize("P", [1, 3])
+def test_mis_properties_micro(ray_session, name, P):
+    """Independence (no edge inside the set) + maximality (every
+    outside node has a neighbor inside) — exact properties, checked
+    directly against the edge list."""
+    edges, n = MICROS[name]
+    df, _ = _mis_df(np.unique(edges, axis=0), n, P)
+    inm = df["in_mis"].to_numpy()
+    und = _sym(np.unique(edges, axis=0))
+    assert not (inm[und[:, 0]] & inm[und[:, 1]]).any()  # independent
+    has_in_nb = np.zeros(n, dtype=bool)
+    np.logical_or.at(has_in_nb, und[:, 0], inm[und[:, 1]])
+    assert (inm | has_in_nb).all()  # maximal (isolated nodes join)
+
+
+def test_mis_matches_golden_replay_and_partition_invariant(
+        fix600, graph600, ray_session):
+    from fora_ray.goldens import mis_golden
+
+    edges, n = graph600
+    gold = mis_golden(fix600, seed=42).to_pandas()
+    for P in (2, 4):
+        df, _ = _mis_df(edges, n, P)
+        assert df.equals(gold.reset_index(drop=True))
+    # property check on the fixture too
+    inm = gold["in_mis"].to_numpy()
+    und = _sym(edges)
+    assert not (inm[und[:, 0]] & inm[und[:, 1]]).any()
+    has_in_nb = np.zeros(n, dtype=bool)
+    np.logical_or.at(has_in_nb, und[:, 0], inm[und[:, 1]])
+    assert (inm | has_in_nb).all()

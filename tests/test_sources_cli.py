@@ -296,6 +296,15 @@ def test_cli_walks(fix600, tmp_path):
     # step-0 records exist for every walk
     assert (corpus[corpus.step == 0].groupby("walk_id").size() == 1).all()
     assert corpus["walk_id"].nunique() == 600
+    # node2vec mode via --p/--q: same trace shape, biased sampler
+    out2 = str(tmp_path / "n2v")
+    main(["walks", "--graph", g, "--out", out2, "--nwalks", "1",
+          "--walk-len", "4", "--window", "0", "--p", "0.5", "--q", "2.0"])
+    n2v = ray.data.read_parquet(f"{out2}/corpus").to_pandas()
+    assert set(n2v.columns) == {"walk_id", "step", "node_id"}
+    assert n2v["walk_id"].nunique() == 600
+    assert not n2v.sort_values(["walk_id", "step"]).reset_index(drop=True)\
+        .equals(corpus.sort_values(["walk_id", "step"]).reset_index(drop=True))
 
 
 def test_cli_analyze(fix600, tmp_path):
@@ -321,6 +330,24 @@ def test_cli_analyze(fix600, tmp_path):
     assert len(hdf) == 600 and (hdf["harmonic"] >= 0).all()
     with open(f"{out2}/METRICS.json") as f:
         assert json.load(f)["command"] == "analyze:harmonic"
+    # mis: independence + maximality on the symmetrized edge list
+    out3 = str(tmp_path / "mis")
+    main(["analyze", "--graph", g, "--out", out3, "--op", "mis"])
+    mdf = (ray.data.read_parquet(f"{out3}/mis").to_pandas()
+           .sort_values("node_id").reset_index(drop=True))
+    inm = mdf["in_mis"].to_numpy()
+    und = np.unique(np.concatenate([e, e[:, ::-1]]), axis=0)
+    und = und[und[:, 0] != und[:, 1]]
+    assert not (inm[und[:, 0]] & inm[und[:, 1]]).any()
+    nb_in = np.zeros(600, dtype=bool)
+    np.logical_or.at(nb_in, und[:, 0], inm[und[:, 1]])
+    assert (inm | nb_in).all()
+    # betweenness via the CLI surface: all values finite, n rows
+    out4 = str(tmp_path / "bc")
+    main(["analyze", "--graph", g, "--out", out4, "--op", "betweenness",
+          "--n-pivots", "4"])
+    bdf = ray.data.read_parquet(f"{out4}/betweenness").to_pandas()
+    assert len(bdf) == 600 and np.isfinite(bdf["betweenness"]).all()
 
 
 def test_cli_dedup_decontaminate(tmp_path):
