@@ -411,6 +411,10 @@ def _queries_documents():
             .tfidf_topk(_docs(sf), k=5).to_pandas()
             .sort_values(["doc_id", "rank"]).reset_index(drop=True)
         ),
+        "lm_quality": lambda sf: (
+            __import__("fora_ray.pipelines.text", fromlist=["lm_quality"])
+            .lm_quality(_docs(sf), min_count=5)
+        ),
         "doc_quality": lambda sf: quality_scores(_docs(sf)).select_columns(
             ["doc_id", "n_chars", "n_tokens"]
         ),
@@ -1039,6 +1043,25 @@ def oracle_sql() -> dict[str, str]:
             "  COALESCE(a.n_distinct_lines, CAST(0 AS BIGINT)) AS n_distinct_lines,"
             "  COALESCE(a.dup_line_frac, 0.0) AS dup_line_frac "
             "FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"
+        ),
+        "lm_quality": (
+            # corpus-trained unigram LM cross-entropy per doc (CCNet
+            # shape): p(term) = cnt/total if cnt >= 5 else 0.5/total
+            "WITH toks AS ("
+            "  SELECT doc_id, t.tok AS term FROM documents,"
+            "  unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t(tok)"
+            "  WHERE t.tok <> ''"
+            "), tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf"
+            "  FROM toks GROUP BY 1, 2"
+            "), cnt AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY 1"
+            "), tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM cnt"
+            "), sc AS (SELECT tf.doc_id,"
+            "    SUM(CAST(tf.tf AS DOUBLE) * ln((CASE WHEN cnt.c >= 5"
+            "      THEN CAST(cnt.c AS DOUBLE) ELSE 0.5 END) / tot.t)) AS s,"
+            "    CAST(SUM(tf.tf) AS BIGINT) AS nt"
+            "  FROM tf JOIN cnt USING (term), tot GROUP BY 1"
+            ") SELECT doc_id, nt AS n_tokens, round(-s / nt, 6) AS cross_entropy"
+            " FROM sc ORDER BY doc_id"
         ),
         "tfidf_topk": (
             "WITH toks AS ("

@@ -617,6 +617,86 @@ def run_contention(num_cpus: int = 32, per_replica_q: int = 32) -> dict:
     return out
 
 
+def run_ops_bench(num_cpus: int = 32, n: int = 1_000_000,
+                  m: int = 10_000_000) -> dict:
+    """Round-4 extension ops at the 10M-edge tier (power-law out-hubs,
+    degree-balanced handles): node2vec rejection-sampling walks vs the
+    uniform corpus, pivot-Brandes betweenness, Luby MIS.  Evidence the
+    new supersteps hold at graph scale — wall plus the op-specific
+    volume counters (attempt rounds, bfs rounds, mis rounds)."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    _quiet_schema_warnings()
+    import numpy as np
+    import pyarrow as pa
+
+    from fora_ray.functions.hashing import rng_uniform
+    from fora_ray.graph import algorithms as alg
+    from fora_ray.graph.runtime import GraphHandle
+
+    keys = np.arange(m, dtype=np.uint64)
+    u1 = rng_uniform(keys * np.uint64(2) + np.uint64(1))
+    u2 = rng_uniform(keys * np.uint64(2) + np.uint64(2))
+    src = np.minimum((u1 ** 3 * n).astype(np.int64), n - 1)
+    dst = np.minimum((u2 * n).astype(np.int64), n - 1)
+    keep = src != dst
+    edges = ray.data.from_arrow(
+        pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
+    ).materialize()
+    m_real = edges.count()
+    P = max(4, num_cpus // 4)
+    out: dict = {"metric": "round-4 extension ops at 10M edges",
+                 "num_cpus": num_cpus, "P": P, "n": n, "m": int(m_real)}
+
+    hf = GraphHandle.from_edges(edges, n, P=P, balance="degree")
+    hf.call_all("warm_walk_order")
+    t0 = time.perf_counter()
+    corpus, _ = alg.random_walk_corpus(hf, nwalks=1, walk_len=4, seed=7)
+    rows_u = corpus.count()
+    out["walk_corpus"] = {"sec": round(time.perf_counter() - t0, 2),
+                          "rows": int(rows_u)}
+    t0 = time.perf_counter()
+    c2, st2 = alg.node2vec_corpus(hf, nwalks=1, walk_len=4,
+                                  p=0.5, q=2.0, seed=7)
+    rows_b = c2.count()
+    out["node2vec"] = {"sec": round(time.perf_counter() - t0, 2),
+                       "rows": int(rows_b),
+                       "attempt_rounds": st2["attempt_rounds"]}
+    hr = GraphHandle.from_reverse_edges(edges, n, P=P,
+                                        perm=hf.perm, inv=hf.inv)
+    t0 = time.perf_counter()
+    bc, stb = alg.betweenness_centrality(hf, hr, n_pivots=8, seed=42)
+    bc.count()
+    out["betweenness"] = {"sec": round(time.perf_counter() - t0, 2),
+                          "fwd_rounds": stb["fwd_rounds"],
+                          "bwd_rounds": stb["bwd_rounds"]}
+    hr.close()
+    hf.close()
+
+    sym = edges.map_batches(
+        lambda t: pa.concat_tables([
+            t, t.select(["dst", "src"]).rename_columns(["src", "dst"])]),
+        batch_format="pyarrow")
+    hs = GraphHandle.from_edges(sym, n, P=P, balance="degree")
+    t0 = time.perf_counter()
+    mis, stm = alg.maximal_independent_set(hs, seed=42)
+    n_in = int(mis.map_batches(
+        lambda t: pa.table({"c": pa.array(
+            [int(np.count_nonzero(t["in_mis"].to_numpy(zero_copy_only=False)))],
+            pa.int64())}),
+        batch_format="pyarrow").sum("c"))
+    out["mis"] = {"sec": round(time.perf_counter() - t0, 2),
+                  "rounds": stm["rounds"], "set_size": n_in}
+    hs.close()
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if "--scaling" in sys.argv:
@@ -629,6 +709,9 @@ if __name__ == "__main__":
     elif "--skew" in sys.argv:
         ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
         print(json.dumps(run_skew(ncpu)))
+    elif "--ops-bench" in sys.argv:
+        ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        print(json.dumps(run_ops_bench(ncpu)))
     elif "--scaling-ingest" in sys.argv:
         _scaling_ingest(int(os.environ.get("GRAFT_INGEST_FILES", "600000")))
     elif "--ingest-only" in sys.argv:

@@ -474,3 +474,114 @@ def pack_sequences(docs_ds, budget: int = 2048):
     out = [assign.remote(r, int(o), int(budget))
            for r, o in zip(refs, offsets)]
     return ray.data.from_arrow_refs(out)
+
+
+# ---- unigram-LM quality scoring (CCNet-style perplexity filter) --------------
+
+def lm_quality(docs_ds, min_count: int = 5, oov_count: float = 0.5,
+               broadcast_budget: int = 256 << 20):
+    """Unigram-LM quality scoring (the CCNet / Wenzek et al. '20 shape,
+    with a corpus-trained unigram model standing in for KenLM): train
+    token counts over the corpus itself, then score every doc by
+    cross-entropy ce(d) = -(1/|d|) * sum_term tf * ln(p(term)), where
+    p(term) = cnt/total for vocabulary terms (cnt >= min_count) and
+    oov_count/total otherwise.  High-ce docs are gibberish / OOV-heavy,
+    abnormally low-ce docs are degenerate-repetitive — both filter
+    tails, exactly how CCNet buckets documents by perplexity.
+
+    Shuffle shape: the corpus is tokenized ONCE into (doc, term, tf)
+    rows (materialized — consumed by the count pass and the scoring
+    pass); a bucketed term_h reduce trains the LM; the LM table keeps
+    EVERY term with its global count (the min_count rule applies at
+    scoring time, so the attach is total — no OOV left-join needed)
+    and attaches back byte-metered (broadcast sorted numpy arrays
+    under `broadcast_budget`, hash join above); one lexsort+reduceat
+    kernel per doc bucket folds the scores.
+
+    Returns Dataset (doc_id, n_tokens, cross_entropy), ce rounded to 6
+    decimals (summation order differs from the SQL oracle).  Docs with
+    zero tokens are omitted (no rows to score — matches the oracle's
+    inner join).
+    """
+    import ray
+
+    from ..stages.shuffle import (broadcast_fits, bucket_apply, clean_sort,
+                                  pool_size, safe_join)
+
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    tf_ds = docs_ds.map_batches(_tf_batch, batch_format="pyarrow").materialize()
+
+    _CNT_EMPTY = pa.table({"term_h": pa.array([], pa.uint64()),
+                           "cnt": pa.array([], pa.int64())})
+
+    def count_terms(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "term_h" not in g.schema.names:
+            return _CNT_EMPTY
+        th = g["term_h"].to_numpy(zero_copy_only=False)
+        tf = g["tf"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(th, return_inverse=True)
+        return pa.table({
+            "term_h": pa.array(uniq, pa.uint64()),
+            "cnt": pa.array(np.bincount(inv, weights=tf).astype(np.int64)),
+        })
+
+    cnt_ds = bucket_apply(tf_ds, "term_h", count_terms).materialize()
+    total = cnt_ds.sum("cnt") or 0
+    if total == 0:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "cross_entropy": pa.array([], pa.float64()),
+        }))
+    total_f = float(total)
+
+    if broadcast_fits(cnt_ds, broadcast_budget):
+        blocks = [b for b in ray.get(cnt_ds.to_arrow_refs())
+                  if b.num_rows and "term_h" in b.schema.names]
+        th = np.concatenate([b["term_h"].to_numpy(zero_copy_only=False)
+                             for b in blocks])
+        cv = np.concatenate([b["cnt"].to_numpy(zero_copy_only=False)
+                             for b in blocks])
+        order = np.argsort(th)
+        ref = ray.put((th[order], cv[order]))
+
+        class Attach:
+            def __init__(self, _ref=ref):
+                self.th, self.cnt = ray.get(_ref)  # once per actor
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                pos = np.searchsorted(
+                    self.th, t["term_h"].to_numpy(zero_copy_only=False))
+                return t.append_column("cnt", pa.array(self.cnt[pos]))
+
+        scored_in = tf_ds.map_batches(Attach, batch_format="pyarrow",
+                                      concurrency=pool_size())
+    else:
+        scored_in = safe_join(tf_ds, cnt_ds, on=("term_h",), drop=("right",))
+
+    lp_oov = float(np.log(float(oov_count) / total_f))
+    _EMPTY = pa.table({"doc_id": pa.array([], pa.int64()),
+                       "n_tokens": pa.array([], pa.int64()),
+                       "cross_entropy": pa.array([], pa.float64())})
+
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "doc_id" not in g.schema.names:
+            return _EMPTY
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        tf = g["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False)
+        lp = np.where(cnt >= min_count,
+                      np.log(cnt.astype(np.float64) / total_f), lp_oov)
+        order = np.argsort(d, kind="stable")
+        ds_, c_, n_ = d[order], (tf * lp)[order], tf[order]
+        starts = np.nonzero(np.concatenate([[True], ds_[1:] != ds_[:-1]]))[0]
+        s = np.add.reduceat(c_, starts)
+        nt = np.add.reduceat(n_, starts)
+        return pa.table({
+            "doc_id": pa.array(ds_[starts], pa.int64()),
+            "n_tokens": pa.array(nt.astype(np.int64)),
+            "cross_entropy": pa.array(np.round(-s / nt, 6)),
+        })
+
+    return clean_sort(bucket_apply(scored_in, "doc_id", fold), "doc_id")

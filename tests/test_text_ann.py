@@ -437,3 +437,48 @@ def test_pack_sequences_prefix_sum_and_reshard_stability(ray_session):
     assert got.equals(got2)
     with _pytest.raises(ValueError):
         pack_sequences(ds, budget=0)
+
+
+def test_lm_quality_matches_brute(ray_session):
+    """Corpus-trained unigram-LM cross-entropy vs a python replay."""
+    import math
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from fora_ray.pipelines.text import lm_quality
+
+    sf = "/root/testdata/sf0.001"
+    docs = ray.data.read_parquet(f"{sf}/documents.parquet")
+    got = lm_quality(docs, min_count=5).to_pandas()
+
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    alnum = re.compile(r"[a-z0-9]+")
+    tfs = {did: Counter(alnum.findall((txt or "").lower()))
+           for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())}
+    cnt = Counter()
+    for c in tfs.values():
+        cnt.update(c)
+    total = float(sum(cnt.values()))
+    for _, r in got.iterrows():
+        c = tfs[r["doc_id"]]
+        nt = sum(c.values())
+        s = sum(v * math.log((cnt[w] if cnt[w] >= 5 else 0.5) / total)
+                for w, v in c.items())
+        assert nt == r["n_tokens"]
+        assert abs(-s / nt - r["cross_entropy"]) < 1e-6
+    assert len(got) == sum(1 for c in tfs.values() if c)
+    # the score separates gibberish from normal text
+    both = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(t["doc_id"].to_pylist() + [900001, 900002], pa.int64()),
+        "text": pa.array(t["text"].to_pylist()
+                         + ["zxqv qqj wvwz kkjx pzv " * 3,
+                            " ".join(["data table join"] * 5)]),
+    }))
+    sc = lm_quality(both, min_count=5).to_pandas().set_index("doc_id")
+    assert sc.loc[900001, "cross_entropy"] > sc.loc[900002, "cross_entropy"]
+    import pytest
+
+    with pytest.raises(ValueError):
+        lm_quality(docs, min_count=0)
