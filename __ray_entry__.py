@@ -499,6 +499,14 @@ def _queries_graph():
         cores, _stats = alg.kcore(g["handle_sym"])
         return cores.to_pandas().sort_values("node_id").reset_index(drop=True)
 
+    def ktruss_q(sf_dir):
+        from fora_ray.graph.triangles import ktruss
+
+        g = _graph(sf_dir)
+        edges, _stats = ktruss(g["sym"], g["n"], k=3)
+        return (edges.to_pandas()
+                .sort_values(["lo", "hi"]).reset_index(drop=True))
+
     def link_pred_q(sf_dir):
         from fora_ray.goldens import ROUND
         from fora_ray.graph.linkpred import link_prediction
@@ -715,6 +723,7 @@ def _queries_graph():
         "clustering_coeff": clustering_coeff_q,
         "bfs_hops": bfs_q,
         "kcore": kcore_q,
+        "ktruss": ktruss_q,
         "hits": hits_q,
         "link_pred": link_pred_q,
         "diameter_est": diameter_est_q,
@@ -1175,6 +1184,10 @@ def oracle_sql() -> dict[str, str]:
         "kcore": (
             f"SELECT node_id, core FROM read_parquet('{gold['kcore']}') "
             "ORDER BY node_id"
+        ),
+        "ktruss": (
+            f"SELECT lo, hi FROM read_parquet('{gold['ktruss']}') "
+            "ORDER BY lo, hi"
         ),
         "hits": (
             f"SELECT node_id, hub, authority FROM read_parquet('{gold['hits']}') "

@@ -41,7 +41,7 @@ from .oracle import lpa_oracle, ppr_column_oracle, ppr_power_iteration
 
 ROUND = 9
 _WORD = re.compile(r"\w+")
-_VERSION = 22  # v22: + node2vec, betweenness, Luby-MIS goldens
+_VERSION = 23  # v23: + node2vec, betweenness, Luby-MIS, k-truss goldens
 
 
 def _round_col(x: np.ndarray) -> np.ndarray:
@@ -948,6 +948,31 @@ def harmonic_golden(fix_dir: str, n_pivots: int = 8, seed: int = 42) -> pa.Table
                      "harmonic": pa.array(_round_col(harm))})
 
 
+def ktruss_golden(fix_dir: str, k: int = 3) -> pa.Table:
+    """Python replay of k-truss peeling on the symmetrized fixture
+    graph: iterate [support(u,v) = |N(u) & N(v)|; keep support >= k-2]
+    to fixpoint.  Deterministic set output — no float anywhere."""
+    e, n = _fixture_graph(fix_dir)
+    und = np.unique(np.concatenate([e, e[:, ::-1]]), axis=0)
+    und = und[und[:, 0] < und[:, 1]]
+    edges = {(int(a), int(b)) for a, b in und}
+    while True:
+        adj: dict[int, set] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        kept = {(a, b) for a, b in edges
+                if len(adj[a] & adj[b]) >= k - 2}
+        if kept == edges:
+            break
+        edges = kept
+    rows = sorted(edges)
+    return pa.table({
+        "lo": pa.array([r[0] for r in rows], pa.int64()),
+        "hi": pa.array([r[1] for r in rows], pa.int64()),
+    })
+
+
 def mis_golden(fix_dir: str, seed: int = 42) -> pa.Table:
     """Python replay of the deterministic Luby-style MIS on the
     symmetrized fixture graph: same counter-RNG priorities
@@ -1046,6 +1071,7 @@ _GRAPH_GOLDENS = {
     "node2vec_corpus": node2vec_corpus_golden,
     "betweenness": betweenness_golden,
     "mis": mis_golden,
+    "ktruss": ktruss_golden,
     "scc": scc_golden,
     "harmonic": harmonic_golden,
     "neighbor_sample": neighbor_sample_golden,

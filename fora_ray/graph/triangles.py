@@ -102,17 +102,11 @@ def _wedge_block_packed(t: pa.Table) -> pa.Table:
     })
 
 
-def triangle_count(edges_sym_ds, n: int, strategy: str = "auto",
-                   num_partitions: int = 16):
-    """(per_vertex Dataset (node_id, triangles), total int).
-
-    edges_sym_ds: symmetrized simple edge table (both directions present).
-    """
-    from ..stages.shuffle import sum_by_key
-
-    if strategy == "auto":
-        strategy = "broadcast" if n <= 5_000_000 else "join"
-
+def _tri_pipeline(edges_sym_ds, n: int, strategy: str, num_partitions: int):
+    """Shared orient -> wedge -> probe pipeline: returns (tri, deg_ds)
+    where tri is the confirmed-triangle Dataset — (apex, edge_key) on
+    the broadcast path, (apex, lo, hi) on the join path — each triangle
+    exactly once, from its (degree, id)-minimal vertex."""
     deg_ds = _degrees_ds(edges_sym_ds)
 
     # ---- orientation: keep (src -> dst) iff (deg[src], src) < (deg[dst], dst)
@@ -216,6 +210,20 @@ def triangle_count(edges_sym_ds, n: int, strategy: str = "auto",
         tri = safe_join(
             wedges, edge_pairs, on=("lo", "hi"), num_partitions=num_partitions,
         )
+    return tri, deg_ds
+
+
+def triangle_count(edges_sym_ds, n: int, strategy: str = "auto",
+                   num_partitions: int = 16):
+    """(per_vertex Dataset (node_id, triangles), total int).
+
+    edges_sym_ds: symmetrized simple edge table (both directions present).
+    """
+    from ..stages.shuffle import sum_by_key
+
+    if strategy == "auto":
+        strategy = "broadcast" if n <= 5_000_000 else "join"
+    tri, deg_ds = _tri_pipeline(edges_sym_ds, n, strategy, num_partitions)
 
     # ---- per-vertex counts (each triangle contributes to apex + both ends)
     def _members(t: pa.Table) -> pa.Table:
@@ -303,3 +311,139 @@ def clustering_coefficient(edges_sym_ds, n: int, strategy: str = "auto",
                          "lcc": pa.array(lcc)})
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def edge_supports(edges_sym_ds, n: int, strategy: str = "auto",
+                  num_partitions: int = 16):
+    """Per-UNDIRECTED-edge triangle support: Dataset (lo, hi, support)
+    over edges participating in >= 1 triangle (support-0 edges are
+    absent — callers treat missing as 0).  Each confirmed triangle
+    (apex, a, b) from the oriented wedge+probe pipeline contributes +1
+    to its three undirected edges; counts reduce per pair via one
+    bucketed mix64(lo, hi) exchange with per-block combiners (no packed
+    keys — full int64 id range)."""
+    from ..functions.hashing import mix64
+    from ..stages.shuffle import bucket_apply
+
+    if strategy == "auto":
+        strategy = "broadcast" if n <= 5_000_000 else "join"
+    tri, _deg = _tri_pipeline(edges_sym_ds, n, strategy, num_partitions)
+
+    _EMPTY = pa.table({"lo": pa.array([], pa.int64()),
+                       "hi": pa.array([], pa.int64()),
+                       "support": pa.array([], pa.int64())})
+
+    def tri_edges(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "apex" not in t.schema.names:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64()),
+                             "support": pa.array([], pa.int64()),
+                             "pair_h": pa.array([], pa.uint64())})
+        apex = t["apex"].to_numpy(zero_copy_only=False)
+        if "edge_key" in t.schema.names:
+            key = t["edge_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            a = (key >> np.uint64(32)).astype(np.int64)
+            b = (key & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        else:
+            a = t["lo"].to_numpy(zero_copy_only=False)
+            b = t["hi"].to_numpy(zero_copy_only=False)
+        lo = np.concatenate([np.minimum(apex, a), np.minimum(apex, b), a])
+        hi = np.concatenate([np.maximum(apex, a), np.maximum(apex, b), b])
+        # per-block combiner: count per unique pair before the shuffle
+        order = np.lexsort((hi, lo))
+        lo_s, hi_s = lo[order], hi[order]
+        first = np.concatenate(
+            [[True], (lo_s[1:] != lo_s[:-1]) | (hi_s[1:] != hi_s[:-1])])
+        starts = np.nonzero(first)[0]
+        cnt = np.diff(np.concatenate([starts, [lo_s.size]]))
+        lo_u, hi_u = lo_s[starts], hi_s[starts]
+        h = mix64(mix64(lo_u.astype(np.uint64), np.uint64(0xD1B54A32)),
+                  hi_u.astype(np.uint64))
+        return pa.table({"lo": pa.array(lo_u), "hi": pa.array(hi_u),
+                         "support": pa.array(cnt.astype(np.int64)),
+                         "pair_h": pa.array(h, pa.uint64())})
+
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "lo" not in g.schema.names:
+            return _EMPTY
+        lo = g["lo"].to_numpy(zero_copy_only=False)
+        hi = g["hi"].to_numpy(zero_copy_only=False)
+        c = g["support"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((hi, lo))
+        lo_s, hi_s, c_s = lo[order], hi[order], c[order]
+        first = np.concatenate(
+            [[True], (lo_s[1:] != lo_s[:-1]) | (hi_s[1:] != hi_s[:-1])])
+        starts = np.nonzero(first)[0]
+        return pa.table({
+            "lo": pa.array(lo_s[starts]),
+            "hi": pa.array(hi_s[starts]),
+            "support": pa.array(np.add.reduceat(c_s, starts).astype(np.int64)),
+        })
+
+    partial = tri.map_batches(tri_edges, batch_format="pyarrow")
+    return bucket_apply(partial, "pair_h", fold)
+
+
+def ktruss(edges_sym_ds, n: int, k: int, strategy: str = "auto",
+           num_partitions: int = 16, max_iters: int = 1000):
+    """k-truss subgraph (Cohen '08 MapReduce truss decomposition shape):
+    iteratively recompute per-edge triangle support over the surviving
+    subgraph and drop edges with support < k-2, until a fixpoint.  The
+    k-truss is the maximal subgraph where every edge closes >= k-2
+    triangles — the standard cohesive-community backbone.
+
+    Each iteration is one full distributed triangle pass (orient ->
+    wedge -> probe -> pair reduce) over the CURRENT subgraph, so cost
+    shrinks as edges peel; iterations = peeling depth (small for real
+    graphs; loud error at max_iters).  Returns (Dataset (lo, hi) of
+    surviving undirected edges, stats).  k >= 3 (2-truss = every edge
+    of the simple graph)."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import clean_sort, distinct_pairs
+
+    if k < 3:
+        raise ValueError("ktruss requires k >= 3")
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        keep = src != dst
+        return pa.table({
+            "lo": pa.array(np.minimum(src[keep], dst[keep])),
+            "hi": pa.array(np.maximum(src[keep], dst[keep])),
+        })
+
+    cur = distinct_pairs(
+        edges_sym_ds.map_batches(to_pairs, batch_format="pyarrow"),
+        "lo", "hi").materialize()
+    m_cur = cur.count()
+    iters = 0
+    thresh = k - 2
+    while m_cur > 0 and iters < max_iters:
+        sym = cur.map_batches(
+            lambda t: pa.table({
+                "src": pa.array(np.concatenate([
+                    t["lo"].to_numpy(zero_copy_only=False),
+                    t["hi"].to_numpy(zero_copy_only=False)])),
+                "dst": pa.array(np.concatenate([
+                    t["hi"].to_numpy(zero_copy_only=False),
+                    t["lo"].to_numpy(zero_copy_only=False)])),
+            }),
+            batch_format="pyarrow")
+        sup = edge_supports(sym, n, strategy, num_partitions)
+        kept = sup.map_batches(
+            lambda t: t.filter(
+                pc.greater_equal(t["support"], thresh)
+            ).select(["lo", "hi"]),
+            batch_format="pyarrow").materialize()
+        m_new = kept.count()
+        iters += 1
+        cur = kept
+        if m_new == m_cur:
+            break
+        m_cur = m_new
+    else:
+        if m_cur > 0:
+            raise RuntimeError(f"ktruss did not converge in {max_iters} iters")
+    return clean_sort(cur, ["lo", "hi"]), {"iters": iters, "edges": m_cur}

@@ -64,3 +64,63 @@ def test_clustering_coefficient_matches_brute(strategy, graph600):
         want = want[mask]
     assert np.allclose(got["lcc"].to_numpy(), want, atol=0, rtol=0)
     assert got["deg"].min() >= 0
+
+
+# ---------------------------------------------------------------------------
+# per-edge supports + k-truss
+# ---------------------------------------------------------------------------
+
+def _brute_truss(edges: np.ndarray, k: int):
+    und = np.unique(np.concatenate([edges, edges[:, ::-1]]), axis=0)
+    und = und[und[:, 0] < und[:, 1]]
+    es = {(int(a), int(b)) for a, b in und}
+    while True:
+        adj = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        kept = {(a, b) for a, b in es if len(adj[a] & adj[b]) >= k - 2}
+        if kept == es:
+            return sorted(kept)
+        es = kept
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "join"])
+def test_edge_supports_bridge8(strategy):
+    from fora_ray.graph.triangles import edge_supports
+
+    sym = symmetrized(BRIDGE8)
+    sup = (edge_supports(to_dataset(sym), 8, strategy=strategy).to_pandas()
+           .sort_values(["lo", "hi"]).reset_index(drop=True))
+    # every K4 edge closes 2 triangles; the bridge closes none (absent)
+    assert len(sup) == 12
+    assert (sup["support"] == 2).all()
+    assert (3, 4) not in set(zip(sup["lo"], sup["hi"]))
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "join"])
+def test_ktruss_bridge8(strategy):
+    from fora_ray.graph.triangles import ktruss
+
+    sym = symmetrized(BRIDGE8)
+    t4, stats = ktruss(to_dataset(sym), 8, k=4, strategy=strategy)
+    got = list(map(tuple, t4.to_pandas()[["lo", "hi"]].to_numpy()))
+    assert got == _brute_truss(BRIDGE8, 4)
+    assert (3, 4) not in got and len(got) == 12
+    t5, _ = ktruss(to_dataset(sym), 8, k=5, strategy=strategy)
+    assert t5.count() == 0
+
+
+def test_ktruss_fixture_matches_brute(graph600):
+    from fora_ray.graph.triangles import ktruss
+
+    edges, n = graph600
+    sym = symmetrized(edges)
+    for k in (3, 4):
+        got, _ = ktruss(to_dataset(sym), n, k=k)
+        rows = list(map(tuple, got.to_pandas()[["lo", "hi"]].to_numpy()))
+        assert rows == _brute_truss(edges, k)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        ktruss(to_dataset(sym), n, k=2)
