@@ -191,3 +191,74 @@ def test_walk_corpus_traces_are_valid_paths(g, nwalks, walk_len, seed):
     # exactly nwalks walks per node
     origins = df[df["step"] == 0]["node_id"].value_counts()
     assert (origins == nwalks).all() and len(origins) == n
+
+
+@settings(max_examples=20, deadline=None)
+@given(random_digraph(), st.integers(min_value=0, max_value=2**31))
+def test_mis_golden_properties(g, seed):
+    """The MIS golden replay (the driver oracle) satisfies independence
+    + maximality on arbitrary digraphs — so the engine's bit-exact
+    match against it inherits both properties."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fora_ray.goldens import mis_golden
+
+    edges, n = g
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.table({"src": pa.array(edges[:, 0] if len(edges) else np.empty(0, np.int64)),
+                                 "dst": pa.array(edges[:, 1] if len(edges) else np.empty(0, np.int64))}),
+                       os.path.join(d, "edges.parquet"))
+        pq.write_table(pa.table({"node_id": pa.array(np.arange(n, dtype=np.int64))}),
+                       os.path.join(d, "nodes.parquet"))
+        inm = mis_golden(d, seed=seed).to_pandas()["in_mis"].to_numpy()
+    if len(edges):
+        und = np.unique(np.concatenate([edges, edges[:, ::-1]]), axis=0)
+        und = und[und[:, 0] != und[:, 1]]
+    else:
+        und = np.empty((0, 2), np.int64)
+    assert not (inm[und[:, 0]] & inm[und[:, 1]]).any() if len(und) else True
+    nb_in = np.zeros(n, dtype=bool)
+    if len(und):
+        np.logical_or.at(nb_in, und[:, 0], inm[und[:, 1]])
+    assert (inm | nb_in).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(random_digraph(), st.integers(min_value=3, max_value=5))
+def test_ktruss_golden_is_fixpoint(g, k):
+    """Every edge the k-truss golden keeps closes >= k-2 triangles
+    WITHIN the kept subgraph (fixpoint), and kept edges are a subset
+    of the input."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fora_ray.goldens import ktruss_golden
+
+    edges, n = g
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.table({"src": pa.array(edges[:, 0] if len(edges) else np.empty(0, np.int64)),
+                                 "dst": pa.array(edges[:, 1] if len(edges) else np.empty(0, np.int64))}),
+                       os.path.join(d, "edges.parquet"))
+        pq.write_table(pa.table({"node_id": pa.array(np.arange(n, dtype=np.int64))}),
+                       os.path.join(d, "nodes.parquet"))
+        kept = ktruss_golden(d, k=k).to_pandas()
+    ks = set(zip(kept["lo"], kept["hi"]))
+    if len(edges):
+        und = np.unique(np.concatenate([edges, edges[:, ::-1]]), axis=0)
+        allset = {(int(a), int(b)) for a, b in und[und[:, 0] < und[:, 1]]}
+    else:
+        allset = set()
+    assert ks <= allset
+    adj = {}
+    for a, b in ks:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for a, b in ks:
+        assert len(adj[a] & adj[b]) >= k - 2
