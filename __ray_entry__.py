@@ -394,6 +394,12 @@ def _queries_documents():
             __import__("fora_ray.pipelines.text", fromlist=["pack_sequences"])
             .pack_sequences(_docs(sf), budget=512).sort("doc_id")
         ),
+        "mixture_sample": lambda sf: (
+            __import__("fora_ray.pipelines.text", fromlist=["mixture_sample"])
+            .mixture_sample(_docs(sf), strata_col="lang", alpha=0.5,
+                            target_rows=1000)
+            .select_columns(["doc_id", "lang"]).sort("doc_id")
+        ),
         "stratified_sample": lambda sf: (
             __import__("fora_ray.pipelines.text", fromlist=["stratified_sample"])
             .stratified_sample(_docs(sf), strata_col="lang", frac=0.2)
@@ -1036,6 +1042,22 @@ def oracle_sql() -> dict[str, str]:
             "  COUNT(*) OVER (PARTITION BY lang) AS n_s FROM documents"
             ") SELECT doc_id, lang, n_chars FROM ranked "
             "WHERE rn <= CEIL(0.2 * n_s) ORDER BY doc_id"
+        ),
+        "mixture_sample": (
+            # temperature-scaled mixing: quota_s = min(n_s,
+            # floor(1000 * n_s^0.5 / sum n_t^0.5 + 0.5))
+            "WITH cnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n"
+            "  FROM documents GROUP BY 1"
+            "), tot AS (SELECT SUM(POWER(CAST(n AS DOUBLE), 0.5)) AS z FROM cnt"
+            "), q AS (SELECT lang, LEAST(n, CAST(FLOOR("
+            "    1000 * POWER(CAST(n AS DOUBLE), 0.5) / tot.z + 0.5"
+            "  ) AS BIGINT)) AS quota FROM cnt, tot"
+            "), rk AS (SELECT doc_id, lang, row_number() OVER ("
+            "    PARTITION BY lang"
+            "    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn"
+            "  FROM documents"
+            ") SELECT rk.doc_id, rk.lang FROM rk JOIN q USING (lang)"
+            " WHERE rk.rn <= q.quota ORDER BY doc_id"
         ),
         "repetition_signals": (
             "WITH lines AS ("

@@ -424,6 +424,90 @@ def stratified_sample(docs_ds, strata_col: str = "lang", frac: float = 0.2,
     return drop_empty_blocks(out).drop_columns(["__stratum_h"])
 
 
+def mixture_sample(docs_ds, strata_col: str = "lang", alpha: float = 0.5,
+                   target_rows: int = 1000, id_col: str = "doc_id"):
+    """Temperature-scaled mixture sampling (the multilingual data-mixing
+    rule of XLM-R / mT5: p_s ∝ n_s^alpha): per stratum s the quota is
+    min(n_s, floor(target_rows * n_s^alpha / sum_t n_t^alpha + 0.5)) —
+    alpha < 1 up-samples small strata relative to their natural share,
+    alpha = 1 is proportional sampling.  Rows within a stratum are
+    ranked by the same fixed (md5(id), id) pseudo-random order
+    stratified_sample uses, so the result is deterministic,
+    resharding-stable and plain-SQL-reproducible (floor(x + 0.5)
+    rounding on both sides — no banker's-rounding divergence).
+
+    Stratum counts are metadata-sized (#strata << corpus — lang/source
+    mixing), so the quota table folds on the driver and ships inside
+    the kernel closure; rows never leave their hash bucket.  Returns
+    the sampled rows with all input columns.
+    """
+    import hashlib
+
+    from ..functions.hashing import hash_str_u64
+    from ..stages.shuffle import bucket_apply, drop_empty_blocks
+
+    if alpha <= 0:
+        raise ValueError("alpha must be > 0")
+    if target_rows < 1:
+        raise ValueError("target_rows must be >= 1")
+
+    def count_block(t: pa.Table) -> pa.Table:
+        strata = np.asarray([s or "" for s in t[strata_col].to_pylist()],
+                            dtype=str)
+        u, c = np.unique(strata, return_counts=True)
+        return pa.table({"s": pa.array(u.tolist(), pa.string()),
+                         "c": pa.array(c.astype(np.int64))})
+
+    counts: dict[str, int] = {}
+    for b in docs_ds.map_batches(count_block,
+                                 batch_format="pyarrow").to_arrow_refs():
+        import ray as _ray
+
+        t = _ray.get(b)
+        if t.num_rows == 0 or "s" not in t.schema.names:
+            continue
+        for s, c in zip(t["s"].to_pylist(), t["c"].to_pylist()):
+            counts[s] = counts.get(s, 0) + int(c)
+    if not counts:
+        return drop_empty_blocks(docs_ds)
+    z = float(sum(float(n) ** alpha for n in counts.values()))
+    quota = {s: min(n, int(np.floor(target_rows * (float(n) ** alpha) / z
+                                    + 0.5)))
+             for s, n in counts.items()}
+
+    def add_key(t: pa.Table) -> pa.Table:
+        strata = t[strata_col].to_pylist()
+        return t.append_column(
+            "__stratum_h", pa.array(hash_str_u64([s or "" for s in strata]),
+                                    pa.uint64()))
+
+    def sample(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or id_col not in g.schema.names:
+            return g
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        strata = np.asarray([s or "" for s in g[strata_col].to_pylist()],
+                            dtype=str)
+        md5s = np.asarray(
+            [hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids],
+            dtype=str)
+        order = np.lexsort((ids, md5s, strata))
+        s_sorted = strata[order]
+        new = np.empty(s_sorted.size, dtype=bool)
+        new[0] = True
+        new[1:] = s_sorted[1:] != s_sorted[:-1]
+        starts = np.nonzero(new)[0]
+        seg = np.cumsum(new) - 1
+        q = np.asarray([quota.get(s, 0) for s in s_sorted[starts]],
+                       dtype=np.int64)
+        rank = np.arange(s_sorted.size, dtype=np.int64) - starts[seg]
+        keep = order[rank < q[seg]]
+        return g.take(np.sort(keep))
+
+    keyed = docs_ds.map_batches(add_key, batch_format="pyarrow")
+    out = bucket_apply(keyed, "__stratum_h", sample)
+    return drop_empty_blocks(out).drop_columns(["__stratum_h"])
+
+
 # ---- sequence packing (token-budget chunking) ----------------------------------
 
 def _pack_block_sum(t: pa.Table) -> int:

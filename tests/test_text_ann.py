@@ -482,3 +482,38 @@ def test_lm_quality_matches_brute(ray_session):
 
     with pytest.raises(ValueError):
         lm_quality(docs, min_count=0)
+
+
+def test_mixture_sample_quotas_and_stability(ray_session):
+    """Temperature mixing: exact n_s^alpha quotas, up-samples small
+    strata vs proportional, deterministic under resharding."""
+    import numpy as np
+
+    from fora_ray.pipelines.text import mixture_sample
+
+    sf = "/root/testdata/sf0.001"
+    docs = ray.data.read_parquet(f"{sf}/documents.parquet")
+    got = mixture_sample(docs, strata_col="lang", alpha=0.5,
+                         target_rows=200).to_pandas()
+    counts = docs.to_pandas()["lang"].fillna("").value_counts().to_dict()
+    z = sum(n ** 0.5 for n in counts.values())
+    for s, n in counts.items():
+        want = min(n, int(np.floor(200 * (n ** 0.5) / z + 0.5)))
+        assert (got["lang"].fillna("") == s).sum() == want
+    # alpha=0.5 boosts the smallest stratum's share vs its natural share
+    smallest = min(counts, key=counts.get)
+    nat = counts[smallest] / sum(counts.values())
+    got_share = (got["lang"].fillna("") == smallest).sum() / len(got)
+    assert got_share > nat
+    # resharding-stable
+    got2 = mixture_sample(docs.repartition(13), strata_col="lang",
+                          alpha=0.5, target_rows=200).to_pandas()
+    a = got.sort_values("doc_id").reset_index(drop=True)
+    b = got2.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    import pytest
+
+    with pytest.raises(ValueError):
+        mixture_sample(docs, alpha=0.0)
+    with pytest.raises(ValueError):
+        mixture_sample(docs, target_rows=0)
