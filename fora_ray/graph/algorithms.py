@@ -1473,6 +1473,10 @@ def betweenness_centrality(handle, handle_rev, pivots=None,
     non-dangling nodes harmonic_centrality uses.  Returns
     (Dataset (node_id, betweenness) over ALL nodes, stats).
     """
+    if handle_rev.P != handle.P or handle_rev.n != handle.n:
+        raise ValueError(
+            "betweenness_centrality requires shard-aligned fwd/rev handles "
+            "(same n, P)")
     _require_pair(handle, handle_rev, "betweenness_centrality")
     if pivots is None:
         parts = handle.call_all("pivot_candidates", int(n_pivots), int(seed))

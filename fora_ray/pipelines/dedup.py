@@ -1156,10 +1156,15 @@ def _chunk_rows(t: pa.Table, chunk_words: int, id_col: str,
                 text_col: str) -> pa.Table:
     """Per doc: consecutive `chunk_words`-word chunks (simple space
     split, so the rule is plain-SQL-reproducible); emits only the
-    chunk's u64 hash — strings never leave the mapper."""
+    chunk's u64 hash — strings never leave the mapper.  NULL-text docs
+    emit no chunks (matching the SQL oracle, where string_split(NULL)
+    unnests to zero rows); ''-text docs emit one '' chunk on both
+    sides."""
     ids, idxs, texts = [], [], []
     for did, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
-        ws = (txt or "").split(" ")
+        if txt is None:
+            continue
+        ws = txt.split(" ")
         for i in range(0, len(ws), chunk_words):
             ids.append(did)
             idxs.append(i // chunk_words)

@@ -368,28 +368,16 @@ def repetition_signals(docs_ds):
 
 # ---- deterministic stratified sampling ----------------------------------------
 
-def stratified_sample(docs_ds, strata_col: str = "lang", frac: float = 0.2,
-                      id_col: str = "doc_id"):
-    """Deterministic stratified sample: within each stratum, keep the
-    ceil(frac * stratum_size) rows ranked by (md5(id), id) — a fixed
-    pseudo-random total order every engine can reproduce (md5 of the
-    DECIMAL id string, so the plain-SQL oracle is
-    row_number() OVER (PARTITION BY stratum ORDER BY md5(CAST(id AS
-    VARCHAR)), id) <= ceil(frac * count)).  Exact per-stratum quota
-    (unlike Bernoulli hash sampling) and stable under resharding.
-
-    Strata are hash-bucketed (~2x CPUs groups); one kernel per bucket
-    ranks ALL its strata in a single lexsort — no per-stratum tiny
-    groups.  Returns the sampled rows with all input columns.
-    """
+def _stratum_rank_sample(docs_ds, strata_col: str, id_col: str, quota_of):
+    """Shared deterministic within-stratum sampler (stratified_sample /
+    mixture_sample): strata hash-bucket (all rows of a stratum land in
+    one bucket, so in-kernel sizes are global), ONE lexsort per bucket
+    ranks every stratum by the fixed (md5(decimal id), id) pseudo-random
+    order, and rows with rank < quota_of(labels, sizes) survive."""
     import hashlib
-    import math
 
     from ..functions.hashing import hash_str_u64
     from ..stages.shuffle import bucket_apply, drop_empty_blocks
-
-    if not (0.0 < frac <= 1.0):
-        raise ValueError("frac must be in (0, 1]")
 
     def add_key(t: pa.Table) -> pa.Table:
         strata = t[strata_col].to_pylist()
@@ -413,7 +401,7 @@ def stratified_sample(docs_ds, strata_col: str = "lang", frac: float = 0.2,
         new[1:] = s_sorted[1:] != s_sorted[:-1]
         starts = np.nonzero(new)[0]
         sizes = np.diff(np.append(starts, s_sorted.size))
-        quota = np.ceil(frac * sizes).astype(np.int64)
+        quota = quota_of(s_sorted[starts], sizes)
         seg = np.cumsum(new) - 1
         rank = np.arange(s_sorted.size, dtype=np.int64) - starts[seg]
         keep = order[rank < quota[seg]]
@@ -424,6 +412,32 @@ def stratified_sample(docs_ds, strata_col: str = "lang", frac: float = 0.2,
     return drop_empty_blocks(out).drop_columns(["__stratum_h"])
 
 
+def stratified_sample(docs_ds, strata_col: str = "lang", frac: float = 0.2,
+                      id_col: str = "doc_id"):
+    """Deterministic stratified sample: within each stratum, keep the
+    ceil(frac * stratum_size) rows ranked by (md5(id), id) — a fixed
+    pseudo-random total order every engine can reproduce (md5 of the
+    DECIMAL id string, so the plain-SQL oracle is
+    row_number() OVER (PARTITION BY stratum ORDER BY md5(CAST(id AS
+    VARCHAR)), id) <= ceil(frac * count)).  Exact per-stratum quota
+    (unlike Bernoulli hash sampling) and stable under resharding.
+
+    Strata are hash-bucketed (~2x CPUs groups); one kernel per bucket
+    ranks ALL its strata in a single lexsort — no per-stratum tiny
+    groups (shared with mixture_sample: _stratum_rank_sample).
+    Returns the sampled rows with all input columns.
+    """
+    import math
+
+    if not (0.0 < frac <= 1.0):
+        raise ValueError("frac must be in (0, 1]")
+
+    def quota_of(labels, sizes):
+        return np.ceil(frac * sizes).astype(np.int64)
+
+    return _stratum_rank_sample(docs_ds, strata_col, id_col, quota_of)
+
+
 def mixture_sample(docs_ds, strata_col: str = "lang", alpha: float = 0.5,
                    target_rows: int = 1000, id_col: str = "doc_id"):
     """Temperature-scaled mixture sampling (the multilingual data-mixing
@@ -432,24 +446,27 @@ def mixture_sample(docs_ds, strata_col: str = "lang", alpha: float = 0.5,
     alpha < 1 up-samples small strata relative to their natural share,
     alpha = 1 is proportional sampling.  Rows within a stratum are
     ranked by the same fixed (md5(id), id) pseudo-random order
-    stratified_sample uses, so the result is deterministic,
-    resharding-stable and plain-SQL-reproducible (floor(x + 0.5)
-    rounding on both sides — no banker's-rounding divergence).
+    stratified_sample uses (shared kernel: _stratum_rank_sample), so
+    the result is deterministic, resharding-stable and
+    plain-SQL-reproducible (floor(x + 0.5) rounding on both sides —
+    no banker's-rounding divergence).
 
-    Stratum counts are metadata-sized (#strata << corpus — lang/source
-    mixing), so the quota table folds on the driver and ships inside
-    the kernel closure; rows never leave their hash bucket.  Returns
-    the sampled rows with all input columns.
+    The input is materialized ONCE (it feeds both the stratum-count
+    pass and the sampling pass — without the pin a lazy upstream
+    lineage would execute twice, the re-execution cost the dedup
+    pipelines document); stratum counts are metadata-sized
+    (#strata << corpus — lang/source mixing), so the quota table folds
+    on the driver and ships inside the kernel closure.  Returns the
+    sampled rows with all input columns.
     """
-    import hashlib
-
-    from ..functions.hashing import hash_str_u64
-    from ..stages.shuffle import bucket_apply, drop_empty_blocks
+    import ray as _ray
 
     if alpha <= 0:
         raise ValueError("alpha must be > 0")
     if target_rows < 1:
         raise ValueError("target_rows must be >= 1")
+
+    docs_ds = docs_ds.materialize()  # consumed twice: counts + sampling
 
     def count_block(t: pa.Table) -> pa.Table:
         strata = np.asarray([s or "" for s in t[strata_col].to_pylist()],
@@ -459,53 +476,27 @@ def mixture_sample(docs_ds, strata_col: str = "lang", alpha: float = 0.5,
                          "c": pa.array(c.astype(np.int64))})
 
     counts: dict[str, int] = {}
-    for b in docs_ds.map_batches(count_block,
-                                 batch_format="pyarrow").to_arrow_refs():
-        import ray as _ray
-
-        t = _ray.get(b)
+    blocks = _ray.get(list(
+        docs_ds.map_batches(count_block, batch_format="pyarrow")
+        .to_arrow_refs()))
+    for t in blocks:
         if t.num_rows == 0 or "s" not in t.schema.names:
             continue
         for s, c in zip(t["s"].to_pylist(), t["c"].to_pylist()):
             counts[s] = counts.get(s, 0) + int(c)
     if not counts:
+        from ..stages.shuffle import drop_empty_blocks
+
         return drop_empty_blocks(docs_ds)
     z = float(sum(float(n) ** alpha for n in counts.values()))
     quota = {s: min(n, int(np.floor(target_rows * (float(n) ** alpha) / z
                                     + 0.5)))
              for s, n in counts.items()}
 
-    def add_key(t: pa.Table) -> pa.Table:
-        strata = t[strata_col].to_pylist()
-        return t.append_column(
-            "__stratum_h", pa.array(hash_str_u64([s or "" for s in strata]),
-                                    pa.uint64()))
+    def quota_of(labels, sizes):
+        return np.asarray([quota.get(s, 0) for s in labels], dtype=np.int64)
 
-    def sample(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0 or id_col not in g.schema.names:
-            return g
-        ids = g[id_col].to_numpy(zero_copy_only=False)
-        strata = np.asarray([s or "" for s in g[strata_col].to_pylist()],
-                            dtype=str)
-        md5s = np.asarray(
-            [hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids],
-            dtype=str)
-        order = np.lexsort((ids, md5s, strata))
-        s_sorted = strata[order]
-        new = np.empty(s_sorted.size, dtype=bool)
-        new[0] = True
-        new[1:] = s_sorted[1:] != s_sorted[:-1]
-        starts = np.nonzero(new)[0]
-        seg = np.cumsum(new) - 1
-        q = np.asarray([quota.get(s, 0) for s in s_sorted[starts]],
-                       dtype=np.int64)
-        rank = np.arange(s_sorted.size, dtype=np.int64) - starts[seg]
-        keep = order[rank < q[seg]]
-        return g.take(np.sort(keep))
-
-    keyed = docs_ds.map_batches(add_key, batch_format="pyarrow")
-    out = bucket_apply(keyed, "__stratum_h", sample)
-    return drop_empty_blocks(out).drop_columns(["__stratum_h"])
+    return _stratum_rank_sample(docs_ds, strata_col, id_col, quota_of)
 
 
 # ---- sequence packing (token-budget chunking) ----------------------------------
@@ -594,7 +585,12 @@ def lm_quality(docs_ds, min_count: int = 5, oov_count: float = 0.5,
 
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
-    tf_ds = docs_ds.map_batches(_tf_batch, batch_format="pyarrow").materialize()
+    # drop the term STRING column before the pin: the count pass, the
+    # attach and the doc fold only ever read (doc_id, term_h, tf), so
+    # corpus text must not ride through the materialize + two bucketed
+    # exchanges (tfidf_topk needs terms in its output; this op doesn't)
+    tf_ds = (docs_ds.map_batches(_tf_batch, batch_format="pyarrow")
+             .select_columns(["doc_id", "term_h", "tf"]).materialize())
 
     _CNT_EMPTY = pa.table({"term_h": pa.array([], pa.uint64()),
                            "cnt": pa.array([], pa.int64())})

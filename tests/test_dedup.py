@@ -328,8 +328,10 @@ def _brute_chunks(ids, texts, W):
     """first-occurrence chunk flags, python replay."""
     seen = {}
     rows = []
-    for did, txt in sorted(zip(ids, texts)):
-        ws = (txt or "").split(" ")
+    for did, txt in sorted(zip(ids, texts), key=lambda kv: kv[0]):
+        if txt is None:
+            continue
+        ws = txt.split(" ")
         for i in range(0, len(ws), W):
             c = " ".join(ws[i:i + W])
             key = (did, i // W)
@@ -445,3 +447,22 @@ def test_minhash_pairs_guard():
 
     with _pt.raises(ValueError):
         minhash_lsh_dups(_docs(), pairs="bogus")
+
+
+def test_chunk_dedup_null_text_matches_oracle_semantics(ray_session):
+    """NULL text emits no chunks (the SQL oracle's string_split(NULL)
+    unnests to zero rows); '' emits exactly one '' chunk on both sides,
+    and two ''-docs are chunk-dups of each other."""
+    from fora_ray.pipelines.dedup import chunk_dedup, drop_dup_chunks
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["a b c", None, "", ""], pa.string()),
+    }))
+    flags = chunk_dedup(docs, chunk_words=2).to_pandas()
+    assert 2 not in set(flags["doc_id"])  # NULL doc absent
+    e = flags[flags.doc_id.isin([3, 4])]
+    assert len(e) == 2 and e["is_dup"].tolist() == [False, True]
+    cleaned = drop_dup_chunks(docs, chunk_words=2).to_pandas()
+    got = dict(zip(cleaned["doc_id"], cleaned["text"]))
+    assert got[1] == "a b c" and got[2] is None and got[3] == "" and got[4] == ""

@@ -239,6 +239,16 @@ def test_betweenness_refuses_mismatched_pair(graph600, ray_session):
     finally:
         hf.close()
         hr.close()
+    # identity pools at DIFFERENT P pass same_perm_as but must refuse
+    # loudly (same n/P guard), not die inside bc_state alignment
+    hf2 = GraphHandle.from_edges(to_dataset(edges), n, P=2)
+    hr4 = GraphHandle.from_reverse_edges(to_dataset(edges), n, P=4)
+    try:
+        with pytest.raises(ValueError, match="same n, P"):
+            alg.betweenness_centrality(hf2, hr4)
+    finally:
+        hf2.close()
+        hr4.close()
 
 
 # ---------------------------------------------------------------------------

@@ -412,3 +412,25 @@ def test_node2vec_truncates_and_guards(ray_session):
             alg.node2vec_corpus(h, q=-1.0)
     finally:
         h.close()
+
+
+def test_node2vec_spill_matches_inmemory(graph600, ray_session, tmp_path):
+    """The parquet-spill scale path produces the identical biased
+    corpus (mirrors test_walk_corpus_spill_matches_inmemory for the
+    n2v record path)."""
+    import os
+
+    edges, n = graph600
+    h = GraphHandle.from_edges(to_dataset(edges), n, P=3)
+    try:
+        mem, _ = _n2v_df(h, nwalks=1, walk_len=4, p=0.5, q=2.0, seed=5)
+        sp = str(tmp_path / "n2v")
+        ds, _ = alg.node2vec_corpus(h, nwalks=1, walk_len=4, p=0.5, q=2.0,
+                                    seed=5, spill_dir=sp, flush_rows=100)
+        spilled = (ds.to_pandas().sort_values(["walk_id", "step"])
+                   .reset_index(drop=True))
+    finally:
+        h.close()
+    assert spilled.equals(mem)
+    parts = [d for d in os.listdir(sp) if d.startswith("part=")]
+    assert len(parts) == 3
