@@ -668,6 +668,11 @@ def _queries_graph():
         ds, _stats = alg.maximal_independent_set(g["handle_sym"], seed=42)
         return ds.to_pandas().sort_values("node_id").reset_index(drop=True)
 
+    def greedy_color_q(sf_dir):
+        g = _graph(sf_dir)
+        ds, _stats = alg.greedy_color(g["handle_sym"], seed=42)
+        return ds.to_pandas().sort_values("node_id").reset_index(drop=True)
+
     def betweenness_q(sf_dir):
         from fora_ray.graph.runtime import GraphHandle
 
@@ -737,6 +742,7 @@ def _queries_graph():
         "node2vec_corpus": node2vec_corpus_q,
         "betweenness": betweenness_q,
         "mis": mis_q,
+        "greedy_color": greedy_color_q,
         "scc": scc_q,
         "harmonic": harmonic_q,
         "skipgram_pairs": skipgram_pairs_q,
@@ -1338,6 +1344,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "mis": (
             f"SELECT node_id, in_mis FROM read_parquet('{gold['mis']}') "
+            "ORDER BY node_id"
+        ),
+        "greedy_color": (
+            f"SELECT node_id, color FROM read_parquet('{gold['greedy_color']}') "
             "ORDER BY node_id"
         ),
         "skipgram_pairs": (

@@ -41,7 +41,7 @@ from .oracle import lpa_oracle, ppr_column_oracle, ppr_power_iteration
 
 ROUND = 9
 _WORD = re.compile(r"\w+")
-_VERSION = 23  # v23: + node2vec, betweenness, Luby-MIS, k-truss goldens
+_VERSION = 24  # v24: + node2vec/betweenness/MIS/k-truss/coloring goldens
 
 
 def _round_col(x: np.ndarray) -> np.ndarray:
@@ -948,6 +948,43 @@ def harmonic_golden(fix_dir: str, n_pivots: int = 8, seed: int = 42) -> pa.Table
                      "harmonic": pa.array(_round_col(harm))})
 
 
+def greedy_color_golden(fix_dir: str, seed: int = 42) -> pa.Table:
+    """Python replay of iterated-Luby greedy coloring on the
+    symmetrized fixture graph: color class c = MIS of the uncolored
+    residual under priorities mix64(mix64(mix64(seed, c), round), id) —
+    bit-identical to the engine at any partition count."""
+    e, n = _fixture_graph(fix_dir)
+    und = np.unique(np.concatenate([e, e[:, ::-1]]), axis=0)
+    und = und[und[:, 0] != und[:, 1]]
+    adj = [[] for _ in range(n)]
+    for s, d in und:
+        adj[int(s)].append(int(d))
+    color = np.full(n, -1, np.int64)
+    ids = np.arange(n, dtype=np.int64)
+    c = 0
+    while (color < 0).any():
+        cseed = mix64(np.uint64(seed), np.uint64(c))
+        status = np.where(color >= 0, np.int8(0), np.int8(-1))
+        rnd = 0
+        while (status == -1).any():
+            rseed = mix64(cseed, np.uint64(rnd))
+            keys = mix64(np.full(n, rseed, np.uint64), ids.astype(np.uint64))
+            joined = []
+            for v in np.nonzero(status == -1)[0]:
+                nb = [u for u in adj[v] if status[u] == -1]
+                if all((keys[v], v) < (keys[u], u) for u in nb):
+                    joined.append(v)
+            status[joined] = 1
+            for v in joined:
+                for u in adj[v]:
+                    if status[u] == -1:
+                        status[u] = 0
+            rnd += 1
+        color[status == 1] = c
+        c += 1
+    return pa.table({"node_id": pa.array(ids), "color": pa.array(color)})
+
+
 def ktruss_golden(fix_dir: str, k: int = 3) -> pa.Table:
     """Python replay of k-truss peeling on the symmetrized fixture
     graph: iterate [support(u,v) = |N(u) & N(v)|; keep support >= k-2]
@@ -1072,6 +1109,7 @@ _GRAPH_GOLDENS = {
     "betweenness": betweenness_golden,
     "mis": mis_golden,
     "ktruss": ktruss_golden,
+    "greedy_color": greedy_color_golden,
     "scc": scc_golden,
     "harmonic": harmonic_golden,
     "neighbor_sample": neighbor_sample_golden,

@@ -942,17 +942,55 @@ def maximal_independent_set(handle, seed: int = 42, max_rounds: int = 10_000):
     adjacent u64 hash collisions cannot both join).
     """
     handle.call_all("mis_init", int(seed))
+    rounds = _mis_rounds(handle, max_rounds)
+    refs = [w.mis_table.remote() for w in handle.workers]
+    return ray.data.from_arrow_refs(refs), {"rounds": rounds}
+
+
+def _mis_rounds(handle, max_rounds: int) -> int:
+    """Run armed MIS supersteps to convergence (shared by
+    maximal_independent_set and greedy_color)."""
     rounds = 0
     while rounds < max_rounds:
         metas, _ = handle._exchange("mis_round", "mis_apply", rounds)
         if sum(m["undecided"] for m in metas) == 0:
-            break
+            return rounds
         handle._exchange("mis_commit", "mis_exclude_apply", rounds)
         rounds += 1
+    raise RuntimeError("MIS did not converge")
+
+
+def greedy_color(handle, seed: int = 42, max_colors: int = 4096,
+                 max_rounds: int = 10_000):
+    """Distributed greedy graph coloring by iterated Luby MIS (Luby '86
+    / Jones-Plassmann shape): color class c is a maximal independent
+    set of the still-uncolored residual graph (fresh counter-RNG
+    priorities per class: mix64(seed, c)), so every node's color is <=
+    its residual degree when chosen and adjacent nodes never share a
+    color.  Pass the SYMMETRIZED handle.
+
+    Per class: one armed MIS run (two pre-aggregated supersteps per
+    inner round); classes shrink geometrically, so total work ~ O(m ·
+    colors) with colors <= max-degree + 1.  Deterministic — a pure
+    function of (logical graph, seed) at any partition count.
+
+    Returns (Dataset (node_id, color) over ALL nodes, stats).
+    """
+    handle.call_all("color_init")
+    colors = inner_rounds = 0
+    while colors < max_colors:
+        rem = sum(handle.call_all("mis_reset_uncolored", int(seed), colors))
+        if rem == 0:
+            break
+        inner_rounds += _mis_rounds(handle, max_rounds)
+        handle.call_all("color_commit", colors)
+        colors += 1
     else:
-        raise RuntimeError("maximal_independent_set did not converge")
-    refs = [w.mis_table.remote() for w in handle.workers]
-    return ray.data.from_arrow_refs(refs), {"rounds": rounds}
+        raise RuntimeError(
+            f"greedy_color exceeded max_colors={max_colors}")
+    refs = [w.color_table.remote() for w in handle.workers]
+    return ray.data.from_arrow_refs(refs), {
+        "colors": colors, "mis_rounds": inner_rounds}
 
 
 def kcore(handle, max_rounds: int = 10_000):

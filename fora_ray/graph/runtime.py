@@ -1879,6 +1879,33 @@ class ShardWorkerImpl:
             "in_mis": pa.array(self._mis == 1),
         })
 
+    # ---- greedy coloring = iterated MIS over the uncolored residual --------
+    def color_init(self):
+        self._color = np.full(self.n_local, -1, np.int64)
+        return True
+
+    def mis_reset_uncolored(self, seed: int, color: int):
+        """Arm one MIS round-set over the UNCOLORED residual: colored
+        nodes enter as decided-out (they never send, join, or block),
+        and the round's RNG stream is mix64(seed, color) so every color
+        class draws fresh priorities."""
+        self._mis = np.where(self._color >= 0,
+                             np.int8(0), np.int8(-1)).astype(np.int8)
+        self._mis_seed = mix64(np.uint64(seed), np.uint64(color))
+        self._mis_key = None
+        return int((self._mis == -1).sum())
+
+    def color_commit(self, c: int):
+        sel = self._mis == 1
+        self._color[sel] = c
+        return int(sel.sum())
+
+    def color_table(self) -> pa.Table:
+        return pa.table({
+            "node_id": pa.array(self.logical_ids),
+            "color": pa.array(self._color),
+        })
+
     # ---- SCC (min-label forward/backward intersection) ---------------------
     def scc_reset(self):
         self.scc = np.full(self.n_local, -1, np.int64)

@@ -302,3 +302,29 @@ def test_mis_matches_golden_replay_and_partition_invariant(
     has_in_nb = np.zeros(n, dtype=bool)
     np.logical_or.at(has_in_nb, und[:, 0], inm[und[:, 1]])
     assert (inm | has_in_nb).all()
+
+
+def test_greedy_color_proper_and_matches_golden(fix600, graph600, ray_session):
+    """Iterated-Luby coloring: proper (no edge shares a color), every
+    node colored, bit-exact vs the golden replay at P=2 and P=4."""
+    from fora_ray.goldens import greedy_color_golden
+
+    edges, n = graph600
+    gold = greedy_color_golden(fix600, seed=42).to_pandas()
+    for P in (2, 4):
+        h = GraphHandle.from_edges(to_dataset(_sym(edges)), n, P=P)
+        try:
+            ds, stats = alg.greedy_color(h, seed=42)
+            df = ds.to_pandas().sort_values("node_id").reset_index(drop=True)
+        finally:
+            h.close()
+        assert df.equals(gold.reset_index(drop=True))
+        assert stats["colors"] == int(gold["color"].max()) + 1
+    col = gold["color"].to_numpy()
+    assert (col >= 0).all()
+    und = _sym(edges)
+    assert (col[und[:, 0]] != col[und[:, 1]]).all()
+    # colors bounded by max degree + 1
+    deg = np.zeros(n, np.int64)
+    np.add.at(deg, und[:, 0], 1)
+    assert col.max() <= deg.max()
