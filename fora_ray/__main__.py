@@ -17,7 +17,7 @@
                                 [--p P] [--phi X] [--quantiles 0.25,0.5] [--bins N]
     python -m fora_ray walks    --graph DIR --out DIR [--nwalks N] [--walk-len L] [--window W] [--p P --q Q]
                                 [--sample-seeds 0,1,2 --fanouts 10,5]
-    python -m fora_ray analyze  --graph DIR --out DIR --op scc|hits|kcore|bfs|harmonic|diameter|betweenness|mis
+    python -m fora_ray analyze  --graph DIR --out DIR --op scc|hits|kcore|bfs|harmonic|diameter|betweenness|mis|color|ktruss
 
 --graph DIR is a shard dir written by `ingest` (csr/ + meta.json).
 Every command writes its result as partitioned Parquet plus a
@@ -476,6 +476,24 @@ def cmd_analyze(args):
             elif op == "mis":
                 ds, stats = alg.maximal_independent_set(h, seed=args.seed)
                 ds.write_parquet(os.path.join(args.out, op))
+            elif op == "color":
+                ds, stats = alg.greedy_color(h, seed=args.seed)
+                ds.write_parquet(os.path.join(args.out, op))
+            elif op == "ktruss":
+                import pyarrow as pa
+
+                from .graph.triangles import ktruss as _ktruss
+
+                def _both_dirs(t: "pa.Table") -> "pa.Table":
+                    return pa.concat_tables([
+                        t, t.select(["dst", "src"]).rename_columns(
+                            ["src", "dst"])])
+
+                sym_edges = ray.data.read_parquet(
+                    os.path.join(args.graph, "edges")).map_batches(
+                    _both_dirs, batch_format="pyarrow")
+                ds, stats = _ktruss(sym_edges, h.n, k=args.k)
+                ds.write_parquet(os.path.join(args.out, op))
             elif op == "harmonic":
                 ds, stats = alg.harmonic_centrality(
                     h, n_pivots=args.n_pivots, seed=args.seed)
@@ -574,11 +592,12 @@ def main(argv=None):
     p.add_argument("--graph", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--op", default="scc",
-                   choices=["scc", "hits", "kcore", "bfs", "harmonic",
-                            "diameter", "betweenness", "mis"])
+                   choices=["scc", "hits", "kcore", "bfs", "harmonic", "diameter",
+                            "betweenness", "mis", "color", "ktruss"])
     p.add_argument("--sources", default="0")
     p.add_argument("--n-pivots", type=int, default=8)
     p.add_argument("--iters", type=int, default=40)
+    p.add_argument("--k", type=int, default=4, help="ktruss k (>= 3)")
     p.add_argument("--seed", type=int, default=42)
     p.set_defaults(fn=cmd_analyze)
 

@@ -348,6 +348,20 @@ def test_cli_analyze(fix600, tmp_path):
           "--n-pivots", "4"])
     bdf = ray.data.read_parquet(f"{out4}/betweenness").to_pandas()
     assert len(bdf) == 600 and np.isfinite(bdf["betweenness"]).all()
+    # coloring: proper on the symmetrized edges
+    out5 = str(tmp_path / "color")
+    main(["analyze", "--graph", g, "--out", out5, "--op", "color"])
+    cdf = (ray.data.read_parquet(f"{out5}/color").to_pandas()
+           .sort_values("node_id").reset_index(drop=True))
+    col = cdf["color"].to_numpy()
+    assert (col >= 0).all()
+    assert (col[und[:, 0]] != col[und[:, 1]]).all()
+    # ktruss: every surviving edge is an input edge
+    out6 = str(tmp_path / "truss")
+    main(["analyze", "--graph", g, "--out", out6, "--op", "ktruss", "--k", "3"])
+    tdf = ray.data.read_parquet(f"{out6}/ktruss").to_pandas()
+    es = {(int(a), int(b)) for a, b in und[und[:, 0] < und[:, 1]]}
+    assert set(zip(tdf["lo"], tdf["hi"])) <= es
 
 
 def test_cli_dedup_decontaminate(tmp_path):
