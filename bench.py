@@ -681,7 +681,7 @@ def run_ops_bench(num_cpus: int = 32, n: int = 1_000_000,
     sym = edges.map_batches(
         lambda t: pa.concat_tables([
             t, t.select(["dst", "src"]).rename_columns(["src", "dst"])]),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
     hs = GraphHandle.from_edges(sym, n, P=P, balance="degree")
     t0 = time.perf_counter()
     mis, stm = alg.maximal_independent_set(hs, seed=42)
@@ -692,7 +692,20 @@ def run_ops_bench(num_cpus: int = 32, n: int = 1_000_000,
         batch_format="pyarrow").sum("c"))
     out["mis"] = {"sec": round(time.perf_counter() - t0, 2),
                   "rounds": stm["rounds"], "set_size": n_in}
+    t0 = time.perf_counter()
+    colors, stc = alg.greedy_color(hs, seed=42)
+    colors.count()
+    out["greedy_color"] = {"sec": round(time.perf_counter() - t0, 2),
+                           "colors": stc["colors"],
+                           "mis_rounds": stc["mis_rounds"]}
     hs.close()
+
+    from fora_ray.graph.triangles import ktruss
+
+    t0 = time.perf_counter()
+    truss, stt = ktruss(sym, n, k=4)
+    out["ktruss_k4"] = {"sec": round(time.perf_counter() - t0, 2),
+                        "iters": stt["iters"], "edges": stt["edges"]}
     ray.shutdown()
     return out
 
