@@ -1041,28 +1041,36 @@ def oracle_sql() -> dict[str, str]:
             "FROM toks ORDER BY doc_id"
         ),
         "stratified_sample": (
+            # engine folds NULL lang into the '' stratum — partition on
+            # COALESCE so both sides stratify identically
             "WITH ranked AS ("
             "  SELECT doc_id, lang, n_chars,"
-            "  row_number() OVER (PARTITION BY lang"
+            "  row_number() OVER (PARTITION BY COALESCE(lang, '')"
             "    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,"
-            "  COUNT(*) OVER (PARTITION BY lang) AS n_s FROM documents"
+            "  COUNT(*) OVER (PARTITION BY COALESCE(lang, '')) AS n_s"
+            "  FROM documents"
             ") SELECT doc_id, lang, n_chars FROM ranked "
             "WHERE rn <= CEIL(0.2 * n_s) ORDER BY doc_id"
         ),
         "mixture_sample": (
             # temperature-scaled mixing: quota_s = min(n_s,
-            # floor(1000 * n_s^0.5 / sum n_t^0.5 + 0.5))
-            "WITH cnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n"
-            "  FROM documents GROUP BY 1"
+            # floor(1000 * n_s^0.5 / sum n_t^0.5 + 0.5)).  The engine
+            # folds NULL lang into the '' stratum; COALESCE mirrors that
+            # (a plain JOIN USING (lang) would silently drop NULL-lang
+            # rows — NULL never equi-joins).
+            "WITH d AS (SELECT doc_id, lang, COALESCE(lang, '') AS s"
+            "  FROM documents"
+            "), cnt AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n"
+            "  FROM d GROUP BY 1"
             "), tot AS (SELECT SUM(POWER(CAST(n AS DOUBLE), 0.5)) AS z FROM cnt"
-            "), q AS (SELECT lang, LEAST(n, CAST(FLOOR("
+            "), q AS (SELECT s, LEAST(n, CAST(FLOOR("
             "    1000 * POWER(CAST(n AS DOUBLE), 0.5) / tot.z + 0.5"
             "  ) AS BIGINT)) AS quota FROM cnt, tot"
-            "), rk AS (SELECT doc_id, lang, row_number() OVER ("
-            "    PARTITION BY lang"
+            "), rk AS (SELECT doc_id, lang, s, row_number() OVER ("
+            "    PARTITION BY s"
             "    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn"
-            "  FROM documents"
-            ") SELECT rk.doc_id, rk.lang FROM rk JOIN q USING (lang)"
+            "  FROM d"
+            ") SELECT rk.doc_id, rk.lang FROM rk JOIN q USING (s)"
             " WHERE rk.rn <= q.quota ORDER BY doc_id"
         ),
         "repetition_signals": (

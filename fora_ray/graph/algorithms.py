@@ -978,16 +978,17 @@ def greedy_color(handle, seed: int = 42, max_colors: int = 4096,
     """
     handle.call_all("color_init")
     colors = inner_rounds = 0
-    while colors < max_colors:
+    while True:
         rem = sum(handle.call_all("mis_reset_uncolored", int(seed), colors))
         if rem == 0:
             break
+        if colors >= max_colors:
+            raise RuntimeError(
+                f"greedy_color exceeded max_colors={max_colors}: "
+                f"{rem} nodes uncolored")
         inner_rounds += _mis_rounds(handle, max_rounds)
         handle.call_all("color_commit", colors)
         colors += 1
-    else:
-        raise RuntimeError(
-            f"greedy_color exceeded max_colors={max_colors}")
     refs = [w.color_table.remote() for w in handle.workers]
     return ray.data.from_arrow_refs(refs), {
         "colors": colors, "mis_rounds": inner_rounds}

@@ -328,3 +328,25 @@ def test_greedy_color_proper_and_matches_golden(fix600, graph600, ray_session):
     deg = np.zeros(n, np.int64)
     np.add.at(deg, und[:, 0], 1)
     assert col.max() <= deg.max()
+
+
+def test_greedy_color_succeeds_at_exactly_max_colors(ray_session):
+    """A graph that needs exactly max_colors classes must succeed (the
+    old while/else raised even though every node was colored — ADVICE
+    r04): K3 needs 3 colors; max_colors=3 must return, max_colors=2
+    must raise."""
+    k3 = np.array([[0, 1], [1, 2], [0, 2]], dtype=np.int64)
+    h = GraphHandle.from_edges(to_dataset(_sym(k3)), 3, P=1)
+    try:
+        ds, stats = alg.greedy_color(h, seed=42, max_colors=3)
+        df = ds.to_pandas().sort_values("node_id")
+        assert sorted(df["color"].tolist()) == [0, 1, 2]
+        assert stats["colors"] == 3
+    finally:
+        h.close()
+    h = GraphHandle.from_edges(to_dataset(_sym(k3)), 3, P=1)
+    try:
+        with pytest.raises(RuntimeError, match="max_colors"):
+            alg.greedy_color(h, seed=42, max_colors=2)
+    finally:
+        h.close()

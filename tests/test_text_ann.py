@@ -517,3 +517,40 @@ def test_mixture_sample_quotas_and_stability(ray_session):
         mixture_sample(docs, alpha=0.0)
     with pytest.raises(ValueError):
         mixture_sample(docs, target_rows=0)
+
+
+def test_mixture_sample_null_strata_match_sql_oracle(ray_session):
+    """NULL-lang rows fold into the '' stratum on BOTH sides (ADVICE
+    r04: a plain JOIN USING (lang) oracle silently dropped NULLs) —
+    engine output on a NULL-bearing corpus must hash-match the
+    COALESCE-based oracle SQL exactly."""
+    import duckdb
+    import numpy as np
+
+    from fora_ray.pipelines.text import mixture_sample
+
+    rng = np.random.default_rng(7)
+    langs = rng.choice(["en", "de", None, ""], size=400,
+                       p=[0.55, 0.25, 0.12, 0.08]).tolist()
+    t = pa.table({"doc_id": pa.array(np.arange(400, dtype=np.int64)),
+                  "lang": pa.array(langs, pa.string())})
+    got = (mixture_sample(ray.data.from_arrow(t).repartition(5),
+                          strata_col="lang", alpha=0.5, target_rows=120)
+           .to_pandas()[["doc_id", "lang"]]
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.execute(
+        "WITH d AS (SELECT doc_id, lang, COALESCE(lang,'') AS s FROM documents),"
+        " cnt AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),"
+        " tot AS (SELECT SUM(POWER(CAST(n AS DOUBLE), 0.5)) AS z FROM cnt),"
+        " q AS (SELECT s, LEAST(n, CAST(FLOOR(120 * POWER(CAST(n AS DOUBLE),"
+        "   0.5) / tot.z + 0.5) AS BIGINT)) AS quota FROM cnt, tot),"
+        " rk AS (SELECT doc_id, lang, s, row_number() OVER (PARTITION BY s"
+        "   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM d)"
+        " SELECT rk.doc_id, rk.lang FROM rk JOIN q USING (s)"
+        " WHERE rk.rn <= q.quota ORDER BY doc_id").df()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["lang"].fillna("@").tolist() == want["lang"].fillna("@").tolist()
+    # NULL-lang rows actually appear in the sample (non-vacuous)
+    assert got["lang"].isna().any()

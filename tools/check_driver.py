@@ -62,7 +62,13 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> dict:
     for c in got.columns:
         a, b = got[c].to_numpy(), want[c].to_numpy()
         if a.dtype.kind == "f" or b.dtype.kind == "f":
-            same = np.array_equal(a.astype(np.float64), b.astype(np.float64))
+            # Both sides round before registering (e.g. betweenness at 6
+            # decimals), but independently-ordered float sums can land a
+            # hair on opposite sides of a rounding boundary — compare with
+            # an atol one decade under the rounding step, not exactly.
+            af, bf = a.astype(np.float64), b.astype(np.float64)
+            same = af.shape == bf.shape and bool(
+                np.allclose(af, bf, rtol=0.0, atol=1e-9, equal_nan=True))
         else:
             same = bool((pd.Series(a) == pd.Series(b)).all()) and a.dtype == b.dtype
             if a.dtype != b.dtype:
@@ -90,20 +96,17 @@ def run_gate(sf_dir: str, only: set[str] | None = None,
     os.environ["FORA_ORACLE_SF_DIR"] = sf_dir
     try:
         import __ray_entry__ as e
+
+        qs = e.queries()
+        sqls = e.oracle_sql()
     finally:
-        pass
+        os.environ.pop("FORA_ORACLE_SF_DIR", None)
 
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-
-    qs = e.queries()
-    try:
-        sqls = e.oracle_sql()
-    finally:
-        os.environ.pop("FORA_ORACLE_SF_DIR", None)
     results: dict[str, dict] = {}
     failed = []
     for name, fn in qs.items():
