@@ -513,6 +513,14 @@ def _queries_graph():
         return (edges.to_pandas()
                 .sort_values(["lo", "hi"]).reset_index(drop=True))
 
+    def trussness_q(sf_dir):
+        from fora_ray.graph.triangles import trussness
+
+        g = _graph(sf_dir)
+        edges, _stats = trussness(g["sym"], g["n"])
+        return (edges.to_pandas()
+                .sort_values(["lo", "hi"]).reset_index(drop=True))
+
     def link_pred_q(sf_dir):
         from fora_ray.goldens import ROUND
         from fora_ray.graph.linkpred import link_prediction
@@ -735,6 +743,7 @@ def _queries_graph():
         "bfs_hops": bfs_q,
         "kcore": kcore_q,
         "ktruss": ktruss_q,
+        "trussness": trussness_q,
         "hits": hits_q,
         "link_pred": link_pred_q,
         "diameter_est": diameter_est_q,
@@ -1223,6 +1232,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ktruss": (
             f"SELECT lo, hi FROM read_parquet('{gold['ktruss']}') "
+            "ORDER BY lo, hi"
+        ),
+        "trussness": (
+            f"SELECT lo, hi, trussness FROM read_parquet('{gold['trussness']}') "
             "ORDER BY lo, hi"
         ),
         "hits": (

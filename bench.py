@@ -705,7 +705,17 @@ def run_ops_bench(num_cpus: int = 32, n: int = 1_000_000,
     t0 = time.perf_counter()
     truss, stt = ktruss(sym, n, k=4)
     out["ktruss_k4"] = {"sec": round(time.perf_counter() - t0, 2),
-                        "iters": stt["iters"], "edges": stt["edges"]}
+                        "iters": stt["iters"], "edges": stt["edges"],
+                        "mode": stt.get("mode", "recompute")}
+
+    from fora_ray.graph.triangles import trussness
+
+    t0 = time.perf_counter()
+    tn, stn = trussness(sym, n)
+    tn.count()
+    out["trussness"] = {"sec": round(time.perf_counter() - t0, 2),
+                        "rounds": stn["rounds"],
+                        "max_trussness": stn["max_trussness"]}
     ray.shutdown()
     return out
 

@@ -41,7 +41,7 @@ from .oracle import lpa_oracle, ppr_column_oracle, ppr_power_iteration
 
 ROUND = 9
 _WORD = re.compile(r"\w+")
-_VERSION = 24  # v24: + node2vec/betweenness/MIS/k-truss/coloring goldens
+_VERSION = 25  # v25: + trussness golden
 
 
 def _round_col(x: np.ndarray) -> np.ndarray:
@@ -1010,6 +1010,40 @@ def ktruss_golden(fix_dir: str, k: int = 3) -> pa.Table:
     })
 
 
+def trussness_golden(fix_dir: str) -> pa.Table:
+    """Python replay of full truss decomposition on the symmetrized
+    fixture graph: trussness(e) = max k with e in the k-truss.  Peels
+    level by level (k = 3, 4, ...); edges dropped while peeling at k
+    get trussness k-1; triangle-free edges get 2.  Deterministic set
+    output — no float anywhere."""
+    e, n = _fixture_graph(fix_dir)
+    und = np.unique(np.concatenate([e, e[:, ::-1]]), axis=0)
+    und = und[und[:, 0] < und[:, 1]]
+    cur = {(int(a), int(b)) for a, b in und}
+    truss = {edge: 2 for edge in cur}
+    k = 3
+    while cur:
+        while True:
+            adj: dict[int, set] = {}
+            for a, b in cur:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            drop = {(a, b) for a, b in cur
+                    if len(adj[a] & adj[b]) < k - 2}
+            if not drop:
+                break
+            for edge in drop:
+                truss[edge] = k - 1
+            cur -= drop
+        k += 1
+    rows = sorted(truss)
+    return pa.table({
+        "lo": pa.array([r[0] for r in rows], pa.int64()),
+        "hi": pa.array([r[1] for r in rows], pa.int64()),
+        "trussness": pa.array([truss[r] for r in rows], pa.int64()),
+    })
+
+
 def mis_golden(fix_dir: str, seed: int = 42) -> pa.Table:
     """Python replay of the deterministic Luby-style MIS on the
     symmetrized fixture graph: same counter-RNG priorities
@@ -1109,6 +1143,7 @@ _GRAPH_GOLDENS = {
     "betweenness": betweenness_golden,
     "mis": mis_golden,
     "ktruss": ktruss_golden,
+    "trussness": trussness_golden,
     "greedy_color": greedy_color_golden,
     "scc": scc_golden,
     "harmonic": harmonic_golden,

@@ -384,26 +384,271 @@ def edge_supports(edges_sym_ds, n: int, strategy: str = "auto",
     return bucket_apply(partial, "pair_h", fold)
 
 
-def ktruss(edges_sym_ds, n: int, k: int, strategy: str = "auto",
-           num_partitions: int = 16, max_iters: int = 1000):
-    """k-truss subgraph (Cohen '08 MapReduce truss decomposition shape):
-    iteratively recompute per-edge triangle support over the surviving
-    subgraph and drop edges with support < k-2, until a fixpoint.  The
-    k-truss is the maximal subgraph where every edge closes >= k-2
-    triangles — the standard cohesive-community backbone.
+# ---- incremental truss peeling --------------------------------------------
+#
+# One triangle enumeration, then per-round support decrements: when an
+# edge drops, every surviving triangle through it dies and its other
+# two edges lose one support — no re-running the orient -> wedge ->
+# probe pipeline per peel iteration (the peel-depth x full-pass
+# multiplier VERDICT r04 flagged).  Peeling state uses packed u64 edge
+# keys (exact bijection for ids < 2^32 — pack_edge guards loudly), and
+# the per-edge support arrays live on the driver at 16 bytes/edge — the
+# same m-sized driver-array tier the broadcast adjacency probe already
+# uses.  Past 2^32 ids `ktruss` falls back to the full-recompute loop
+# (`mode='recompute'`), which stays valid for the whole int64 range.
 
-    Each iteration is one full distributed triangle pass (orient ->
-    wedge -> probe -> pair reduce) over the CURRENT subgraph, so cost
-    shrinks as edges peel; iterations = peeling depth (small for real
-    graphs; loud error at max_iters).  Returns (Dataset (lo, hi) of
-    surviving undirected edges, stats).  k >= 3 (2-truss = every edge
-    of the simple graph)."""
+
+def _sup_partial_fn(t: pa.Table):
+    """Per-block (keys, counts, n_triangles) for initial supports."""
+    if t.num_rows == 0 or "e1" not in t.schema.names:
+        return np.empty(0, np.uint64), np.empty(0, np.int64), 0
+    allk = np.concatenate([
+        t[c].to_numpy(zero_copy_only=False).astype(np.uint64)
+        for c in ("e1", "e2", "e3")])
+    k, c = np.unique(allk, return_counts=True)
+    return k, c.astype(np.int64), t.num_rows
+
+
+def _in_sorted(haystack: np.ndarray, x: np.ndarray) -> np.ndarray:
+    if haystack.size == 0 or x.size == 0:
+        return np.zeros(x.size, bool)
+    pos = np.searchsorted(haystack, x)
+    return (pos < haystack.size) & (haystack[np.minimum(pos, haystack.size - 1)] == x)
+
+
+def _peel_block_fn(t: pa.Table, dropped: np.ndarray):
+    """One peel round over one triangle block: kill triangles touching a
+    dropped edge, emit -1 support deltas for their surviving edges.
+    Returns (survivors, n_survivors, dec_keys, dec_counts)."""
+    if t.num_rows == 0 or "e1" not in t.schema.names:
+        return t, 0, np.empty(0, np.uint64), np.empty(0, np.int64)
+    e = [t[c].to_numpy(zero_copy_only=False).astype(np.uint64)
+         for c in ("e1", "e2", "e3")]
+    hits = [_in_sorted(dropped, ei) for ei in e]
+    killed = hits[0] | hits[1] | hits[2]
+    if not killed.any():
+        return t, t.num_rows, np.empty(0, np.uint64), np.empty(0, np.int64)
+    surv = t.filter(pa.array(~killed))
+    dec = np.concatenate([e[i][killed & ~hits[i]] for i in range(3)])
+    dk, dc = np.unique(dec, return_counts=True)
+    return surv, surv.num_rows, dk, dc.astype(np.int64)
+
+
+def _build_peel_state(edges_sym_ds, n: int, strategy: str,
+                      num_partitions: int):
+    """ONE distributed triangle enumeration -> peeling state:
+    (keys, sup, tri_refs, tri_rows) where keys is the sorted u64
+    packed-key array of edges closing >= 1 triangle, sup their triangle
+    supports, and tri_refs/tri_rows the (e1, e2, e3) packed-key triangle
+    blocks (object refs — the triangle table itself never lands on the
+    driver, only per-edge aggregates do)."""
+    tri, _deg = _tri_pipeline(edges_sym_ds, n, strategy, num_partitions)
+
+    def conv(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "apex" not in t.schema.names:
+            return pa.table({c: pa.array([], pa.uint64())
+                             for c in ("e1", "e2", "e3")})
+        apex = t["apex"].to_numpy(zero_copy_only=False)
+        if "edge_key" in t.schema.names:
+            key = t["edge_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            a = (key >> np.uint64(32)).astype(np.int64)
+            b = (key & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        else:
+            a = t["lo"].to_numpy(zero_copy_only=False)
+            b = t["hi"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "e1": pa.array(_pack_sorted(apex, a), pa.uint64()),
+            "e2": pa.array(_pack_sorted(apex, b), pa.uint64()),
+            "e3": pa.array(pack_edge(a, b), pa.uint64()),  # a < b already
+        })
+
+    packed = tri.map_batches(conv, batch_format="pyarrow")
+    tri_refs = list(packed.to_arrow_refs())
+    sup_partial = ray.remote(num_cpus=0)(_sup_partial_fn)
+    parts = ray.get([sup_partial.remote(r) for r in tri_refs])
+    tri_rows = [p[2] for p in parts]
+    ks = [p[0] for p in parts if p[0].size]
+    cs = [p[1] for p in parts if p[1].size]
+    if not ks:
+        return (np.empty(0, np.uint64), np.empty(0, np.int64),
+                tri_refs, tri_rows)
+    allk, allc = np.concatenate(ks), np.concatenate(cs)
+    order = np.argsort(allk, kind="stable")
+    sk, sc = allk[order], allc[order]
+    first = np.concatenate([[True], sk[1:] != sk[:-1]])
+    starts = np.nonzero(first)[0]
+    return (sk[starts], np.add.reduceat(sc, starts).astype(np.int64),
+            tri_refs, tri_rows)
+
+
+def _peel_to_fixpoint(keys, sup, alive, tri_refs, tri_rows, thresh: int,
+                      on_drop, max_iters: int, iters_done: int) -> tuple:
+    """Drop alive edges with sup < thresh, decrement supports of their
+    surviving triangles' other edges, repeat to fixpoint.  on_drop(mask)
+    fires before each drop wave (trussness records levels there).
+    Returns (rounds, tri_refs, tri_rows)."""
+    peel = ray.remote(num_returns=4)(_peel_block_fn)
+    rounds = 0
+    while True:
+        drop = alive & (sup < thresh)
+        if not drop.any():
+            return rounds, tri_refs, tri_rows
+        if iters_done + rounds >= max_iters:
+            raise RuntimeError(f"truss peeling exceeded {max_iters} rounds")
+        if on_drop is not None:
+            on_drop(drop)
+        alive[drop] = False
+        live = [(r, nr) for r, nr in zip(tri_refs, tri_rows) if nr > 0]
+        if live:
+            dref = ray.put(np.sort(keys[drop]))
+            outs = [peel.remote(r, dref) for r, _ in live]
+            tri_refs = [o[0] for o in outs]
+            tri_rows = ray.get([o[1] for o in outs])
+            dks = ray.get([o[2] for o in outs])
+            dcs = ray.get([o[3] for o in outs])
+            for dk, dc in zip(dks, dcs):
+                if dk.size:
+                    sup[np.searchsorted(keys, dk)] -= dc
+        else:
+            tri_refs, tri_rows = [], []
+        rounds += 1
+
+
+def _unpack_pairs_table(keys: np.ndarray, extra: dict | None = None) -> pa.Table:
+    lo = (keys >> np.uint64(32)).astype(np.int64)
+    hi = (keys & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    cols = {"lo": pa.array(lo), "hi": pa.array(hi)}
+    for name, arr in (extra or {}).items():
+        cols[name] = pa.array(arr)
+    return pa.table(cols)
+
+
+def ktruss(edges_sym_ds, n: int, k: int, strategy: str = "auto",
+           num_partitions: int = 16, max_iters: int = 1000,
+           mode: str = "auto"):
+    """k-truss subgraph: the maximal subgraph where every edge closes
+    >= k-2 triangles (Cohen '08) — the standard cohesive-community
+    backbone.  Returns (Dataset (lo, hi) of surviving undirected edges,
+    stats).  k >= 3 (2-truss = every edge of the simple graph).
+
+    mode='incremental' (auto for ids < 2^32): ONE triangle enumeration,
+    then per-round support decrements — when an edge drops, each
+    surviving triangle through it dies and its other two edges lose one
+    support.  Peel rounds scan only the shrinking triangle table; the
+    full orient -> wedge -> probe pipeline runs exactly once, so peel
+    depth no longer multiplies a full triangle pass (VERDICT r04 #1).
+
+    mode='recompute' (auto past 2^32 ids): the previous full-recompute
+    loop — re-derive supports over the surviving subgraph per iteration.
+    Valid for the whole int64 id range (no packed keys)."""
+    if k < 3:
+        raise ValueError("ktruss requires k >= 3")
+    if strategy == "auto":
+        strategy = "broadcast" if n <= 5_000_000 else "join"
+    if mode == "auto":
+        mode = "incremental" if n < (1 << 32) else "recompute"
+    if mode == "recompute":
+        return _ktruss_recompute(edges_sym_ds, n, k, strategy,
+                                 num_partitions, max_iters)
+
+    from ..stages.shuffle import clean_sort
+
+    keys, sup, tri_refs, tri_rows = _build_peel_state(
+        edges_sym_ds, n, strategy, num_partitions)
+    alive = np.ones(keys.size, bool)
+    rounds, _refs, _rows = _peel_to_fixpoint(
+        keys, sup, alive, tri_refs, tri_rows, k - 2, None, max_iters, 0)
+    out = ray.data.from_arrow(_unpack_pairs_table(keys[alive]))
+    return clean_sort(out, ["lo", "hi"]), {
+        "iters": rounds, "edges": int(alive.sum()),
+        "triangles_enumerated": int(sum(tri_rows)), "mode": "incremental"}
+
+
+def trussness(edges_sym_ds, n: int, strategy: str = "auto",
+              num_partitions: int = 16, max_iters: int = 100_000):
+    """Per-edge truss decomposition: trussness(e) = max k such that e is
+    in the k-truss (>= 2 for every edge of the simple graph).  Runs the
+    incremental peeling kernel once per level k = 3, 4, ... — edges
+    dropped while peeling at level k get trussness k-1; the triangle
+    table and supports carry over between levels (k-truss of the
+    (k-1)-truss == k-truss of G), so the triangle pipeline still runs
+    exactly once.  Triangle-free edges are filled at trussness 2 from
+    the distinct-pair table with a sorted-key membership filter.
+
+    Requires ids < 2^32 (packed-key peeling state); returns (Dataset
+    (lo, hi, trussness) over ALL undirected edges, stats)."""
+    from ..stages.shuffle import clean_sort, distinct_pairs, drop_empty_blocks
+
+    if strategy == "auto":
+        strategy = "broadcast" if n <= 5_000_000 else "join"
+    if n >= (1 << 32):
+        raise ValueError(
+            "trussness requires ids < 2^32 (packed-key peeling state); "
+            "run ktruss(mode='recompute') per k for wider ids")
+
+    keys, sup, tri_refs, tri_rows = _build_peel_state(
+        edges_sym_ds, n, strategy, num_partitions)
+    truss = np.full(keys.size, 2, np.int64)
+    alive = np.ones(keys.size, bool)
+    k, total_rounds = 3, 0
+    while alive.any():
+        lvl = k  # bind for the closure
+
+        def on_drop(mask, lvl=lvl):
+            truss[mask] = lvl - 1
+
+        rounds, tri_refs, tri_rows = _peel_to_fixpoint(
+            keys, sup, alive, tri_refs, tri_rows, k - 2, on_drop,
+            max_iters, total_rounds)
+        total_rounds += rounds
+        k += 1
+    max_k = int(truss.max()) if truss.size else 2
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        keep = src != dst
+        return pa.table({
+            "lo": pa.array(np.minimum(src[keep], dst[keep])),
+            "hi": pa.array(np.maximum(src[keep], dst[keep])),
+        })
+
+    keys_ref = ray.put(keys)  # sorted — membership by binary search
+
+    def fill2(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "lo" not in t.schema.names:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64()),
+                             "trussness": pa.array([], pa.int64())})
+        ks = ray.get(keys_ref)
+        pk = pack_edge(t["lo"].to_numpy(zero_copy_only=False),
+                       t["hi"].to_numpy(zero_copy_only=False))
+        rest = t.filter(pa.array(~_in_sorted(ks, pk)))
+        return pa.table({
+            "lo": rest["lo"], "hi": rest["hi"],
+            "trussness": pa.array(np.full(rest.num_rows, 2, np.int64)),
+        })
+
+    pairs = distinct_pairs(
+        edges_sym_ds.map_batches(to_pairs, batch_format="pyarrow"),
+        "lo", "hi")
+    no_tri = pairs.map_batches(fill2, batch_format="pyarrow")
+    with_tri = ray.data.from_arrow(
+        _unpack_pairs_table(keys, {"trussness": truss}))
+    out = drop_empty_blocks(no_tri.union(with_tri))
+    return clean_sort(out, ["lo", "hi"]), {
+        "rounds": total_rounds, "max_trussness": max_k,
+        "triangle_edges": int(keys.size)}
+
+
+def _ktruss_recompute(edges_sym_ds, n: int, k: int, strategy: str,
+                      num_partitions: int, max_iters: int):
+    """Full-recompute peeling (valid for the whole int64 id range): one
+    distributed triangle pass (orient -> wedge -> probe -> pair reduce)
+    over the CURRENT subgraph per iteration, dropping support < k-2."""
     import pyarrow.compute as pc
 
     from ..stages.shuffle import clean_sort, distinct_pairs
-
-    if k < 3:
-        raise ValueError("ktruss requires k >= 3")
 
     def to_pairs(t: pa.Table) -> pa.Table:
         src = t["src"].to_numpy(zero_copy_only=False)
@@ -446,4 +691,5 @@ def ktruss(edges_sym_ds, n: int, k: int, strategy: str = "auto",
     else:
         if m_cur > 0:
             raise RuntimeError(f"ktruss did not converge in {max_iters} iters")
-    return clean_sort(cur, ["lo", "hi"]), {"iters": iters, "edges": m_cur}
+    return clean_sort(cur, ["lo", "hi"]), {
+        "iters": iters, "edges": m_cur, "mode": "recompute"}

@@ -124,3 +124,76 @@ def test_ktruss_fixture_matches_brute(graph600):
 
     with _pt.raises(ValueError):
         ktruss(to_dataset(sym), n, k=2)
+
+
+def test_ktruss_incremental_matches_recompute(graph600):
+    """The incremental (support-decrement) peeling and the
+    full-recompute loop are the same fixpoint — identical edge sets on
+    the fixture at k=3 and k=4, and the incremental run enumerates
+    triangles exactly once."""
+    from fora_ray.graph.triangles import ktruss
+
+    edges, n = graph600
+    sym = symmetrized(edges)
+    for k in (3, 4):
+        inc, si = ktruss(to_dataset(sym), n, k=k, mode="incremental")
+        rec, sr = ktruss(to_dataset(sym), n, k=k, mode="recompute")
+        a = inc.to_pandas().sort_values(["lo", "hi"]).reset_index(drop=True)
+        b = rec.to_pandas().sort_values(["lo", "hi"]).reset_index(drop=True)
+        assert a.equals(b)
+        assert si["mode"] == "incremental" and sr["mode"] == "recompute"
+        assert si["edges"] == sr["edges"]
+
+
+def _brute_trussness(edges: np.ndarray):
+    und = symmetrized(edges)
+    und = und[und[:, 0] < und[:, 1]]
+    cur = {(int(a), int(b)) for a, b in np.unique(und, axis=0)}
+    truss = {e: 2 for e in cur}
+    k = 3
+    while cur:
+        while True:
+            adj: dict[int, set] = {}
+            for a, b in cur:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            drop = {(a, b) for a, b in cur if len(adj[a] & adj[b]) < k - 2}
+            if not drop:
+                break
+            for e in drop:
+                truss[e] = k - 1
+            cur -= drop
+        k += 1
+    return truss
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "join"])
+def test_trussness_bridge8(strategy):
+    """Bridged K4s: every K4 edge has trussness 4 (each closes 2
+    triangles inside its K4), the bridge has trussness 2 (no
+    triangles)."""
+    from fora_ray.graph.triangles import trussness
+
+    sym = symmetrized(BRIDGE8)
+    got, stats = trussness(to_dataset(sym), 8, strategy=strategy)
+    df = got.to_pandas().sort_values(["lo", "hi"]).reset_index(drop=True)
+    assert len(df) == 13
+    tr = {(int(a), int(b)): int(t)
+          for a, b, t in df[["lo", "hi", "trussness"]].to_numpy()}
+    assert tr[(3, 4)] == 2
+    assert all(v == 4 for e, v in tr.items() if e != (3, 4))
+    assert stats["max_trussness"] == 4
+
+
+def test_trussness_fixture_matches_brute(graph600):
+    from fora_ray.graph.triangles import trussness
+
+    edges, n = graph600
+    sym = symmetrized(edges)
+    got, _ = trussness(to_dataset(sym), n)
+    df = got.to_pandas().sort_values(["lo", "hi"]).reset_index(drop=True)
+    want = _brute_trussness(edges)
+    assert len(df) == len(want)
+    got_map = {(int(a), int(b)): int(t)
+               for a, b, t in df[["lo", "hi", "trussness"]].to_numpy()}
+    assert got_map == want
