@@ -2041,18 +2041,122 @@ class ShardWorkerImpl:
                 changed += int(better.sum())
         return changed
 
-    # ---- harmonic centrality accumulation over pivot BFS runs --------------
+    # ---- K-lane (multi-pivot) BFS: batched supersteps -----------------------
+    # VERDICT r04 #2: per-pivot sequential BFS cost sum-of-depths driver
+    # barriers; lanes batch k pivots into ONE superstep wave so k pivots
+    # cost max-depth rounds.  State is a flat (n_local * K) vector indexed
+    # local_row * K + lane; payload cells are (dest, lane) pairs reduced
+    # per cell before shipping, so hub fan-in stays pre-aggregated.
+    def _lane_expand(self, flat: np.ndarray, K: int):
+        """Expand a flat (local_row * K + lane) frontier into per-out-edge
+        (dst_engine, lane, src_flat) triples — the K-lane analogue of
+        _gather_edges.  Edges are gathered ONCE per unique frontier row
+        and repeated per active lane, so a row hot in many lanes costs a
+        single CSR slice."""
+        rows = flat // K
+        lanes = flat % K
+        order = np.argsort(rows, kind="stable")
+        rows_s, lanes_s = rows[order], lanes[order]
+        u_rows, starts, cnt = np.unique(rows_s, return_index=True,
+                                        return_counts=True)
+        dsts, erow = self._gather_edges(u_rows)
+        if dsts.size == 0:
+            e = np.empty(0, np.int64)
+            return e, e, e
+        rep = cnt[erow]
+        tot = int(rep.sum())
+        edge_rep = np.repeat(np.arange(dsts.size, dtype=np.int64), rep)
+        ends = np.cumsum(rep)
+        within = np.arange(tot, dtype=np.int64) - np.repeat(ends - rep, rep)
+        lane_idx = lanes_s[starts[erow[edge_rep]] + within]
+        src_flat = u_rows[erow[edge_rep]] * K + lane_idx
+        return dsts[edge_rep], lane_idx, src_flat
+
+    @staticmethod
+    def _cell_reduce(dflat: np.ndarray, vals: np.ndarray, reduce_min: bool):
+        """Reduce expanded (dest_flat, val) contributions to one value per
+        (dest, lane) cell — sort + reduceat, no dense (n_local * K)
+        scratch allocation per destination shard."""
+        o = np.argsort(dflat, kind="stable")
+        df, v = dflat[o], vals[o]
+        first = np.empty(df.size, bool)
+        first[0] = True
+        first[1:] = df[1:] != df[:-1]
+        st = np.nonzero(first)[0]
+        red = (np.minimum if reduce_min else np.add).reduceat(v, st)
+        return df[st], red
+
+    def msbfs_init(self, sources_engine):
+        """Lane k's source is sources_engine[k]; dist is int32 (BFS depth
+        always < 2^31), flat (n_local * K)."""
+        K = len(sources_engine)
+        self._ms_K = K
+        self._ms_dist = np.full(self.n_local * K, np.iinfo(np.int32).max,
+                                np.int32)
+        src = np.asarray(sources_engine, dtype=np.int64)
+        lanes = np.arange(K, dtype=np.int64)
+        mine = src % self.P == self.part
+        flat = (src[mine] // self.P) * K + lanes[mine]
+        self._ms_dist[flat] = 0
+        self._ms_front = flat
+        return int(flat.size)
+
+    def msbfs_round(self):
+        flat = self._ms_front
+        self._ms_front = np.empty(0, np.int64)
+        meta = {"sent": int(flat.size)}
+        if flat.size == 0:
+            return tuple([meta] + [None] * self.P)
+        K = self._ms_K
+        dsts, lane_idx, src_flat = self._lane_expand(flat, K)
+        if dsts.size == 0:
+            return tuple([meta] + [None] * self.P)
+        nd = self._ms_dist[src_flat] + np.int32(1)
+        dflat = (dsts // self.P) * K + lane_idx
+        owner = dsts % self.P
+        payloads = [None] * self.P
+        for p in np.unique(owner):
+            m = owner == p
+            pl = self._cell_reduce(dflat[m], nd[m], reduce_min=True)
+            if p == self.part:
+                self.msbfs_apply(pl)
+            else:
+                payloads[int(p)] = pl
+        return tuple([meta] + payloads)
+
+    def msbfs_apply(self, *payloads):
+        changed = 0
+        for pl in payloads:
+            if pl is None:
+                continue
+            ids, vals = pl
+            better = vals < self._ms_dist[ids]
+            if better.any():
+                bi = ids[better]
+                self._ms_dist[bi] = vals[better]
+                self._ms_front = np.concatenate([self._ms_front, bi])
+                changed += int(better.sum())
+        return changed
+
+    # ---- harmonic centrality accumulation over pivot BFS waves --------------
     def harm_init(self):
         self.harm = np.zeros(self.n_local, np.float64)
         return True
 
     def harm_accumulate(self):
-        """Fold the current BFS dist vector into the harmonic sum:
-        harm[v] += 1/d(pivot, v) for reached v != pivot."""
-        _SENT = np.iinfo(np.int64).max
-        reach = (self.dist < _SENT) & (self.dist > 0)
-        self.harm[reach] += 1.0 / self.dist[reach]
-        return int(reach.sum())
+        """Fold the finished K-lane BFS dist matrix into the harmonic sum
+        (harm[v] += 1/d(pivot_k, v) for reached v != pivot_k), lane by
+        lane in pivot order — bitwise-stable vs the r4 sequential
+        per-pivot fold (tests assert np.array_equal against the brute)."""
+        _S32 = np.iinfo(np.int32).max
+        d = self._ms_dist.reshape(self.n_local, self._ms_K)
+        total = 0
+        for k in range(self._ms_K):
+            col = d[:, k]
+            reach = (col < _S32) & (col > 0)
+            self.harm[reach] += 1.0 / col[reach]
+            total += int(reach.sum())
+        return total
 
     def harm_table(self, scale: float) -> pa.Table:
         return pa.table({
@@ -2086,41 +2190,49 @@ class ShardWorkerImpl:
         return True
 
     def bc_fwd_init(self, sources_engine):
-        _SENT = np.iinfo(np.int64).max
-        self._bc_dist = np.full(self.n_local, _SENT, np.int64)
-        self._bc_sig = np.zeros(self.n_local, np.float64)
+        """K-lane Brandes forward state (VERDICT r04 #2): lane k runs
+        pivot sources_engine[k]'s BFS+sigma sweep; all lanes advance in
+        the same superstep, so a pivot chunk costs max-depth rounds
+        instead of sum-of-depths.  dist int32, sigma float64, flat
+        (n_local * K) row-major local_row * K + lane."""
+        K = len(sources_engine)
+        self._bc_K = K
+        self._bc_dist = np.full(self.n_local * K, np.iinfo(np.int32).max,
+                                np.int32)
+        self._bc_sig = np.zeros(self.n_local * K, np.float64)
         src = np.asarray(sources_engine, dtype=np.int64)
-        mine = src[src % self.P == self.part] // self.P
-        self._bc_dist[mine] = 0
-        self._bc_sig[mine] = 1.0
-        self._bc_front = mine
-        return int(mine.size)
+        lanes = np.arange(K, dtype=np.int64)
+        mine = src % self.P == self.part
+        flat = (src[mine] // self.P) * K + lanes[mine]
+        self._bc_dist[flat] = 0
+        self._bc_sig[flat] = 1.0
+        self._bc_front = flat
+        return int(flat.size)
 
     def bc_fwd_round(self, level: int):
-        """Brandes forward superstep: the level-`level` frontier pushes
-        its shortest-path counts (sigma, float64) along out-edges,
-        pre-summed per destination cell; receivers at unset dist join
-        level+1, receivers already at level+1 add counts
-        (bc_fwd_apply).  Level-synchronous, so every sigma contribution
-        to a node arrives in the one round its level is discovered."""
-        idx = self._bc_front
+        """Brandes forward superstep over all lanes: the level-`level`
+        frontier cells push their shortest-path counts (sigma, float64)
+        along out-edges, pre-summed per destination (node, lane) cell;
+        receivers at unset dist join level+1, receivers already at
+        level+1 add counts (bc_fwd_apply).  Level-synchronous, so every
+        sigma contribution to a cell arrives in the one round its level
+        is discovered."""
+        flat = self._bc_front
         self._bc_front = np.empty(0, np.int64)
-        meta = {"sent": int(idx.size), "self_new": 0}
-        if idx.size == 0:
+        meta = {"sent": int(flat.size), "self_new": 0}
+        if flat.size == 0:
             return tuple([meta] + [None] * self.P)
-        dsts, row = self._gather_edges(idx)
+        dsts, lane_idx, src_flat = self._lane_expand(flat, self._bc_K)
         if dsts.size == 0:
             return tuple([meta] + [None] * self.P)
-        vals = self._bc_sig[idx][row]
-        payloads = [None] * self.P
+        vals = self._bc_sig[src_flat]
+        dflat = (dsts // self.P) * self._bc_K + lane_idx
         owner = dsts % self.P
+        payloads = [None] * self.P
         for p in np.unique(owner):
             m = owner == p
-            nl = n_local_of(self.n, self.P, int(p))
-            acc = np.zeros(nl, np.float64)
-            np.add.at(acc, dsts[m] // self.P, vals[m])
-            nz = np.nonzero(acc)[0]
-            pl = (level, nz.astype(np.int64), acc[nz])
+            ids, sums = self._cell_reduce(dflat[m], vals[m], reduce_min=False)
+            pl = (level, ids, sums)
             if p == self.part:
                 meta["self_new"] = self.bc_fwd_apply(pl)
             else:
@@ -2128,60 +2240,63 @@ class ShardWorkerImpl:
         return tuple([meta] + payloads)
 
     def bc_fwd_apply(self, *payloads):
-        _SENT = np.iinfo(np.int64).max
+        _S32 = np.iinfo(np.int32).max
         newly = 0
         for pl in payloads:
             if pl is None:
                 continue
             level, ids, vals = pl
-            fresh = self._bc_dist[ids] == _SENT
+            fresh = self._bc_dist[ids] == _S32
             if fresh.any():
                 fi = ids[fresh]
                 self._bc_dist[fi] = level + 1
                 self._bc_front = np.concatenate([self._bc_front, fi])
                 newly += int(fresh.sum())
             ok = self._bc_dist[ids] == level + 1
-            np.add.at(self._bc_sig, ids[ok], vals[ok])
+            # cell ids are unique within one payload (pre-reduced), so a
+            # direct fancy += is safe — no np.add.at needed
+            oi = ids[ok]
+            self._bc_sig[oi] += vals[ok]
         return newly
 
     def bc_state(self):
-        """(dist, sigma) slice hand-off to the aligned reverse pool —
-        shard p's arrays index the same nodes on both pools (shared
-        permutation), so the transfer is P object-store blobs, nothing
-        through the driver."""
-        return self._bc_dist, self._bc_sig
+        """(dist, sigma, K) hand-off to the aligned reverse pool — shard
+        p's arrays index the same (node, lane) cells on both pools
+        (shared permutation), so the transfer is P object-store blobs,
+        nothing through the driver."""
+        return self._bc_dist, self._bc_sig, self._bc_K
 
     def bc_bwd_init(self, state):
-        dist, sig = state
+        dist, sig, K = state
         self._bc_dist = np.asarray(dist)
         self._bc_sig = np.asarray(sig)
-        self._bc_delta = np.zeros(self.n_local, np.float64)
+        self._bc_K = int(K)
+        self._bc_delta = np.zeros(self._bc_dist.size, np.float64)
         return True
 
     def bc_bwd_round(self, level: int):
-        """Backward dependency superstep on the REVERSE pool: nodes at
+        """Backward dependency superstep on the REVERSE pool: cells at
         dist == level push (1 + delta)/sigma along reverse edges
-        (pre-summed per destination); a receiver u accepts only if
-        dist(u) == level - 1 — then u->w is a shortest-path-DAG edge —
-        and folds sigma(u) * sum into delta(u) (bc_bwd_apply)."""
-        idx = np.nonzero(self._bc_dist == level)[0]
-        meta = {"sent": int(idx.size)}
-        if idx.size == 0:
+        (pre-summed per destination cell); a receiver u accepts only if
+        dist(u, lane) == level - 1 — then u->w is a shortest-path-DAG
+        edge in that lane — and folds sigma(u) * sum into delta(u)
+        (bc_bwd_apply).  Lanes whose BFS depth is shallower than `level`
+        simply have no cells at this level."""
+        flat = np.nonzero(self._bc_dist == level)[0]
+        meta = {"sent": int(flat.size)}
+        if flat.size == 0:
             return tuple([meta] + [None] * self.P)
-        w_val = (1.0 + self._bc_delta[idx]) / self._bc_sig[idx]
-        dsts, row = self._gather_edges(idx)
+        dsts, lane_idx, src_flat = self._lane_expand(flat, self._bc_K)
         if dsts.size == 0:
             return tuple([meta] + [None] * self.P)
-        vals = w_val[row]
-        payloads = [None] * self.P
+        vals = (1.0 + self._bc_delta[src_flat]) / self._bc_sig[src_flat]
+        dflat = (dsts // self.P) * self._bc_K + lane_idx
         owner = dsts % self.P
+        payloads = [None] * self.P
         for p in np.unique(owner):
             m = owner == p
-            nl = n_local_of(self.n, self.P, int(p))
-            acc = np.zeros(nl, np.float64)
-            np.add.at(acc, dsts[m] // self.P, vals[m])
-            nz = np.nonzero(acc)[0]
-            pl = (level, nz.astype(np.int64), acc[nz])
+            ids, sums = self._cell_reduce(dflat[m], vals[m], reduce_min=False)
+            pl = (level, ids, sums)
             if p == self.part:
                 self.bc_bwd_apply(pl)
             else:
@@ -2201,12 +2316,18 @@ class ShardWorkerImpl:
                 applied += int(ok.sum())
         return applied
 
-    def bc_accumulate(self, pivot_engine: int):
-        """Fold delta into the betweenness accumulator; Brandes excludes
-        the source's own dependency."""
-        if pivot_engine % self.P == self.part:
-            self._bc_delta[pivot_engine // self.P] = 0.0
-        self._bc_acc += self._bc_delta
+    def bc_accumulate(self, pivots_engine):
+        """Fold every lane's delta into the betweenness accumulator, lane
+        by lane in pivot order (matches the r4 sequential fold order
+        bitwise); Brandes excludes each source's own dependency."""
+        K = self._bc_K
+        src = np.asarray(pivots_engine, dtype=np.int64)
+        lanes = np.arange(K, dtype=np.int64)
+        mine = src % self.P == self.part
+        self._bc_delta[(src[mine] // self.P) * K + lanes[mine]] = 0.0
+        d = self._bc_delta.reshape(self.n_local, K)
+        for k in range(K):
+            self._bc_acc += d[:, k]
         return True
 
     def bc_table(self, scale: float) -> pa.Table:

@@ -350,3 +350,44 @@ def test_greedy_color_succeeds_at_exactly_max_colors(ray_session):
             alg.greedy_color(h, seed=42, max_colors=2)
     finally:
         h.close()
+
+
+# ---------------------------------------------------------------------------
+# K-lane pivot batching (r5): lane_batch must not change results
+# ---------------------------------------------------------------------------
+def test_betweenness_lane_batch_parity(graph600, ray_session):
+    """Batched lanes (all 8 pivots in one wave) vs lane_batch=1 (the
+    sequential per-pivot schedule) must agree to float tolerance, with
+    the batched wave using ~max-depth rounds instead of sum-of-depths."""
+    edges, n = graph600
+    d1, s1 = _bc_df(edges, n, 2, n_pivots=8, seed=42, lane_batch=1)
+    d8, s8 = _bc_df(edges, n, 2, n_pivots=8, seed=42, lane_batch=8)
+    assert s1["pivots"] == s8["pivots"]
+    assert np.allclose(d1["betweenness"].to_numpy(),
+                       d8["betweenness"].to_numpy(), rtol=1e-9, atol=1e-12)
+    # 8 pivots in one wave: rounds collapse from sum-of-depths to max-depth
+    assert s8["fwd_rounds"] < s1["fwd_rounds"]
+    assert s8["bwd_rounds"] <= s1["bwd_rounds"]
+
+
+def test_harmonic_lane_batch_parity(graph600, ray_session):
+    """Harmonic lanes: bitwise-equal results at any lane_batch (the
+    per-lane fold preserves pivot order), fewer superstep rounds."""
+    from .graphs import symmetrized
+
+    edges, n = graph600
+    sym = symmetrized(edges)
+    out = {}
+    for lb in (1, 8):
+        h = GraphHandle.from_edges(to_dataset(sym), n, P=3)
+        try:
+            ds, st = alg.harmonic_centrality(h, n_pivots=8, seed=3,
+                                             lane_batch=lb)
+            out[lb] = (ds.to_pandas().sort_values("node_id")
+                       .reset_index(drop=True), st)
+        finally:
+            h.close()
+    assert np.array_equal(out[1][0]["harmonic"].to_numpy(),
+                          out[8][0]["harmonic"].to_numpy())  # bitwise
+    assert out[8][1]["bfs_rounds"] < out[1][1]["bfs_rounds"]
+    assert out[8][1]["waves"] == 1 and out[1][1]["waves"] == 8
