@@ -834,15 +834,18 @@ class ShardWorkerImpl:
         self._n2v_next = self._n2v_cat(self._n2v_next, (x_e, pl_l, pe, wid, key))
         return True
 
-    def n2v_propose(self, hop: int, attempt: int, *retry_payloads):
-        """Phase A of one rejection round: each pending walker draws a
-        uniform proposal from its current node's adjacency (logical
-        slot order).  dst == prev resolves locally (alpha = 1/p known
-        here; rejected walkers stay pending for the next attempt);
-        hop-1 walkers (prev < 0) always accept; every other proposal
-        routes to PREV's owner for the N(prev) membership test
-        (n2v_test).  Returns meta + P move payloads + P test payloads."""
-        meta = {"tests": 0, "kept": 0, "moved": 0}
+    def n2v_propose(self, hop: int, base: int, K: int, *retry_payloads):
+        """Phase A of one rejection round, K candidates per walker (r5
+        attempt batching — VERDICT r04 #3): each pending walker draws K
+        uniform (proposal, accept) pairs from its current node's
+        adjacency at counter attempts base..base+K-1.  Hop-1 walkers
+        (prev < 0) accept their first candidate unconditionally; every
+        other walker ships ALL K candidates to PREV's owner, which
+        resolves the whole batch in ONE membership round (n2v_test) and
+        accepts the first passing candidate in counter order — bit-
+        identical to the K=1 sequential protocol, with ~K x fewer
+        barriers.  Returns meta + P move payloads + P test payloads."""
+        meta = {"tests": 0, "moved": 0}
         pend = self._n2v_pending
         self._n2v_pending = None
         for pl in retry_payloads:
@@ -858,25 +861,27 @@ class ShardWorkerImpl:
         cur, prev_l, prev_e, wid, key, loc, d = (
             cur[alive], prev_l[alive], prev_e[alive], wid[alive],
             key[alive], loc[alive], d[alive])
-        hkey = mix64(key, np.full(key.size, np.uint64(hop), np.uint64))
-        a2 = np.uint64(2 * attempt)
-        u_prop = rng_uniform(mix64(hkey, np.full(key.size, a2, np.uint64)))
-        slot = self.indptr[loc] + np.minimum((u_prop * d).astype(np.int64), d - 1)
+        n = cur.size
+        hkey = mix64(key, np.full(n, np.uint64(hop), np.uint64))
+        # counters 2t / 2t+1 for t = base..base+K-1 — the SAME stream
+        # the sequential protocol consumed one attempt at a time
+        t2 = np.uint64(2) * (np.uint64(base) + np.arange(K, dtype=np.uint64))
+        u_prop = rng_uniform(mix64(hkey[:, None],
+                                   np.broadcast_to(t2, (n, K))))
+        u_acc = rng_uniform(mix64(hkey[:, None],
+                                  np.broadcast_to(t2 + np.uint64(1),
+                                                  (n, K))))
+        slot = self.indptr[loc][:, None] + np.minimum(
+            (u_prop * d[:, None]).astype(np.int64), (d - 1)[:, None])
         x_e = self._walk_dst()[slot]
         x_l = self._walk_dst_logical()[slot]
-        u_acc = rng_uniform(mix64(
-            hkey, np.full(key.size, a2 + np.uint64(1), np.uint64)))
         cur_l = self.logical_ids[loc]
         first = prev_l < 0
-        back = (~first) & (x_l == prev_l)
-        acc_back = back & (u_acc < self._n2v_invp / self._n2v_m)
-        keep = back & ~acc_back
-        test = ~first & ~back
-        move = first | acc_back
         move_pl = [None] * self.P
         test_pl = [None] * self.P
-        if move.any():
-            mv = (x_e[move], cur_l[move], cur[move], wid[move], key[move])
+        if first.any():
+            mv = (x_e[first, 0], cur_l[first], cur[first],
+                  wid[first], key[first])
             owner = mv[0] % self.P
             for pp in np.unique(owner):
                 m = owner == pp
@@ -885,7 +890,8 @@ class ShardWorkerImpl:
                     self._n2v_record(hop, pl)
                 else:
                     move_pl[int(pp)] = pl
-            meta["moved"] = int(move.sum())
+            meta["moved"] = int(first.sum())
+        test = ~first
         if test.any():
             tv = (cur[test], cur_l[test], prev_e[test], x_e[test],
                   x_l[test], u_acc[test], wid[test], key[test])
@@ -894,18 +900,18 @@ class ShardWorkerImpl:
                 m = owner == pp
                 test_pl[int(pp)] = tuple(a[m] for a in tv)
             meta["tests"] = int(test.sum())
-        if keep.any():
-            self._n2v_pending = (cur[keep], prev_l[keep], prev_e[keep],
-                                 wid[keep], key[keep])
-            meta["kept"] = int(keep.sum())
         return tuple([meta] + move_pl + test_pl)
 
     def n2v_test(self, hop: int, *payloads):
-        """Phase B at prev's owner: alpha = 1 if the proposal is an
+        """Phase B at prev's owner, batched: for each walker's K ordered
+        candidates, alpha = 1/p if the candidate IS prev, 1 if it is an
         out-neighbor of prev (ragged binary search over the row's
-        logically-sorted adjacency), 1/q otherwise.  Accepted walkers
-        route to the proposal's owner (move); rejected ones route back
-        to cur's owner for the next lockstep attempt (retry)."""
+        logically-sorted adjacency), 1/q otherwise; candidate j accepts
+        iff u_j < alpha_j / M, and the walker takes the FIRST accepting
+        candidate in counter order (exactly what K sequential rounds
+        would have chosen).  Accepted walkers route to the winning
+        candidate's owner (move); walkers with no accepting candidate
+        route back to cur's owner for the next K-attempt batch."""
         meta = {"retries": 0, "moved": 0}
         pend = None
         for pl in payloads:
@@ -913,14 +919,22 @@ class ShardWorkerImpl:
         if pend is None or pend[0].size == 0:
             return tuple([meta] + [None] * (2 * self.P))
         cur, cur_l, prev_e, x_e, x_l, u_acc, wid, key = pend
+        n, K = x_l.shape
         loc = prev_e // self.P
-        found = self._row_member(loc, x_l)
-        alpha = np.where(found, 1.0, self._n2v_invq)
+        prev_ll = self.logical_ids[loc]
+        found = self._row_member(np.repeat(loc, K),
+                                 x_l.ravel()).reshape(n, K)
+        is_back = x_l == prev_ll[:, None]
+        alpha = np.where(is_back, self._n2v_invp,
+                         np.where(found, 1.0, self._n2v_invq))
         acc = u_acc < alpha / self._n2v_m
+        hit = acc.any(axis=1)
         move_pl = [None] * self.P
         retry_pl = [None] * self.P
-        if acc.any():
-            mv = (x_e[acc], cur_l[acc], cur[acc], wid[acc], key[acc])
+        if hit.any():
+            win = np.argmax(acc[hit], axis=1)
+            mv = (x_e[hit][np.arange(win.size), win], cur_l[hit],
+                  cur[hit], wid[hit], key[hit])
             owner = mv[0] % self.P
             for pp in np.unique(owner):
                 m = owner == pp
@@ -929,11 +943,10 @@ class ShardWorkerImpl:
                     self._n2v_record(hop, pl)
                 else:
                     move_pl[int(pp)] = pl
-            meta["moved"] = int(acc.sum())
-        rej = ~acc
+            meta["moved"] = int(hit.sum())
+        rej = ~hit
         if rej.any():
-            rv = (cur[rej], self.logical_ids[loc[rej]], prev_e[rej],
-                  wid[rej], key[rej])
+            rv = (cur[rej], prev_ll[rej], prev_e[rej], wid[rej], key[rej])
             owner = rv[0] % self.P
             for pp in np.unique(owner):
                 m = owner == pp

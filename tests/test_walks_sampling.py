@@ -349,6 +349,29 @@ def test_node2vec_matches_brute_replay(ray_session, P):
     assert stats["walks"] == 8 * 3
 
 
+def test_node2vec_attempt_batch_invariant(ray_session):
+    """The K-candidate batched rejection rounds (VERDICT r04 #3) are
+    bit-identical to the K=1 sequential protocol: every candidate is
+    drawn from the SAME (key, hop, attempt) counter stream and the
+    first accepting candidate in counter order wins, so the corpus is
+    a pure function of the logical graph regardless of K.  Round count
+    must shrink as K grows (that is the point of the batching)."""
+    edges = np.unique(BRIDGE8, axis=0)
+    brute = _brute_n2v(edges, 8, 3, 6, 0.25, 4.0, 7)
+    rounds = {}
+    for K in (1, 4, 16):
+        h = GraphHandle.from_edges(to_dataset(edges), 8, P=2)
+        try:
+            df, stats = _n2v_df(h, nwalks=3, walk_len=6, p=0.25, q=4.0,
+                                seed=7, attempt_batch=K)
+        finally:
+            h.close()
+        assert list(df.itertuples(index=False, name=None)) == brute
+        rounds[K] = stats["attempt_rounds"]
+    assert rounds[16] <= rounds[4] <= rounds[1]
+    assert rounds[16] < rounds[1]  # p=0.25/q=4 rejects hard at K=1
+
+
 def test_node2vec_matches_golden_replay(fix600, graph600, ray_session):
     from fora_ray.goldens import node2vec_corpus_golden
 
