@@ -1,11 +1,13 @@
-"""Pure-stdlib media codecs (uncompressed BMP, binary PPM, PCM-16 WAV).
+"""Pure-stdlib media codecs (PNG, uncompressed BMP, binary PPM, PCM-16 WAV).
 
-The sandbox ships no imaging/audio libraries, but these three formats
-are simple enough to encode/decode with struct + numpy alone — which
-lets ONE real decode path run end-to-end through the multimodal
+The sandbox ships no imaging/audio libraries, but these formats are
+simple enough to encode/decode with struct + zlib + numpy alone — which
+lets REAL decode paths run end-to-end through the multimodal
 actor-pool pipeline (VERDICT r03 next #7) instead of the hash-based
-fake decoder.  Real deployments swap in Pillow/torchaudio for the
-compressed formats; the pipeline plumbing is identical.
+fake decoder.  PNG (zlib DEFLATE + the five scanline filters) closes
+the "compressed format" gap (VERDICT r04 next #5); real deployments
+swap Pillow/torchaudio in for JPEG/MP3/video — the pipeline plumbing
+is identical.
 
 All functions are deterministic and byte-exact round-trips:
 decode(encode(x)) == x for valid inputs; malformed payloads raise
@@ -15,6 +17,7 @@ ValueError (never return garbage).
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -154,3 +157,144 @@ def decode_wav_pcm16(data: bytes) -> tuple[np.ndarray, int]:
     n = len(payload) // (2 * ch)
     s = np.frombuffer(payload, dtype="<i2", count=n * ch).reshape(n, ch)
     return s.copy(), int(rate)
+
+
+# --------------------------------------------------------------------------
+# PNG — 8-bit greyscale / RGB / grey+alpha / RGBA, zlib-deflated IDAT,
+# the five scanline filters (None/Sub/Up/Average/Paeth), no interlace.
+# Pure stdlib: struct + zlib + numpy (the public PNG spec, RFC 2083).
+# --------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, elementwise over int16+ arrays (spec section 6.6)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 4, level: int = 6) -> bytes:
+    """uint8 image -> PNG bytes.  Accepts (H, W) grey, (H, W, 1) grey,
+    (H, W, 2) grey+alpha, (H, W, 3) RGB or (H, W, 4) RGBA.  Every row
+    is filtered with `filter_type` (0..4; filtering is the FORWARD
+    direction, so all five are fully vectorizable) then deflated in
+    one zlib stream.  Paeth (4) is the usual default; passing other
+    values lets tests exercise each decoder filter path."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.ndim != 3 or a.shape[2] not in (1, 2, 3, 4):
+        raise ValueError(f"encode_png expects (H, W[, C<=4]) uint8, got {arr.shape}")
+    if not 0 <= filter_type <= 4:
+        raise ValueError(f"encode_png: bad filter_type {filter_type}")
+    h, w, ch = a.shape
+    if h == 0 or w == 0:
+        raise ValueError("encode_png: empty image")
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    raw = a.reshape(h, w * ch).astype(np.int16)
+    left = np.zeros_like(raw)
+    left[:, ch:] = raw[:, :-ch]
+    up = np.zeros_like(raw)
+    up[1:] = raw[:-1]
+    upleft = np.zeros_like(raw)
+    upleft[1:, ch:] = raw[:-1, :-ch]
+    if filter_type == 0:
+        filt = raw
+    elif filter_type == 1:
+        filt = raw - left
+    elif filter_type == 2:
+        filt = raw - up
+    elif filter_type == 3:
+        filt = raw - (left + up) // 2
+    else:
+        filt = raw - _paeth(left, up, upleft)
+    scan = np.empty((h, 1 + w * ch), dtype=np.uint8)
+    scan[:, 0] = filter_type
+    scan[:, 1:] = filt.astype(np.uint8)  # mod-256 wrap per spec
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(scan.tobytes(), level))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> (H, W, C) uint8 (C = 1/2/3/4 by color type).
+    Supports bit depth 8, color types 0/2/4/6, no interlace — the
+    subset encode_png emits plus anything else spec-conformant in
+    that envelope.  CRCs are verified; Adam7 / palette / 16-bit
+    payloads raise ValueError with the unsupported field named."""
+    if len(data) < 8 or data[:8] != _PNG_SIG:
+        raise ValueError("decode_png: not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 12 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("decode_png: truncated chunk")
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + length)
+        if crc != (zlib.crc32(ctype + body) & 0xFFFFFFFF):
+            raise ValueError(f"decode_png: bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("decode_png: missing IHDR/IDAT")
+    w, h, depth, color, comp, filt_m, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8:
+        raise ValueError(f"decode_png: only bit depth 8 supported (got {depth})")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"decode_png: unsupported color type {color}")
+    if comp != 0 or filt_m != 0:
+        raise ValueError("decode_png: nonstandard compression/filter method")
+    if interlace != 0:
+        raise ValueError("decode_png: Adam7 interlace not supported")
+    if w == 0 or h == 0:
+        raise ValueError(f"decode_png: bad dimensions {w}x{h}")
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (1 + stride):
+        raise ValueError("decode_png: IDAT size mismatch")
+    scan = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    ftypes = scan[:, 0]
+    if (ftypes > 4).any():
+        raise ValueError(f"decode_png: bad filter byte {int(ftypes.max())}")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = int(ftypes[y])
+        row = scan[y, 1:].astype(np.int64)
+        if f == 0:
+            rec = row
+        elif f == 1:  # Sub: prefix-sum per channel lane (mod 256)
+            rec = row.reshape(w, ch).cumsum(axis=0).reshape(stride) & 0xFF
+        elif f == 2:  # Up
+            rec = (row + prior) & 0xFF
+        else:  # Average / Paeth: sequential in x, vectorized over channels
+            rec = np.empty(stride, dtype=np.int64)
+            left = np.zeros(ch, dtype=np.int64)
+            upleft = np.zeros(ch, dtype=np.int64)
+            for x in range(0, stride, ch):
+                up_px = prior[x : x + ch]
+                if f == 3:
+                    px = (row[x : x + ch] + (left + up_px) // 2) & 0xFF
+                else:
+                    px = (row[x : x + ch] + _paeth(left, up_px, upleft)) & 0xFF
+                rec[x : x + ch] = px
+                left, upleft = px, up_px
+        out[y] = rec
+        prior = rec.astype(np.int64)
+    return out.reshape(h, w, ch).copy()

@@ -6,12 +6,14 @@ Decode tiers:
   Ray-side plumbing (schema, actor-pool signature, batch size, output
   layout) for payloads in formats this sandbox cannot decode.
 - fake=False: REAL decode for the stdlib-decodable formats
-  (functions/codecs.py: uncompressed BMP, binary PPM, PCM-16 WAV) —
-  pixels/samples -> feature vectors end-to-end (VERDICT r03 next #7).
-  Compressed formats (PNG/JPEG/MP3/MP4) raise ValueError per row-batch:
-  real deployments drop Pillow/torchaudio into Decoder.__init__ and
-  keep everything else unchanged.  Video container parsing stays a
-  declared stub (FrameSampler indexes frames without decoding).
+  (functions/codecs.py: PNG incl. zlib DEFLATE + all five scanline
+  filters, uncompressed BMP, binary PPM, PCM-16 WAV) —
+  pixels/samples -> feature vectors end-to-end (VERDICT r03 next #7,
+  r04 next #5).  The remaining compressed formats (JPEG/MP3/MP4)
+  raise ValueError per row-batch: real deployments drop
+  Pillow/torchaudio into Decoder.__init__ and keep everything else
+  unchanged.  Video container parsing stays a declared stub
+  (FrameSampler indexes frames without decoding).
 """
 
 from __future__ import annotations
@@ -21,7 +23,8 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-from ..functions.codecs import decode_bmp, decode_ppm, decode_wav_pcm16
+from ..functions.codecs import (decode_bmp, decode_png, decode_ppm,
+                                decode_wav_pcm16)
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -40,12 +43,13 @@ def synthesize_media_table(n: int, seed: int = 42, real: bool = False) -> pa.Tab
     """Deterministic media corpus matching MEDIA_SCHEMA.
 
     real=False: opaque random bytes (the fake-decode plumbing corpus).
-    real=True: image rows are valid 16x16 BMPs (seeded pixel patterns,
-    alternating with PPM every other image) and audio rows are valid
-    PCM-16 WAV sine clips — decodable by the stdlib codecs, so the
-    fake=False pipeline runs end-to-end.  Video payloads stay opaque
-    (container parsing is the declared stub)."""
-    from ..functions.codecs import encode_bmp, encode_ppm, encode_wav_pcm16
+    real=True: image rows are valid 16x16 images (seeded pixel
+    patterns, cycling BMP / PPM / Paeth-filtered PNG) and audio rows
+    are valid PCM-16 WAV sine clips — decodable by the stdlib codecs,
+    so the fake=False pipeline runs end-to-end.  Video payloads stay
+    opaque (container parsing is the declared stub)."""
+    from ..functions.codecs import (encode_bmp, encode_png, encode_ppm,
+                                    encode_wav_pcm16)
 
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
@@ -60,10 +64,13 @@ def synthesize_media_table(n: int, seed: int = 42, real: bool = False) -> pa.Tab
         elif kind == "image":
             img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
             img[:, :, 0] = np.linspace(0, 255, 16, dtype=np.uint8)[None, :]
-            if (i // 3) % 2 == 0:
+            variant = (i // 3) % 3
+            if variant == 0:
                 payload, mime = encode_bmp(img), "image/bmp"
-            else:
+            elif variant == 1:
                 payload, mime = encode_ppm(img), "image/x-portable-pixmap"
+            else:
+                payload, mime = encode_png(img), "image/png"
             w = h = 16
         else:  # real audio: 50 ms sine at a seeded frequency, 8 kHz mono
             t = np.arange(400) / 8000.0
@@ -86,7 +93,7 @@ def synthesize_media_table(n: int, seed: int = 42, real: bool = False) -> pa.Tab
 class ImageDecoder:
     """Actor-pool decode/feature stage.  fake=True -> deterministic
     16-float feature from sha256(payload); fake=False -> REAL stdlib
-    decode (BMP / PPM, functions/codecs.py): pixels are nearest-neighbor
+    decode (PNG / BMP / PPM, functions/codecs.py): pixels are nearest-neighbor
     resized to `resize` and summarized as [mean_r, mean_g, mean_b,
     std_r, std_g, std_b, 10-bin grayscale histogram fractions] — 16
     float64 features per image.  Unsupported formats raise ValueError
@@ -104,12 +111,19 @@ class ImageDecoder:
 
     @staticmethod
     def decode(payload: bytes) -> np.ndarray:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            img = decode_png(payload)
+            if img.shape[2] in (2, 4):  # drop alpha
+                img = img[:, :, :-1]
+            if img.shape[2] == 1:  # grey -> RGB for the feature layout
+                img = np.repeat(img, 3, axis=2)
+            return img
         if payload[:2] == b"BM":
             return decode_bmp(payload)
         if payload[:2] == b"P6":
             return decode_ppm(payload)
         raise ValueError(
-            "ImageDecoder: payload is not BMP/PPM — the only formats "
+            "ImageDecoder: payload is not PNG/BMP/PPM — the only formats "
             "decodable with the stdlib; use fake=True or add a codec lib")
 
     def features(self, payload: bytes) -> np.ndarray:

@@ -140,15 +140,68 @@ def test_multimodal_stub_plumbing():
     assert feats["media_id"].tolist() == feats2["media_id"].tolist()
     frames = sample_frames(media, fps=2.0, fake=True).to_pandas()
     assert (frames["frame_idx"] >= 0).all() and len(frames) > 10
-    # real decoder refuses formats the stdlib can't parse (PNG bytes)
+    # real decoder refuses formats the stdlib can't parse (JPEG bytes)
     import pytest
 
-    with pytest.raises(ValueError, match="BMP/PPM"):
+    with pytest.raises(ValueError, match="PNG/BMP/PPM"):
+        ImageDecoder(fake=False).features(b"\xff\xd8\xff\xe0JFIFxxxx")
+    # ...and malformed PNG raises from the PNG parser, never garbage
+    with pytest.raises(ValueError, match="decode_png"):
         ImageDecoder(fake=False).features(b"\x89PNG\r\n\x1a\nxxxx")
 
 
+def test_png_codec():
+    """Stdlib PNG (VERDICT r04 next #5): byte-exact round-trips across
+    every filter type x color type, plus spec-violation rejection
+    (bad CRC, Adam7, 16-bit, palette) — the decoder must raise, never
+    return garbage pixels."""
+    import numpy as np
+    import pytest
+
+    from fora_ray.functions.codecs import decode_png, encode_png
+
+    rng = np.random.default_rng(11)
+    for ch in (1, 2, 3, 4):
+        img = rng.integers(0, 256, size=(13, 7, ch), dtype=np.uint8)
+        for ft in range(5):
+            got = decode_png(encode_png(img, filter_type=ft))
+            assert got.shape == img.shape and (got == img).all(), (ch, ft)
+    # 2-D grey input round-trips as (H, W, 1)
+    g = rng.integers(0, 256, size=(4, 9), dtype=np.uint8)
+    assert (decode_png(encode_png(g))[:, :, 0] == g).all()
+    # gradient image: Paeth/Sub beat None on size (filters really engage)
+    grad = np.add.outer(np.arange(64) * 3, np.arange(64) * 5).astype(np.uint8)
+    assert len(encode_png(grad, filter_type=4)) < len(encode_png(grad, filter_type=0))
+    # corrupted CRC rejected
+    good = bytearray(encode_png(rng.integers(0, 256, (5, 5, 3), dtype=np.uint8)))
+    good[20] ^= 0xFF  # inside IHDR body
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(good))
+    # unsupported envelope named in the error
+    import struct as _struct
+    import zlib as _zlib
+
+    def _mk(depth=8, color=2, interlace=0):
+        ihdr = _struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace)
+        def chunk(t, b):
+            return (_struct.pack(">I", len(b)) + t + b
+                    + _struct.pack(">I", _zlib.crc32(t + b) & 0xFFFFFFFF))
+        ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+        npx = 2 * (1 + 2 * ch * (2 if depth == 16 else 1))
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", _zlib.compress(bytes(npx)))
+                + chunk(b"IEND", b""))
+
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(_mk(depth=16))
+    with pytest.raises(ValueError, match="color type"):
+        decode_png(_mk(color=3))  # palette
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(_mk(interlace=1))
+
+
 def test_multimodal_real_stdlib_decode():
-    """fake=False end-to-end: BMP/PPM pixels and WAV samples synthesized
+    """fake=False end-to-end: PNG/BMP/PPM pixels and WAV samples synthesized
     by codecs.encode_*, shipped as opaque binary columns, decoded and
     featurized inside the actor pools (VERDICT r03 next #7).  Oracles:
     (a) byte-exact codec round-trips on arrays the encoder never saw,
@@ -159,8 +212,8 @@ def test_multimodal_real_stdlib_decode():
     import pytest
 
     from fora_ray.functions.codecs import (
-        decode_bmp, decode_ppm, decode_wav_pcm16,
-        encode_bmp, encode_ppm, encode_wav_pcm16,
+        decode_bmp, decode_png, decode_ppm, decode_wav_pcm16,
+        encode_bmp, encode_png, encode_ppm, encode_wav_pcm16,
     )
     from fora_ray.pipelines.multimodal import (
         AudioDecoder, ImageDecoder, decode_audio, decode_images,
@@ -172,6 +225,7 @@ def test_multimodal_real_stdlib_decode():
     img = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)  # odd width -> row padding
     assert (decode_bmp(encode_bmp(img)) == img).all()
     assert (decode_ppm(encode_ppm(img)) == img).all()
+    assert (decode_png(encode_png(img)) == img).all()
     snd = rng.integers(-30000, 30000, size=(333, 2), dtype=np.int16)
     got, rate = decode_wav_pcm16(encode_wav_pcm16(snd, 44100))
     assert rate == 44100 and (got == snd).all()
@@ -201,6 +255,12 @@ def test_multimodal_real_stdlib_decode():
     f = dec_i.features(encode_bmp(flat))
     assert np.allclose(f[:3], 0.2, atol=1e-5) and np.allclose(f[3:6], 0.0, atol=1e-5)
     assert f[6 + 2] == pytest.approx(1.0) and f[6:].sum() == pytest.approx(1.0)
+    # PNG paths through the decoder: RGB identical to BMP of the same
+    # pixels; greyscale promoted to 3 channels; alpha dropped
+    assert np.allclose(dec_i.features(encode_png(flat)), f)
+    assert np.allclose(dec_i.features(encode_png(flat[:, :, 0])), f)
+    rgba = np.concatenate([flat, np.full((9, 11, 1), 7, np.uint8)], axis=2)
+    assert np.allclose(dec_i.features(encode_png(rgba)), f)
 
 
 def test_curation_pipeline():
