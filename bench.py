@@ -423,6 +423,83 @@ def run_ingest_only(n_files: int, num_cpus: int) -> dict:
     return out
 
 
+def run_ppr_profile(num_cpus: int, n_queries: int = 256) -> dict:
+    """The suite's ppr_batch stage in isolation, instrumented: wall,
+    per-replica driver-barrier counts (push rounds + walk hops — every
+    one is a blocking ray.get over P actors), and the 1-min load
+    average around the run.  This is the evidence base for the
+    suite-tier ppr_batch 8->32 efficiency: the barrier COUNT is fixed
+    by the graph/eps (same at any CPU count), so any efficiency gap
+    must come from per-barrier latency under co-resident replicas
+    (the one-box memory-bandwidth ceiling the contention study
+    measures) plus ambient load — not from extra coordination."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    _quiet_schema_warnings()
+    import numpy as np
+
+    from fora_ray.fixtures import fixture_dir
+    from fora_ray.graph import algorithms as alg
+    from fora_ray.pipelines.ingest import ingest_fixture
+
+    fix = fixture_dir(_fixture_files("sf0.1"))
+    tables = ingest_fixture(fix)
+    edges, degrees, n = (tables["edges"], tables["degrees"].materialize(),
+                         tables["n_nodes"])
+    m = edges.count()
+    P = max(4, min(num_cpus, m // 600_000))
+    replicas = max(1, num_cpus // 8)
+    fleet = alg.make_replicas(edges, n, replicas, P=P, m=m,
+                              balance="degree", degrees=degrees)
+    for h in fleet:
+        h.call_all("ppr_init", 0)  # spin up, untimed
+    rng = np.random.default_rng(7)
+    sources = [int(s) for s in rng.choice(n, size=n_queries, replace=False)]
+    load_before = os.getloadavg()[0]
+    t0 = time.perf_counter()
+    results, shards = alg.ppr_batch_replicated(fleet, sources,
+                                               mode="fora", seed=11)
+    for r in results:
+        if r is not None:
+            r[0].count()
+    dt = time.perf_counter() - t0
+    load_after = os.getloadavg()[0]
+    per_rep = [{"queries": len(sh),
+                "push_rounds": int(r[1]["rounds"]),
+                "walk_hops": int(r[1].get("hops", 0))}
+               for r, sh in zip(results, shards) if r is not None]
+    for h in fleet:
+        h.close()
+    out = {
+        "metric": "suite-tier ppr_batch profile",
+        "num_cpus": num_cpus, "P": P, "replicas": replicas,
+        "n": int(n), "m": int(m), "n_queries": n_queries,
+        "sec": round(dt, 2),
+        "queries_per_s": round(n_queries / dt, 2),
+        "barriers_per_replica": [r["push_rounds"] + r["walk_hops"]
+                                 for r in per_rep],
+        "per_replica": per_rep,
+        "load1_before": round(load_before, 2),
+        "load1_after": round(load_after, 2),
+    }
+    ray.shutdown()
+    return out
+
+
+def _ppr_profile_scaling() -> None:
+    r8, r32 = _two_level("--ppr-profile")
+    eff = (r32["queries_per_s"] / r8["queries_per_s"]) / 4.0
+    print(json.dumps({
+        "metric": "suite-tier ppr_batch scaling profile (8 vs 32 cpus)",
+        "r8": r8, "r32": r32, "scaling_efficiency": round(eff, 3),
+    }))
+
+
 def _two_level_at(flag: str, lo: int, hi: int,
                   extra_env: dict | None = None) -> tuple[dict, dict]:
     """Run this script with `flag` in two fresh processes at lo/hi CPUs."""
@@ -780,6 +857,11 @@ if __name__ == "__main__":
     elif "--ops-bench" in sys.argv:
         ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
         print(json.dumps(run_ops_bench(ncpu)))
+    elif "--ppr-profile" in sys.argv:
+        ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        print(json.dumps(run_ppr_profile(ncpu)))
+    elif "--ppr-scaling" in sys.argv:
+        _ppr_profile_scaling()
     elif "--scaling-ingest" in sys.argv:
         _scaling_ingest(int(os.environ.get("GRAFT_INGEST_FILES", "600000")))
     elif "--ingest-only" in sys.argv:
