@@ -723,11 +723,32 @@ def _queries_graph():
         return (tab.to_pandas()
                 .sort_values(["hop", "src", "dst"]).reset_index(drop=True))
 
+    def eigenvector_q(sf_dir):
+        from fora_ray.goldens import ROUND
+
+        g = _graph(sf_dir)
+        scores, _ = alg.eigenvector_centrality(g["handle"], max_iters=30)
+        df = scores.to_pandas().sort_values("node_id").reset_index(drop=True)
+        df["ev"] = df["ev"].round(ROUND)
+        return df
+
+    def katz_q(sf_dir):
+        from fora_ray.goldens import ROUND
+
+        g = _graph(sf_dir)
+        scores, _ = alg.katz_centrality(g["handle"], alpha=0.01, beta=1.0,
+                                        max_iters=30)
+        df = scores.to_pandas().sort_values("node_id").reset_index(drop=True)
+        df["katz"] = df["katz"].round(ROUND)
+        return df
+
     return {
         "ingest_nodes": ingest_nodes,
         "ingest_edges": ingest_edges,
         "ingest_degrees": ingest_degrees,
         "pagerank": pagerank_q,
+        "eigenvector": eigenvector_q,
+        "katz": katz_q,
         "ppr_exact": ppr_exact,
         "fora_ppr": fora_ppr,
         "ppr_batch": ppr_batch_q,
@@ -1240,6 +1261,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hits": (
             f"SELECT node_id, hub, authority FROM read_parquet('{gold['hits']}') "
+            "ORDER BY node_id"
+        ),
+        "eigenvector": (
+            f"SELECT node_id, ev FROM read_parquet('{gold['eigenvector']}') "
+            "ORDER BY node_id"
+        ),
+        "katz": (
+            f"SELECT node_id, katz FROM read_parquet('{gold['katz']}') "
             "ORDER BY node_id"
         ),
         "diameter_est": (

@@ -41,7 +41,7 @@ from .oracle import lpa_oracle, ppr_column_oracle, ppr_power_iteration
 
 ROUND = 9
 _WORD = re.compile(r"\w+")
-_VERSION = 25  # v25: + trussness golden
+_VERSION = 26  # v26: + eigenvector / katz centrality goldens
 
 
 def _round_col(x: np.ndarray) -> np.ndarray:
@@ -1124,6 +1124,40 @@ def betweenness_golden(fix_dir: str, n_pivots: int = 8,
                      "betweenness": pa.array(np.round(bc, 6))})
 
 
+def eigenvector_golden(fix_dir: str, max_iters: int = 30) -> pa.Table:
+    """Shifted power iteration x <- normalize(A^T x + x), fixed
+    iterations — single-process numpy replay of the engine's sweep
+    spec (algorithms.eigenvector_centrality)."""
+    e, n = _fixture_graph(fix_dir)
+    x = np.full(n, 1.0 / np.sqrt(n), np.float64)
+    for _ in range(max_iters):
+        y = np.zeros(n, np.float64)
+        np.add.at(y, e[:, 1], x[e[:, 0]])
+        x = y + x
+        nrm = np.linalg.norm(x)
+        if nrm > 0:
+            x /= nrm
+    return pa.table({"node_id": pa.array(np.arange(n, dtype=np.int64)),
+                     "ev": pa.array(_round_col(x))})
+
+
+def katz_golden(fix_dir: str, alpha: float = 0.01, beta: float = 1.0,
+                max_iters: int = 30) -> pa.Table:
+    """Truncated Katz series x <- alpha * A^T x + beta from x = 0,
+    fixed iterations, L2-normalized once at the end."""
+    e, n = _fixture_graph(fix_dir)
+    x = np.zeros(n, np.float64)
+    for _ in range(max_iters):
+        y = np.zeros(n, np.float64)
+        np.add.at(y, e[:, 1], x[e[:, 0]])
+        x = alpha * y + beta
+    nrm = np.linalg.norm(x)
+    if nrm > 0:
+        x /= nrm
+    return pa.table({"node_id": pa.array(np.arange(n, dtype=np.int64)),
+                     "katz": pa.array(_round_col(x))})
+
+
 _GRAPH_GOLDENS = {
     "pagerank": pagerank_golden,
     "ppr_exact": ppr_exact_golden,
@@ -1148,6 +1182,8 @@ _GRAPH_GOLDENS = {
     "scc": scc_golden,
     "harmonic": harmonic_golden,
     "neighbor_sample": neighbor_sample_golden,
+    "eigenvector": eigenvector_golden,
+    "katz": katz_golden,
 }
 def distinct_users_hll_golden(sf_dir: str, p: int = 12) -> pa.Table:
     """Pure-python HyperLogLog replay over events.user_id — independent

@@ -1169,6 +1169,80 @@ def hits(handle_fwd, handle_rev, max_iters: int = 40, tol: float = 0.0):
     return ray.data.from_arrow_refs(tables), {"iters": iters, "delta": delta}
 
 
+def eigenvector_centrality(handle, max_iters: int = 30, tol: float = 0.0):
+    """Eigenvector centrality (Bonacich '72) of the DIRECTED graph —
+    in-edge based like the classic formulation: x_v ∝ Σ_{u→v} x_u, i.e.
+    the dominant eigenvector of A^T, via the shifted power iteration
+
+        x_{k+1} = normalize_L2( A^T x_k + x_k )
+
+    (the +x_k shift keeps the iteration convergent on bipartite-ish
+    structure without changing the eigenvector).  Distribution is the
+    HITS sweep machinery on ONE pool: each round is a routed full sweep
+    of the forward CSR (per-destination pre-aggregated bincounts — hub
+    fan-in cannot hotspot), an apply-shift barrier returning P local
+    sum-of-squares scalars, and an O(P)-float L2 scale barrier.  Exactly
+    ``max_iters`` rounds when tol=0 (the deterministic driver-oracle
+    mode, matching goldens.eigenvector_golden's numpy replay); tol>0
+    early-stops on the L1 delta.
+
+    Returns ((node_id, ev) Dataset over ALL nodes, stats).
+    """
+    n, P = handle.n, handle.P
+    handle.call_all("hits_init", "ev", 1.0 / math.sqrt(n))
+    iters, delta = 0, math.inf
+    while iters < max_iters:
+        outs = [w.hits_sweep.options(num_returns=P).remote("ev")
+                for w in handle.workers]
+        ss = ray.get([
+            w.hits_apply_shift.remote("ev", *[outs[p][q] for p in range(P)])
+            for q, w in enumerate(handle.workers)
+        ])
+        total = sum(ss)
+        c = 1.0 / math.sqrt(total) if total > 0 else 0.0
+        delta = sum(ray.get([w.hits_scale.remote("ev", c)
+                             for w in handle.workers]))
+        iters += 1
+        if tol > 0 and delta < tol:
+            break
+    tables = [w.hits_field_table.remote("ev", "ev") for w in handle.workers]
+    return ray.data.from_arrow_refs(tables), {"iters": iters, "delta": delta}
+
+
+def katz_centrality(handle, alpha: float = 0.01, beta: float = 1.0,
+                    max_iters: int = 30):
+    """Katz centrality (Katz '53), in-edge based:
+
+        x_{k+1} = alpha * A^T x_k + beta,   x_0 = 0
+
+    run for exactly ``max_iters`` iterations (the truncated Neumann
+    series Σ_k alpha^k (A^T)^k beta — deterministic, oracle-matching),
+    then L2-normalized once at the end (networkx convention).  Same
+    single-pool sweep/apply shape as eigenvector_centrality; the only
+    per-round barriers are the apply (P scalars) — no per-round
+    normalization.  Requires alpha < 1/λ_max for the series to converge;
+    with fixed iterations the result is well-defined either way.
+
+    Returns ((node_id, katz) Dataset over ALL nodes, stats).
+    """
+    P = handle.P
+    handle.call_all("hits_init", "katz", 0.0)
+    last_ss = 0.0
+    for _ in range(max_iters):
+        outs = [w.hits_sweep.options(num_returns=P).remote("katz")
+                for w in handle.workers]
+        ss = ray.get([
+            w.hits_apply_affine.remote("katz", float(alpha), float(beta),
+                                       *[outs[p][q] for p in range(P)])
+            for q, w in enumerate(handle.workers)
+        ])
+        last_ss = sum(ss)
+    c = 1.0 / math.sqrt(last_ss) if last_ss > 0 else 0.0
+    ray.get([w.hits_scale.remote("katz", c) for w in handle.workers])
+    tables = [w.hits_field_table.remote("katz", "katz") for w in handle.workers]
+    return ray.data.from_arrow_refs(tables), {"iters": max_iters}
+
+
 def random_walk_corpus(handle, nwalks: int = 2, walk_len: int = 5,
                        seed: int = 42, spill_dir: str | None = None,
                        flush_rows: int = 2_000_000):

@@ -2560,6 +2560,38 @@ class ShardWorkerImpl:
             "authority": pa.array(np.asarray(auth_slice, np.float64)),
         })
 
+    # ---- single-pool spectral sweeps (eigenvector / Katz centrality) ------
+    # Reuse the HITS sweep (per-destination pre-aggregated bincounts over
+    # the forward CSR = one A^T x matvec slice) with different apply
+    # rules.  Single pool: the inflow payloads land back on the same
+    # workers, so no aligned reverse handle is needed.
+    def hits_apply_shift(self, field: str, *payloads) -> float:
+        """x <- (A^T x) + x  (the (I + A)^T shifted power iteration —
+        same dominant eigenvector as A^T, immune to period-2 cycles).
+        Returns the local sum of squares for the L2 barrier."""
+        vec = np.zeros(self.n_local, np.float64)
+        for pl in payloads:
+            self._add_payload(vec, pl)
+        vec += getattr(self, "hits_" + field)
+        setattr(self, "hits_" + field, vec)
+        return float(np.dot(vec, vec))
+
+    def hits_apply_affine(self, field: str, a: float, b: float, *payloads) -> float:
+        """x <- a * (A^T x) + b  (one Katz iteration).  Returns the
+        local sum of squares (used only for the FINAL normalization)."""
+        vec = np.zeros(self.n_local, np.float64)
+        for pl in payloads:
+            self._add_payload(vec, pl)
+        vec = a * vec + b
+        setattr(self, "hits_" + field, vec)
+        return float(np.dot(vec, vec))
+
+    def hits_field_table(self, field: str, colname: str) -> pa.Table:
+        return pa.table({
+            "node_id": pa.array(self.logical_ids),
+            colname: pa.array(getattr(self, "hits_" + field)),
+        })
+
     # ---- walk-phase checkpoint (VERDICT r02 missing #3) -------------------
     def walk_checkpoint(self, path: str) -> int:
         """Persist the pending batched walkers (cur, qidx, wt, wkey).

@@ -500,3 +500,76 @@ def test_diameter_estimate_path_graph():
     assert res["diameter_lb"] == 4
     assert {res["far_a"], res["far_b"]} == {0, 4}
     assert res["n_reached"] == 5
+
+
+# ---- eigenvector / Katz centrality (single-pool spectral sweeps) ----------
+
+def _np_eigenvector(edges, n, iters=30):
+    x = np.full(n, 1.0 / np.sqrt(n))
+    for _ in range(iters):
+        y = np.zeros(n)
+        np.add.at(y, edges[:, 1], x[edges[:, 0]])
+        x = y + x
+        nrm = np.linalg.norm(x)
+        if nrm > 0:
+            x /= nrm
+    return x
+
+
+def _np_katz(edges, n, alpha=0.01, beta=1.0, iters=30):
+    x = np.zeros(n)
+    for _ in range(iters):
+        y = np.zeros(n)
+        np.add.at(y, edges[:, 1], x[edges[:, 0]])
+        x = alpha * y + beta
+    nrm = np.linalg.norm(x)
+    return x / nrm if nrm > 0 else x
+
+
+@pytest.mark.parametrize("name", list(ALL))
+def test_eigenvector_micro(name):
+    edges, n = ALL[name]
+    with GraphHandle.from_edges(to_dataset(edges), n, P=2) as h:
+        scores, stats = alg.eigenvector_centrality(h, max_iters=30)
+        sp = scores.to_pandas()
+    got = np.zeros(n)
+    got[sp["node_id"]] = sp["ev"]
+    assert np.allclose(got, _np_eigenvector(edges, n), atol=1e-9)
+    assert stats["iters"] == 30
+
+
+@pytest.mark.parametrize("name", list(ALL))
+def test_katz_micro(name):
+    edges, n = ALL[name]
+    with GraphHandle.from_edges(to_dataset(edges), n, P=2) as h:
+        scores, _ = alg.katz_centrality(h, alpha=0.01, beta=1.0, max_iters=30)
+        sp = scores.to_pandas()
+    got = np.zeros(n)
+    got[sp["node_id"]] = sp["katz"]
+    assert np.allclose(got, _np_katz(edges, n), atol=1e-9)
+
+
+def test_eigenvector_katz_fixture(graph600):
+    edges, n = graph600
+    with GraphHandle.from_edges(to_dataset(edges), n, P=4) as h:
+        ev, _ = alg.eigenvector_centrality(h, max_iters=30)
+        kz, _ = alg.katz_centrality(h, max_iters=30)
+        se, sk = ev.to_pandas(), kz.to_pandas()
+    got_e, got_k = np.zeros(n), np.zeros(n)
+    got_e[se["node_id"]] = se["ev"]
+    got_k[sk["node_id"]] = sk["katz"]
+    assert np.allclose(got_e, _np_eigenvector(edges, n), atol=1e-9)
+    assert np.allclose(got_k, _np_katz(edges, n), atol=1e-9)
+
+
+def test_eigenvector_degree_balanced_parity(graph600):
+    """Same scores on an identity and a degree-balanced handle — the
+    sweep runs in engine space, results keyed by logical ids."""
+    edges, n = graph600
+    with GraphHandle.from_edges(to_dataset(edges), n, P=4,
+                                balance="degree") as h:
+        scores, _ = alg.eigenvector_centrality(h, max_iters=30)
+        sp = scores.to_pandas()
+    got = np.zeros(n)
+    got[sp["node_id"]] = sp["ev"]
+    assert np.allclose(got, _np_eigenvector(edges, n), atol=1e-9)
