@@ -723,6 +723,19 @@ def _queries_graph():
         return (tab.to_pandas()
                 .sort_values(["hop", "src", "dst"]).reset_index(drop=True))
 
+    def assortativity_q(sf_dir):
+        from fora_ray.pipelines.graphstats import degree_assortativity
+
+        g = _graph(sf_dir)
+        return degree_assortativity(g["edges"], g["degrees"], g["n"]).to_pandas()
+
+    def modularity_q(sf_dir):
+        from fora_ray.pipelines.graphstats import modularity
+
+        g = _graph(sf_dir)
+        labels, _ = alg.label_propagation(g["handle_sym"], max_rounds=20)
+        return modularity(g["sym"], labels, g["n"]).to_pandas()
+
     def eigenvector_q(sf_dir):
         from fora_ray.goldens import ROUND
 
@@ -749,6 +762,8 @@ def _queries_graph():
         "pagerank": pagerank_q,
         "eigenvector": eigenvector_q,
         "katz": katz_q,
+        "assortativity": assortativity_q,
+        "modularity": modularity_q,
         "ppr_exact": ppr_exact,
         "fora_ppr": fora_ppr,
         "ppr_batch": ppr_batch_q,
@@ -1267,6 +1282,45 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT node_id, ev FROM read_parquet('{gold['eigenvector']}') "
             "ORDER BY node_id"
         ),
+        "assortativity": f"""
+            WITH e AS (SELECT src, dst FROM read_parquet('{golden_edges}')),
+                 d AS ({degrees_sql}),
+                 xy AS (
+                   SELECT CAST(dx.out_deg AS DOUBLE) AS x,
+                          CAST(dy.in_deg AS DOUBLE) AS y
+                   FROM e JOIN d dx ON e.src = dx.node_id
+                          JOIN d dy ON e.dst = dy.node_id
+                 )
+            SELECT CAST(count(*) AS BIGINT) AS edges,
+                   round(corr(x, y), 6) AS assortativity
+            FROM xy
+        """,
+        "modularity": f"""
+            WITH lab AS (SELECT node_id, label FROM read_parquet('{gold['lpa']}')),
+                 e AS (SELECT src, dst FROM read_parquet('{golden_edges}')),
+                 und AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
+                 canon AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+                           FROM und WHERE u <> v),
+                 m AS (SELECT count(*) AS mm FROM canon),
+                 deg AS (SELECT u, count(*) AS d
+                         FROM (SELECT DISTINCT u, v FROM und WHERE u <> v)
+                         GROUP BY u),
+                 wc AS (SELECT la.label, CAST(count(*) AS BIGINT) AS w
+                        FROM canon JOIN lab la ON canon.a = la.node_id
+                                   JOIN lab lb ON canon.b = lb.node_id
+                        WHERE la.label = lb.label GROUP BY la.label),
+                 dc AS (SELECT lab.label, CAST(count(*) AS BIGINT) AS n_nodes,
+                               CAST(sum(coalesce(deg.d, 0)) AS BIGINT) AS degree_sum
+                        FROM lab LEFT JOIN deg ON lab.node_id = deg.u
+                        GROUP BY lab.label)
+            SELECT dc.label, dc.n_nodes,
+                   CAST(coalesce(wc.w, 0) AS BIGINT) AS within_edges,
+                   dc.degree_sum,
+                   round(coalesce(wc.w, 0) / CAST(m.mm AS DOUBLE)
+                         - pow(dc.degree_sum / (2.0 * m.mm), 2), 6) AS q_contrib
+            FROM dc LEFT JOIN wc ON dc.label = wc.label CROSS JOIN m
+            ORDER BY dc.label
+        """,
         "katz": (
             f"SELECT node_id, katz FROM read_parquet('{gold['katz']}') "
             "ORDER BY node_id"
