@@ -1,10 +1,12 @@
-"""Pure-stdlib media codecs (PNG, uncompressed BMP, binary PPM, PCM-16 WAV).
+"""Pure-stdlib media codecs (PNG, GIF, uncompressed BMP, binary PPM,
+PCM-16 WAV).
 
 The sandbox ships no imaging/audio libraries, but these formats are
 simple enough to encode/decode with struct + zlib + numpy alone — which
 lets REAL decode paths run end-to-end through the multimodal
 actor-pool pipeline (VERDICT r03 next #7) instead of the hash-based
-fake decoder.  PNG (zlib DEFLATE + the five scanline filters) closes
+fake decoder.  PNG (zlib DEFLATE + the five scanline filters) and GIF
+(variable-width LZW with table resets + Appendix-E interlace) close
 the "compressed format" gap (VERDICT r04 next #5); real deployments
 swap Pillow/torchaudio in for JPEG/MP3/video — the pipeline plumbing
 is identical.
@@ -298,3 +300,238 @@ def decode_png(data: bytes) -> np.ndarray:
         out[y] = rec
         prior = rec.astype(np.int64)
     return out.reshape(h, w, ch).copy()
+
+
+# --------------------------------------------------------------------------
+# GIF — GIF89a, single frame, global/local color table, variable-width
+# LZW (spec Appendix F) with full-table resets, optional Appendix-E
+# interlace.  Animations decode as their first frame; transparency and
+# other extension blocks are skipped.  (Public spec: GIF89a, CompuServe
+# 1990.)
+# --------------------------------------------------------------------------
+
+_GIF_MAX_CODE = 4096  # 12-bit LZW ceiling
+
+
+def _gif_interlace_order(h: int) -> np.ndarray:
+    """Appendix-E four-pass row order (pass starts 0/4/2/1, steps 8/8/4/2)."""
+    return np.concatenate([
+        np.arange(0, h, 8), np.arange(4, h, 8),
+        np.arange(2, h, 4), np.arange(1, h, 2),
+    ]).astype(np.int64)
+
+
+def _lzw_compress(pixels: np.ndarray, min_code: int) -> bytes:
+    """GIF LZW: emit CLEAR, greedy longest-match over a (prefix_code,
+    pixel) dict, width grows when the DECODER's table (one entry behind
+    ours) crosses 2^width — so the width check runs BEFORE each add."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = min_code + 1
+    table: dict[tuple[int, int], int] = {}
+    slot = eoi + 1
+    emit(clear, width)
+    w = int(pixels[0])
+    for k in map(int, pixels[1:]):
+        key = (w, k)
+        nxt = table.get(key)
+        if nxt is not None:
+            w = nxt
+            continue
+        emit(w, width)
+        if slot >= _GIF_MAX_CODE:  # table full: reset (decoder mirrors)
+            emit(clear, width)
+            table.clear()
+            slot, width = eoi + 1, min_code + 1
+        else:
+            # pre-add width check keeps us in lockstep with the decoder,
+            # whose table lags ours by exactly one entry
+            if slot >= (1 << width) and width < 12:
+                width += 1
+            table[key] = slot
+            slot += 1
+        w = k
+    emit(w, width)
+    if slot >= (1 << width) and width < 12:
+        width += 1
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, min_code: int, n_pixels: int) -> np.ndarray:
+    """Spec Appendix-F decoder: per-code adds prev+first(cur), widens
+    when slot reaches 2^width (after the add), KwKwK case included."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    base = [(i,) for i in range(clear)] + [(), ()]
+    table = list(base)
+    out = np.empty(n_pixels, dtype=np.uint8)
+    n_out = 0
+    width = min_code + 1
+    acc = nbits = pos = 0
+    prev: tuple[int, ...] | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("decode_gif: LZW stream ended before EOI")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError("decode_gif: first code after clear not a root")
+            seq = table[code]
+        elif code < len(table):
+            seq = table[code]
+            if len(table) < _GIF_MAX_CODE:
+                table.append(prev + (seq[0],))
+        elif code == len(table) and len(table) < _GIF_MAX_CODE:
+            seq = prev + (prev[0],)  # KwKwK
+            table.append(seq)
+        else:
+            raise ValueError(f"decode_gif: LZW code {code} out of range")
+        if n_out + len(seq) > n_pixels:
+            raise ValueError("decode_gif: LZW output exceeds image size")
+        out[n_out:n_out + len(seq)] = seq
+        n_out += len(seq)
+        if len(table) >= (1 << width) and width < 12:
+            width += 1
+        prev = table[code] if code < len(table) else seq
+    if n_out != n_pixels:
+        raise ValueError(
+            f"decode_gif: LZW produced {n_out} of {n_pixels} pixels")
+    return out
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray,
+               interlace: bool = False) -> bytes:
+    """(H, W) uint8 palette indices + (N<=256, 3) uint8 palette ->
+    single-frame GIF89a bytes (global color table, optional interlace)."""
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    if idx.ndim != 2 or pal.ndim != 2 or pal.shape[1] != 3:
+        raise ValueError("encode_gif expects (H, W) indices and (N, 3) palette")
+    n_colors = pal.shape[0]
+    if not 1 <= n_colors <= 256:
+        raise ValueError(f"encode_gif: palette size {n_colors} not in 1..256")
+    if idx.size == 0:
+        raise ValueError("encode_gif: empty image")
+    if int(idx.max()) >= n_colors:
+        raise ValueError("encode_gif: index outside palette")
+    h, w = idx.shape
+    gct_bits = max(1, (n_colors - 1).bit_length())
+    gct = np.zeros((1 << gct_bits, 3), dtype=np.uint8)
+    gct[:n_colors] = pal
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (gct_bits - 1), 0, 0)
+    out += gct.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0)
+    rows = idx[_gif_interlace_order(h)] if interlace else idx
+    min_code = max(2, gct_bits)
+    out.append(min_code)
+    lzw = _lzw_compress(rows.reshape(-1), min_code)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF87a/89a bytes -> (H, W, 3) uint8 RGB of the FIRST frame.
+    Local color tables override the global one; interlaced frames are
+    de-interlaced; extension blocks (GCE/comment/app) are skipped;
+    transparency is ignored (opaque decode).  Malformed streams raise
+    ValueError with the offending field named."""
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("decode_gif: not a GIF payload")
+    sw, sh, flags, _bg, _aspect = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        if pos + 3 * n > len(data):
+            raise ValueError("decode_gif: truncated global color table")
+        gct = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer before any image
+            raise ValueError("decode_gif: no image descriptor")
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"decode_gif: unknown block 0x{block:02x}")
+        if pos + 9 > len(data):
+            raise ValueError("decode_gif: truncated image descriptor")
+        ix, iy, w, h, iflags = struct.unpack_from("<HHHHB", data, pos)
+        pos += 9
+        if w == 0 or h == 0 or ix + w > sw or iy + h > sh:
+            raise ValueError(f"decode_gif: bad frame geometry {w}x{h}+{ix}+{iy}")
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            if pos + 3 * n > len(data):
+                raise ValueError("decode_gif: truncated local color table")
+            pal = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("decode_gif: frame has no color table")
+        if pos >= len(data):
+            raise ValueError("decode_gif: missing LZW minimum code size")
+        min_code = data[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            raise ValueError(f"decode_gif: bad LZW minimum code size {min_code}")
+        chunks = []
+        while True:
+            if pos >= len(data):
+                raise ValueError("decode_gif: unterminated image data")
+            ln = data[pos]
+            pos += 1
+            if ln == 0:
+                break
+            chunks.append(data[pos:pos + ln])
+            if len(chunks[-1]) != ln:
+                raise ValueError("decode_gif: truncated data sub-block")
+            pos += ln
+        idx = _lzw_decompress(b"".join(chunks), min_code, w * h).reshape(h, w)
+        if iflags & 0x40:  # interlaced: rows arrived in pass order
+            order = _gif_interlace_order(h)
+            rows = np.empty_like(idx)
+            rows[order] = idx
+            idx = rows
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("decode_gif: pixel index outside color table")
+        return pal[idx]  # first frame only; later frames/trailer ignored
+    raise ValueError("decode_gif: truncated stream")

@@ -44,12 +44,14 @@ def synthesize_media_table(n: int, seed: int = 42, real: bool = False) -> pa.Tab
 
     real=False: opaque random bytes (the fake-decode plumbing corpus).
     real=True: image rows are valid 16x16 images (seeded pixel
-    patterns, cycling BMP / PPM / Paeth-filtered PNG) and audio rows
-    are valid PCM-16 WAV sine clips — decodable by the stdlib codecs,
-    so the fake=False pipeline runs end-to-end.  Video payloads stay
-    opaque (container parsing is the declared stub)."""
-    from ..functions.codecs import (encode_bmp, encode_png, encode_ppm,
-                                    encode_wav_pcm16)
+    patterns, cycling BMP / PPM / Paeth-filtered PNG / GIF — the GIF
+    palette is exact: a 16x16 frame has <=256 pixels, so np.unique
+    yields a lossless color table) and audio rows are valid PCM-16 WAV
+    sine clips — decodable by the stdlib codecs, so the fake=False
+    pipeline runs end-to-end.  Video payloads stay opaque (container
+    parsing is the declared stub)."""
+    from ..functions.codecs import (encode_bmp, encode_gif, encode_png,
+                                    encode_ppm, encode_wav_pcm16)
 
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
@@ -64,13 +66,19 @@ def synthesize_media_table(n: int, seed: int = 42, real: bool = False) -> pa.Tab
         elif kind == "image":
             img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
             img[:, :, 0] = np.linspace(0, 255, 16, dtype=np.uint8)[None, :]
-            variant = (i // 3) % 3
+            variant = (i // 3) % 4
             if variant == 0:
                 payload, mime = encode_bmp(img), "image/bmp"
             elif variant == 1:
                 payload, mime = encode_ppm(img), "image/x-portable-pixmap"
-            else:
+            elif variant == 2:
                 payload, mime = encode_png(img), "image/png"
+            else:
+                pal, inv = np.unique(img.reshape(-1, 3), axis=0,
+                                     return_inverse=True)
+                payload = encode_gif(inv.astype(np.uint8).reshape(16, 16),
+                                     pal, interlace=bool(i % 2))
+                mime = "image/gif"
             w = h = 16
         else:  # real audio: 50 ms sine at a seeded frequency, 8 kHz mono
             t = np.arange(400) / 8000.0
@@ -122,9 +130,14 @@ class ImageDecoder:
             return decode_bmp(payload)
         if payload[:2] == b"P6":
             return decode_ppm(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            from ..functions.codecs import decode_gif
+
+            return decode_gif(payload)
         raise ValueError(
-            "ImageDecoder: payload is not PNG/BMP/PPM — the only formats "
-            "decodable with the stdlib; use fake=True or add a codec lib")
+            "ImageDecoder: payload is not PNG/GIF/BMP/PPM — the only "
+            "formats decodable with the stdlib; use fake=True or add a "
+            "codec lib")
 
     def features(self, payload: bytes) -> np.ndarray:
         img = self.decode(payload)

@@ -143,7 +143,7 @@ def test_multimodal_stub_plumbing():
     # real decoder refuses formats the stdlib can't parse (JPEG bytes)
     import pytest
 
-    with pytest.raises(ValueError, match="PNG/BMP/PPM"):
+    with pytest.raises(ValueError, match="PNG/GIF/BMP/PPM"):
         ImageDecoder(fake=False).features(b"\xff\xd8\xff\xe0JFIFxxxx")
     # ...and malformed PNG raises from the PNG parser, never garbage
     with pytest.raises(ValueError, match="decode_png"):
@@ -614,3 +614,80 @@ def test_mixture_sample_null_strata_match_sql_oracle(ray_session):
     assert got["lang"].fillna("@").tolist() == want["lang"].fillna("@").tolist()
     # NULL-lang rows actually appear in the sample (non-vacuous)
     assert got["lang"].isna().any()
+
+
+def test_gif_codec():
+    """GIF LZW round-trips: palette sizes spanning code widths, interlace,
+    the KwKwK case, 12-bit table resets, and malformed-payload rejects."""
+    import numpy as np
+    import pytest
+
+    from fora_ray.functions.codecs import decode_gif, encode_gif
+
+    rng = np.random.default_rng(3)
+    for npal in (2, 5, 16, 129, 256):
+        for (h, w) in ((1, 1), (7, 3), (16, 16), (33, 57)):
+            pal = rng.integers(0, 256, (npal, 3), dtype=np.uint8)
+            idx = rng.integers(0, npal, (h, w), dtype=np.uint8)
+            for il in (False, True):
+                data = encode_gif(idx, pal, interlace=il)
+                assert data[:6] == b"GIF89a"
+                assert (decode_gif(data) == pal[idx]).all()
+    # KwKwK stress: alternating rows compress to repeated-prefix codes
+    idx = np.zeros((64, 64), np.uint8)
+    idx[::2] = 1
+    pal = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    assert (decode_gif(encode_gif(idx, pal)) == pal[idx]).all()
+    # table reset: 256x256 random indices exceed 4096 LZW entries
+    idx = rng.integers(0, 256, (256, 256), dtype=np.uint8)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    assert (decode_gif(encode_gif(idx, pal)) == pal[idx]).all()
+    # malformed payloads raise with the field named
+    good = bytearray(encode_gif(np.array([[0, 1]], np.uint8), pal[:2]))
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"JIF89a" + bytes(good[6:]))
+    with pytest.raises(ValueError, match="decode_gif"):
+        decode_gif(bytes(good[:-10]))  # truncated stream
+    with pytest.raises(ValueError):
+        encode_gif(np.array([[3]], np.uint8), pal[:2])  # index out of palette
+    with pytest.raises(ValueError):
+        encode_gif(np.zeros((0, 0), np.uint8), pal[:2])  # empty image
+
+
+def test_gif_codec_property():
+    """Hypothesis: decode(encode(idx, pal)) == pal[idx] for arbitrary
+    shapes/palettes, interlaced or not."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fora_ray.functions.codecs import decode_gif, encode_gif
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 40), st.integers(1, 40), st.integers(1, 256),
+           st.booleans(), st.integers(0, 2**31 - 1))
+    def run(h, w, npal, il, seed):
+        rng = np.random.default_rng(seed)
+        pal = rng.integers(0, 256, (npal, 3), dtype=np.uint8)
+        idx = rng.integers(0, npal, (h, w), dtype=np.uint8)
+        assert (decode_gif(encode_gif(idx, pal, interlace=il)) == pal[idx]).all()
+
+    run()
+
+
+def test_multimodal_corpus_includes_gif():
+    """The real media corpus cycles a GIF variant and the actor-pool
+    decoder dispatches it losslessly (exact np.unique palette)."""
+    import numpy as np
+
+    from fora_ray.pipelines.multimodal import ImageDecoder, synthesize_media_table
+
+    t = synthesize_media_table(48, real=True)
+    mimes = set(t["mime"].to_pylist())
+    assert "image/gif" in mimes
+    dec = ImageDecoder(fake=False)
+    gif_rows = [i for i, m in enumerate(t["mime"].to_pylist()) if m == "image/gif"]
+    assert gif_rows
+    for i in gif_rows:
+        img = dec.decode(t["payload"][i].as_py())
+        assert img.shape == (16, 16, 3) and img.dtype == np.uint8
