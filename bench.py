@@ -798,7 +798,31 @@ def run_ops_bench(num_cpus: int = 32, n: int = 1_000_000,
                           "fwd_rounds": stb["fwd_rounds"],
                           "bwd_rounds": stb["bwd_rounds"]}
     hr.close()
+    t0 = time.perf_counter()
+    ev, _ = alg.eigenvector_centrality(hf, max_iters=30)
+    ev.count()
+    out["eigenvector"] = {"sec": round(time.perf_counter() - t0, 2),
+                          "iters": 30}
+    t0 = time.perf_counter()
+    kz, _ = alg.katz_centrality(hf, max_iters=30)
+    kz.count()
+    out["katz"] = {"sec": round(time.perf_counter() - t0, 2), "iters": 30}
     hf.close()
+
+    # single-pass edge stats: degrees / labels tables are setup, the
+    # timed section is the streaming moment/label pass itself
+    from fora_ray.pipelines.graphstats import degree_assortativity, modularity
+
+    sk, dk = src[keep], dst[keep]
+    degrees_ds = ray.data.from_arrow(pa.table({
+        "node_id": pa.array(np.arange(n, dtype=np.int64)),
+        "out_deg": pa.array(np.bincount(sk, minlength=n).astype(np.int64)),
+        "in_deg": pa.array(np.bincount(dk, minlength=n).astype(np.int64)),
+    })).materialize()
+    t0 = time.perf_counter()
+    at = degree_assortativity(edges, degrees_ds, n)
+    out["assortativity"] = {"sec": round(time.perf_counter() - t0, 2),
+                            "r": float(at["assortativity"][0].as_py())}
 
     sym = edges.map_batches(
         lambda t: pa.concat_tables([
@@ -821,6 +845,17 @@ def run_ops_bench(num_cpus: int = 32, n: int = 1_000_000,
                            "colors": stc["colors"],
                            "mis_rounds": stc["mis_rounds"]}
     hs.close()
+
+    labels_ds = ray.data.from_arrow(pa.table({
+        "node_id": pa.array(np.arange(n, dtype=np.int64)),
+        "label": pa.array((np.arange(n, dtype=np.int64) % 64)),
+    })).materialize()
+    t0 = time.perf_counter()
+    mod = modularity(sym, labels_ds, n)
+    out["modularity"] = {"sec": round(time.perf_counter() - t0, 2),
+                         "communities": mod.num_rows,
+                         "Q": round(float(
+                             np.asarray(mod["q_contrib"]).sum()), 6)}
 
     from fora_ray.graph.triangles import ktruss
 

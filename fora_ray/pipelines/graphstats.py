@@ -98,7 +98,7 @@ def _moment_partials_join(edges_ds, degrees_ds, num_partitions=None):
         return _moment_row(t.num_rows, x.sum(), y.sum(),
                            float(x @ y), float(x @ x), float(y @ y))
 
-    return exy.map_batches(block, batch_format="pyarrow")
+    return exy.map_batches(block, batch_format="pyarrow", batch_size=None)
 
 
 def degree_assortativity(edges_ds, degrees_ds, n: int,
@@ -118,7 +118,8 @@ def degree_assortativity(edges_ds, degrees_ds, n: int,
             ray.put(_dense_node_col(degrees_ds, n, "out_deg")),
             ray.put(_dense_node_col(degrees_ds, n, "in_deg")),
         )
-        partials = edges_ds.map_batches(fn, batch_format="pyarrow")
+        partials = edges_ds.map_batches(fn, batch_format="pyarrow",
+                                batch_size=None)
     else:
         partials = _moment_partials_join(edges_ds, degrees_ds, num_partitions)
     agg = drop_empty_blocks(partials).sum(
@@ -180,12 +181,21 @@ def modularity(edges_sym_ds, labels_ds, n: int, strategy: str = "auto",
     q_contrib = within/m − (degree_sum/2m)² rounded to 6 decimals;
     Q = Σ q_contrib.
     """
+    import pandas as pd
+
     if strategy == "auto":
         strategy = "broadcast" if n <= BROADCAST_MAX_NODES else "join"
+    sizes = None
     if strategy == "broadcast":
         labels = _dense_node_col(labels_ds, n, "label")
         partials = edges_sym_ds.map_batches(
-            _ModularityPartial(ray.put(labels)), batch_format="pyarrow")
+            _ModularityPartial(ray.put(labels)), batch_format="pyarrow",
+            batch_size=None)
+        # community sizes fall out of the already-gathered label array —
+        # no extra Ray groupby on the broadcast tier
+        uniq, cnt = np.unique(labels, return_counts=True)
+        sizes = pd.DataFrame({"label": uniq.astype(np.int64),
+                              "n_nodes": cnt.astype(np.int64)})
     else:
         ej = safe_join(
             edges_sym_ds, labels_ds, on=("src",), right_on=("node_id",),
@@ -215,7 +225,8 @@ def modularity(edges_sym_ds, labels_ds, n: int, strategy: str = "auto",
                     minlength=len(uniq)).astype(np.int64)),
             })
 
-        partials = ej2.map_batches(block, batch_format="pyarrow")
+        partials = ej2.map_batches(block, batch_format="pyarrow",
+                                   batch_size=None)
 
     summed = (
         drop_empty_blocks(partials)
@@ -223,13 +234,14 @@ def modularity(edges_sym_ds, labels_ds, n: int, strategy: str = "auto",
         .sum(["deg_cnt", "within2"])
         .to_pandas()
     )  # one row per community — metadata-sized
-    from ray.data.aggregate import Count
+    if sizes is None:
+        from ray.data.aggregate import Count
 
-    sizes = (
-        labels_ds.groupby("label")
-        .aggregate(Count(alias_name="n_nodes"))
-        .to_pandas()
-    )
+        sizes = (
+            labels_ds.groupby("label")
+            .aggregate(Count(alias_name="n_nodes"))
+            .to_pandas()
+        )
     df = sizes.merge(summed, on="label", how="left").fillna(0)
     two_m = int(df["sum(deg_cnt)"].sum())
     m = two_m // 2
