@@ -1,18 +1,20 @@
-"""Pure-stdlib media codecs (PNG, GIF, uncompressed BMP, binary PPM,
-PCM-16 WAV).
+"""Pure-stdlib media codecs (JPEG, PNG, GIF, uncompressed BMP, binary
+PPM, PCM-16 WAV).
 
 The sandbox ships no imaging/audio libraries, but these formats are
 simple enough to encode/decode with struct + zlib + numpy alone — which
 lets REAL decode paths run end-to-end through the multimodal
 actor-pool pipeline (VERDICT r03 next #7) instead of the hash-based
-fake decoder.  PNG (zlib DEFLATE + the five scanline filters) and GIF
-(variable-width LZW with table resets + Appendix-E interlace) close
-the "compressed format" gap (VERDICT r04 next #5); real deployments
-swap Pillow/torchaudio in for JPEG/MP3/video — the pipeline plumbing
-is identical.
+fake decoder.  PNG (zlib DEFLATE + the five scanline filters), GIF
+(variable-width LZW with table resets + Appendix-E interlace) and
+baseline JPEG (DCT + per-image optimal Huffman tables per ITU T.81
+Annex K) close the "compressed format" gap (VERDICT r04 next #5);
+real deployments swap Pillow/torchaudio in for MP3/video — the
+pipeline plumbing is identical.
 
-All functions are deterministic and byte-exact round-trips:
-decode(encode(x)) == x for valid inputs; malformed payloads raise
+All lossless codecs are deterministic byte-exact round-trips:
+decode(encode(x)) == x for valid inputs; JPEG is lossy by design and
+tested against reconstruction-error bounds.  Malformed payloads raise
 ValueError (never return garbage).
 """
 
@@ -535,3 +537,468 @@ def decode_gif(data: bytes) -> np.ndarray:
             raise ValueError("decode_gif: pixel index outside color table")
         return pal[idx]  # first frame only; later frames/trailer ignored
     raise ValueError("decode_gif: truncated stream")
+
+
+# --------------------------------------------------------------------------
+# JPEG — baseline sequential DCT (SOF0), 8-bit, 4:4:4 color (no chroma
+# subsampling) or grayscale.  Pure stdlib + numpy (the public ITU T.81
+# spec): Annex-K quantization tables IJG-scaled by quality, per-image
+# OPTIMAL Huffman tables built with the spec's Annex-K frequency-merge /
+# ADJUST_BITS procedure (so the encoder never relies on transcribed
+# default code tables), canonical code assembly per C.2 and the F.2.2.3
+# DECODE procedure.  Lossy by nature: tests bound the reconstruction
+# error instead of asserting byte equality.  The decoder is general
+# baseline 4:4:4/grayscale: progressive (SOF2), subsampled, 12-bit,
+# arithmetic and restart-interval streams raise with the field named.
+# --------------------------------------------------------------------------
+
+_JPEG_QL = np.array([  # Annex K.1 luminance
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64).reshape(8, 8)
+_JPEG_QC = np.array([  # Annex K.2 chrominance
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64).reshape(8, 8)
+_JPEG_ZIG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+_JPEG_DCT = np.array([
+    [(np.sqrt(1 / 8) if k == 0 else 0.5) * np.cos((2 * n + 1) * k * np.pi / 16)
+     for n in range(8)] for k in range(8)
+])
+
+
+def _jpeg_qtables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    if not 1 <= quality <= 100:
+        raise ValueError(f"encode_jpeg: quality {quality} not in 1..100")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    ql = np.clip((_JPEG_QL * scale + 50) // 100, 1, 255)
+    qc = np.clip((_JPEG_QC * scale + 50) // 100, 1, 255)
+    return ql, qc
+
+
+def _jpeg_huff_spec(freq256: np.ndarray) -> tuple[list[int], list[int]]:
+    """Annex K.2 optimal code-length generation: merge the two least
+    frequent 'packages' (symbol 256 reserved so no real symbol gets the
+    all-ones code), then ADJUST_BITS to the 16-bit baseline ceiling and
+    SORT_INPUT into (BITS[1..16], HUFFVAL)."""
+    freq = np.zeros(257, np.int64)
+    freq[:256] = freq256
+    freq[256] = 1
+    codesize = np.zeros(257, np.int64)
+    others = np.full(257, -1, np.int64)
+    while True:
+        nz = np.flatnonzero(freq > 0)
+        if len(nz) <= 1:
+            break
+        order = nz[np.lexsort((-nz, freq[nz]))]  # least freq, largest value first
+        v1, v2 = int(order[0]), int(order[1])
+        freq[v1] += freq[v2]
+        freq[v2] = 0
+        codesize[v1] += 1
+        while others[v1] != -1:
+            v1 = int(others[v1])
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] != -1:
+            v2 = int(others[v2])
+            codesize[v2] += 1
+    bits = [0] * 33
+    for s in codesize:
+        if s > 0:
+            if s > 32:
+                raise ValueError("encode_jpeg: huffman code length overflow")
+            bits[int(s)] += 1
+    i = 32  # ADJUST_BITS (Figure K.3)
+    while True:
+        if bits[i] > 0:
+            j = i - 1
+            while bits[j] <= 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        else:
+            i -= 1
+            if i != 16:
+                continue
+            while bits[i] == 0:
+                i -= 1
+            bits[i] -= 1  # drop the reserved symbol's code point
+            break
+    huffval = []  # SORT_INPUT: by code size, then symbol value
+    for size in range(1, 33):
+        for sym in range(256):
+            if codesize[sym] == size:
+                huffval.append(sym)
+    return bits[1:17], huffval
+
+
+def _jpeg_canonical(bits: list[int], huffval: list[int]) -> dict[int, tuple[int, int]]:
+    """(BITS, HUFFVAL) -> {symbol: (code, length)} per spec C.2."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[huffval[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _jpeg_category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+
+
+def _jpeg_blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) float64, H and W already multiples of 8 -> (N, 8, 8)
+    blocks in raster order."""
+    h, w = plane.shape
+    return (plane.reshape(h // 8, 8, w // 8, 8)
+            .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
+    """(H, W, 3) uint8 RGB or (H, W)/(H, W, 1) uint8 grayscale ->
+    baseline JFIF bytes (4:4:4, per-image optimal Huffman tables)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 3 and a.shape[2] == 1:
+        a = a[:, :, 0]
+    if a.ndim == 2:
+        planes_rgb = None
+        h, w = a.shape
+    elif a.ndim == 3 and a.shape[2] == 3:
+        planes_rgb = a.astype(np.float64)
+        h, w = a.shape[:2]
+    else:
+        raise ValueError(f"encode_jpeg expects (H,W[,1|3]) uint8, got {a.shape}")
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise ValueError(f"encode_jpeg: bad dimensions {h}x{w}")
+    if planes_rgb is None:
+        planes = [a.astype(np.float64)]
+    else:
+        r, g, b = planes_rgb[:, :, 0], planes_rgb[:, :, 1], planes_rgb[:, :, 2]
+        planes = [0.299 * r + 0.587 * g + 0.114 * b,
+                  -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+                  0.5 * r - 0.418688 * g - 0.081312 * b + 128.0]
+    ph, pw = -h % 8, -w % 8  # edge-replicate to 8x8 multiples
+    planes = [np.pad(p, ((0, ph), (0, pw)), mode="edge") for p in planes]
+    ql, qc = _jpeg_qtables(quality)
+    qts = [ql] + ([qc] if len(planes) == 3 else [])
+    comp_q = [0] if len(planes) == 1 else [0, 1, 1]
+    D = _JPEG_DCT
+    zig = _JPEG_ZIG
+    coefs = []
+    for ci, p in enumerate(planes):
+        blocks = _jpeg_blocks(p - 128.0)
+        F = np.einsum("ij,bjk,lk->bil", D, blocks, D)
+        q = np.round(F / qts[comp_q[ci]]).astype(np.int64)
+        coefs.append(q.reshape(-1, 64)[:, zig])
+    nb = coefs[0].shape[0]
+    # pass 1: symbol streams (per component class: luma=0, chroma=1)
+    ncls = 1 if len(planes) == 1 else 2
+    dc_freq = [np.zeros(256, np.int64) for _ in range(ncls)]
+    ac_freq = [np.zeros(256, np.int64) for _ in range(ncls)]
+    comp_cls = [0] if len(planes) == 1 else [0, 1, 1]
+    tokens = []  # (cls, kind, symbol, value_bits_len, value)
+    prev_dc = [0] * len(planes)
+    for bi in range(nb):
+        for ci in range(len(planes)):
+            cls = comp_cls[ci]
+            zz = coefs[ci][bi]
+            diff = int(zz[0]) - prev_dc[ci]
+            prev_dc[ci] = int(zz[0])
+            s = _jpeg_category(diff)
+            if s > 11:
+                raise ValueError("encode_jpeg: DC difference out of range")
+            dc_freq[cls][s] += 1
+            tokens.append((cls, 0, s, s, diff))
+            run = 0
+            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ac_freq[cls][0xF0] += 1
+                    tokens.append((cls, 1, 0xF0, 0, 0))
+                    run -= 16
+                s = _jpeg_category(v)
+                sym = (run << 4) | s
+                ac_freq[cls][sym] += 1
+                tokens.append((cls, 1, sym, s, v))
+                run = 0
+            if last_nz < 63:
+                ac_freq[cls][0x00] += 1
+                tokens.append((cls, 1, 0x00, 0, 0))
+    dc_spec = [_jpeg_huff_spec(f) for f in dc_freq]
+    ac_spec = [_jpeg_huff_spec(f) for f in ac_freq]
+    dc_codes = [_jpeg_canonical(*sp) for sp in dc_spec]
+    ac_codes = [_jpeg_canonical(*sp) for sp in ac_spec]
+    # pass 2: emit
+    bw = _JpegBitWriter()
+    for cls, kind, sym, vlen, v in tokens:
+        code, length = (dc_codes if kind == 0 else ac_codes)[cls][sym]
+        bw.put(code, length)
+        if vlen:
+            bw.put(v if v >= 0 else v + (1 << vlen) - 1, vlen)
+    bw.flush()
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    for ti, qt in enumerate(qts):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, ti) \
+            + bytes(qt.reshape(-1)[zig].astype(np.uint8))
+    nc = len(planes)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci in range(nc):
+        out += struct.pack("BBB", ci + 1, 0x11, comp_q[ci])
+    for tc, specs in ((0, dc_spec), (1, ac_spec)):
+        for ti, (bits, vals) in enumerate(specs):
+            out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), (tc << 4) | ti)
+            out += bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for ci in range(nc):
+        cls = comp_cls[ci]
+        out += struct.pack("BB", ci + 1, (cls << 4) | cls)
+    out += b"\x00\x3f\x00"  # Ss=0 Se=63 Ah/Al=0
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("decode_jpeg: entropy stream exhausted")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+
+def _jpeg_decode_tree(bits: list[int], huffval: list[int]):
+    """F.2.2.3 DECODE tables: per-length (mincode, maxcode, valptr)."""
+    mincode, maxcode, valptr = [0] * 17, [-1] * 17, [0] * 17
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        if bits[length - 1] == 0:
+            maxcode[length] = -1
+        else:
+            valptr[length] = k
+            mincode[length] = code
+            code += bits[length - 1]
+            k += bits[length - 1]
+            maxcode[length] = code - 1
+        code <<= 1
+    return mincode, maxcode, valptr, huffval
+
+
+def _jpeg_read_symbol(br: _JpegBitReader, tree) -> int:
+    mincode, maxcode, valptr, huffval = tree
+    code = br.read(1)
+    for length in range(1, 17):
+        if maxcode[length] >= 0 and code <= maxcode[length]:
+            return huffval[valptr[length] + code - mincode[length]]
+        code = (code << 1) | br.read(1)
+    raise ValueError("decode_jpeg: invalid huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> (H, W, 3) uint8 RGB (grayscale replicated
+    to 3 channels).  Supports SOF0 with 4:4:4 or single-component scans
+    and arbitrary DQT/DHT tables; progressive / subsampled / 12-bit /
+    arithmetic / restart-interval streams raise ValueError naming the
+    unsupported feature.  Per-bit entropy decoding is pure Python —
+    fine at fixture scale; a real deployment swaps Pillow in."""
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise ValueError("decode_jpeg: not a JPEG payload (no SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    trees: dict[tuple[int, int], tuple] = {}
+    sof = None
+    scan = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"decode_jpeg: expected marker at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                      0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"decode_jpeg: only baseline SOF0 supported (got SOF marker "
+                f"0x{marker:02x} — progressive/extended/arithmetic)")
+        (seglen,) = struct.unpack_from(">H", data, pos)
+        body = data[pos + 2: pos + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("decode_jpeg: truncated segment")
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 0x0F
+                if pq != 0:
+                    raise ValueError("decode_jpeg: 16-bit DQT not supported")
+                t = np.zeros(64, np.int64)
+                t[_JPEG_ZIG] = np.frombuffer(body, np.uint8, 64, o + 1)
+                qts[tq] = t.reshape(8, 8)
+                o += 65
+        elif marker == 0xC4:  # DHT
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 0x0F
+                bits = list(body[o + 1: o + 17])
+                nv = sum(bits)
+                vals = list(body[o + 17: o + 17 + nv])
+                trees[(tc, th)] = _jpeg_decode_tree(bits, vals)
+                o += 17 + nv
+        elif marker == 0xC0:  # SOF0
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError(f"decode_jpeg: precision {prec} not supported")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = struct.unpack_from("BBB", body, 6 + 3 * ci)
+                if hv != 0x11:
+                    raise ValueError(
+                        "decode_jpeg: chroma subsampling not supported (4:4:4 only)")
+                comps.append((cid, tq))
+            sof = (h, w, comps)
+        elif marker == 0xDD:
+            raise ValueError("decode_jpeg: restart intervals (DRI) not supported")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            smap = []
+            for si in range(ns):
+                cs, tables = body[1 + 2 * si], body[2 + 2 * si]
+                smap.append((cs, tables >> 4, tables & 0x0F))
+            scan = (smap, pos + seglen)
+            break
+        pos += seglen
+    if sof is None or scan is None:
+        raise ValueError("decode_jpeg: missing SOF0/SOS")
+    h, w, comps = sof
+    smap, epos = scan
+    if len(smap) != len(comps):
+        raise ValueError("decode_jpeg: scan/frame component mismatch")
+    # unstuff the entropy segment up to the next marker
+    entropy = bytearray()
+    p = epos
+    while p < len(data):
+        b = data[p]
+        if b == 0xFF:
+            nxt = data[p + 1] if p + 1 < len(data) else 0xD9
+            if nxt == 0x00:
+                entropy.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                raise ValueError("decode_jpeg: restart markers not supported")
+            break
+        entropy.append(b)
+        p += 1
+    br = _JpegBitReader(bytes(entropy))
+    bh, bw_ = (h + 7) // 8, (w + 7) // 8
+    nb = bh * bw_
+    cid_to_q = dict(comps)
+    out_planes = [np.zeros((nb, 64), np.float64) for _ in smap]
+    prev_dc = [0] * len(smap)
+    for bi in range(nb):
+        for si, (cs, tdc, tac) in enumerate(smap):
+            if (0, tdc) not in trees or (1, tac) not in trees:
+                raise ValueError("decode_jpeg: scan references missing DHT")
+            zz = np.zeros(64, np.int64)
+            s = _jpeg_read_symbol(br, trees[(0, tdc)])
+            diff = _jpeg_extend(br.read(s), s) if s else 0
+            prev_dc[si] += diff
+            zz[0] = prev_dc[si]
+            k = 1
+            while k < 64:
+                sym = _jpeg_read_symbol(br, trees[(1, tac)])
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0x0F
+                if size == 0:
+                    if run != 15:
+                        raise ValueError("decode_jpeg: bad AC symbol")
+                    k += 16
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("decode_jpeg: AC run past block end")
+                zz[k] = _jpeg_extend(br.read(size), size)
+                k += 1
+            if cid_to_q[cs] not in qts:
+                raise ValueError("decode_jpeg: frame references missing DQT")
+            deq = np.zeros(64, np.float64)
+            deq[_JPEG_ZIG] = zz * qts[cid_to_q[cs]].reshape(-1)[_JPEG_ZIG]
+            out_planes[si][bi] = deq
+    D = _JPEG_DCT
+    planes = []
+    for P_ in out_planes:
+        F = P_.reshape(nb, 8, 8)
+        blocks = np.einsum("ji,bjk,kl->bil", D, F, D) + 128.0
+        plane = (blocks.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3)
+                 .reshape(bh * 8, bw_ * 8))[:h, :w]
+        planes.append(plane)
+    if len(planes) == 1:
+        y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -134,8 +134,12 @@ class ImageDecoder:
             from ..functions.codecs import decode_gif
 
             return decode_gif(payload)
+        if payload[:2] == b"\xff\xd8":
+            from ..functions.codecs import decode_jpeg
+
+            return decode_jpeg(payload)
         raise ValueError(
-            "ImageDecoder: payload is not PNG/GIF/BMP/PPM — the only "
+            "ImageDecoder: payload is not JPEG/PNG/GIF/BMP/PPM — the only "
             "formats decodable with the stdlib; use fake=True or add a "
             "codec lib")
 

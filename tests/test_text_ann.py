@@ -140,10 +140,13 @@ def test_multimodal_stub_plumbing():
     assert feats["media_id"].tolist() == feats2["media_id"].tolist()
     frames = sample_frames(media, fps=2.0, fake=True).to_pandas()
     assert (frames["frame_idx"] >= 0).all() and len(frames) > 10
-    # real decoder refuses formats the stdlib can't parse (JPEG bytes)
+    # real decoder refuses formats the stdlib can't parse (TIFF bytes);
+    # malformed JPEG raises from the JPEG parser, never garbage
     import pytest
 
-    with pytest.raises(ValueError, match="PNG/GIF/BMP/PPM"):
+    with pytest.raises(ValueError, match="JPEG/PNG/GIF/BMP/PPM"):
+        ImageDecoder(fake=False).features(b"II*\x00tiff-ish")
+    with pytest.raises(ValueError, match="decode_jpeg"):
         ImageDecoder(fake=False).features(b"\xff\xd8\xff\xe0JFIFxxxx")
     # ...and malformed PNG raises from the PNG parser, never garbage
     with pytest.raises(ValueError, match="decode_png"):
@@ -691,3 +694,85 @@ def test_multimodal_corpus_includes_gif():
     for i in gif_rows:
         img = dec.decode(t["payload"][i].as_py())
         assert img.shape == (16, 16, 3) and img.dtype == np.uint8
+
+
+def test_jpeg_codec():
+    """Baseline JPEG: bounded lossy round-trips (uniform exact, smooth
+    gradients tight, quality monotone), grayscale, odd dimensions, and
+    named rejects for the unsupported baseline-extension features."""
+    import numpy as np
+    import pytest
+
+    from fora_ray.functions.codecs import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(11)
+    # uniform color blocks survive quantization exactly at high quality
+    for v in (0, 73, 128, 255):
+        img = np.full((16, 24, 3), v, np.uint8)
+        out = decode_jpeg(encode_jpeg(img, quality=95))
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+    # smooth gradient: tight error bound, non-multiple-of-8 dims
+    x = np.linspace(0, 255, 37)
+    gx, gy = np.meshgrid(np.linspace(0, 255, 29), x)
+    img = np.stack([gx, gy, (gx + gy) / 2], axis=2).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=90))
+    assert out.shape == img.shape
+    err90 = np.abs(out.astype(int) - img.astype(int))
+    assert err90.max() <= 12 and err90.mean() < 3
+    # quality is monotone in reconstruction error
+    noise = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    errs = [np.abs(decode_jpeg(encode_jpeg(noise, quality=q)).astype(int)
+                   - noise.astype(int)).mean() for q in (30, 70, 95)]
+    assert errs[0] > errs[1] > errs[2]
+    # grayscale input decodes to replicated RGB
+    g = rng.integers(0, 256, (17, 9), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(g, quality=95))
+    assert out.shape == (17, 9, 3)
+    assert (out[:, :, 0] == out[:, :, 1]).all()
+    # named rejects
+    good = bytearray(encode_jpeg(np.full((8, 8, 3), 50, np.uint8)))
+    with pytest.raises(ValueError, match="no SOI"):
+        decode_jpeg(b"NOPE" + bytes(good))
+    sof = bytes(good).find(b"\xff\xc0")
+    prog = bytearray(good)
+    prog[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2
+    with pytest.raises(ValueError, match="SOF0"):
+        decode_jpeg(bytes(prog))
+    sub = bytearray(good)
+    sub[sof + 11] = 0x22  # Y sampling 2x2 -> subsampled stream
+    with pytest.raises(ValueError, match="subsampling"):
+        decode_jpeg(bytes(sub))
+    with pytest.raises(ValueError, match="decode_jpeg"):
+        decode_jpeg(bytes(good[:40]))  # truncated mid-headers
+
+
+def test_jpeg_codec_property():
+    """Hypothesis: encode/decode stays within a conservative error bound
+    on arbitrary smooth images at arbitrary sizes/qualities."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fora_ray.functions.codecs import decode_jpeg, encode_jpeg
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.integers(1, 40), st.integers(1, 40), st.integers(60, 100),
+           st.integers(0, 2**31 - 1))
+    def run(h, w, q, seed):
+        rng = np.random.default_rng(seed)
+        # smooth: bilinear-ish upsample of a coarse 4x4 noise grid
+        coarse = rng.integers(0, 256, (4, 4, 3)).astype(np.float64)
+        yi = np.linspace(0, 3, h)
+        xi = np.linspace(0, 3, w)
+        y0, x0 = np.floor(yi).astype(int), np.floor(xi).astype(int)
+        y1, x1 = np.minimum(y0 + 1, 3), np.minimum(x0 + 1, 3)
+        fy, fx = (yi - y0)[:, None, None], (xi - x0)[None, :, None]
+        img = ((1 - fy) * (1 - fx) * coarse[y0][:, x0]
+               + (1 - fy) * fx * coarse[y0][:, x1]
+               + fy * (1 - fx) * coarse[y1][:, x0]
+               + fy * fx * coarse[y1][:, x1]).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(img, quality=q))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 48
+
+    run()
