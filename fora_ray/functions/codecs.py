@@ -1002,3 +1002,97 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# AVI — RIFF container with uncompressed 24-bit DIB video frames
+# ('00db' chunks, bottom-up BGR rows padded to 4 bytes — the same DIB
+# layout as decode_bmp; public Microsoft RIFF/AVI spec).  Lossless:
+# decode(encode(frames)) is byte-exact.  Compressed fourccs raise with
+# the handler named — that is the Pillow/ffmpeg drop-in point.
+# --------------------------------------------------------------------------
+
+
+def encode_avi_raw(frames: np.ndarray, fps: int = 10) -> bytes:
+    """(N, H, W, 3) uint8 RGB frames -> uncompressed AVI bytes."""
+    f = np.asarray(frames, dtype=np.uint8)
+    if f.ndim != 4 or f.shape[3] != 3 or f.shape[0] == 0:
+        raise ValueError(f"encode_avi_raw expects (N, H, W, 3) uint8, got {f.shape}")
+    if fps <= 0:
+        raise ValueError(f"encode_avi_raw: bad fps {fps}")
+    n, h, w, _ = f.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((n, h, stride), np.uint8)
+    rows[:, :, : w * 3] = f[:, ::-1, :, ::-1].reshape(n, h, w * 3)  # bottom-up BGR
+    frame_bytes = rows.reshape(n, -1)
+    fsize = stride * h
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack("<IIIIIIIIII4I", 1_000_000 // fps, fsize * fps, 0, 0x10,
+                       n, 0, 1, fsize, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"DIB " + struct.pack("<IIIIIIIIIi", 0, 0, 0, 1, fps, 0,
+                                            n, fsize, 0, 0)
+            + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, fsize, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh)
+                                                   + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", fb.tobytes()) for fb in frame_bytes))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_raw(data: bytes) -> tuple[np.ndarray, float]:
+    """Uncompressed-DIB AVI bytes -> ((N, H, W, 3) uint8 RGB, fps).
+    Compressed streams raise ValueError naming the fourcc."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("decode_avi_raw: not a RIFF/AVI payload")
+    strh = strf = None
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int):
+        nonlocal strh, strf
+        while pos + 8 <= end:
+            cid = data[pos: pos + 4]
+            (size,) = struct.unpack_from("<I", data, pos + 4)
+            body_start = pos + 8
+            if body_start + size > len(data):
+                raise ValueError("decode_avi_raw: truncated chunk")
+            if cid == b"LIST":
+                walk(body_start + 4, body_start + size)
+            elif cid == b"strh":
+                strh = data[body_start: body_start + size]
+            elif cid == b"strf":
+                strf = data[body_start: body_start + size]
+            elif cid[2:] in (b"db", b"dc"):
+                frames.append(data[body_start: body_start + size])
+            pos = body_start + size + (size & 1)
+
+    walk(12, len(data))
+    if strh is None or strf is None:
+        raise ValueError("decode_avi_raw: missing strh/strf headers")
+    if strh[:4] != b"vids":
+        raise ValueError("decode_avi_raw: first stream is not video")
+    scale, rate = struct.unpack_from("<II", strh, 20)
+    fps = rate / scale if scale else 0.0
+    _sz, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", strf, 0)
+    if comp != 0 or bpp != 24:
+        fourcc = strh[4:8].decode("ascii", "replace").strip()
+        raise ValueError(
+            f"decode_avi_raw: only uncompressed 24-bit DIB supported "
+            f"(handler {fourcc!r}, biCompression={comp}, bpp={bpp}) — swap "
+            f"ffmpeg/PyAV in for compressed video")
+    if w <= 0 or h <= 0 or not frames:
+        raise ValueError("decode_avi_raw: bad geometry or no frames")
+    stride = (w * 3 + 3) & ~3
+    out = np.empty((len(frames), h, w, 3), np.uint8)
+    for i, fb in enumerate(frames):
+        if len(fb) < stride * h:
+            raise ValueError(f"decode_avi_raw: frame {i} truncated")
+        rows = np.frombuffer(fb, np.uint8, stride * h).reshape(h, stride)
+        out[i] = rows[::-1, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+    return out, float(fps)

@@ -41,7 +41,7 @@ from .oracle import lpa_oracle, ppr_column_oracle, ppr_power_iteration
 
 ROUND = 9
 _WORD = re.compile(r"\w+")
-_VERSION = 26  # v26: + eigenvector / katz centrality goldens
+_VERSION = 27  # v27: real-AVI video rows in the media corpus RNG stream
 
 
 def _round_col(x: np.ndarray) -> np.ndarray:
@@ -602,7 +602,9 @@ def multimodal_decode_golden(sf_dir: str, n: int = 60, seed: int = 7,
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
         if kind == "video":
-            rng.integers(0, 256, size=64 + (i % 5) * 32, dtype=np.uint8)
+            # mirror the corpus's real-AVI frame draw to keep the RNG
+            # stream aligned (video rows aren't featurized here)
+            rng.integers(0, 256, size=(4, 8, 8, 3), dtype=np.uint8)
             continue
         if kind == "image":
             img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)

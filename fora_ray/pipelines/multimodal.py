@@ -46,23 +46,28 @@ def synthesize_media_table(n: int, seed: int = 42, real: bool = False) -> pa.Tab
     real=True: image rows are valid 16x16 images (seeded pixel
     patterns, cycling BMP / PPM / Paeth-filtered PNG / GIF — the GIF
     palette is exact: a 16x16 frame has <=256 pixels, so np.unique
-    yields a lossless color table) and audio rows are valid PCM-16 WAV
-    sine clips — decodable by the stdlib codecs, so the fake=False
-    pipeline runs end-to-end.  Video payloads stay opaque (container
-    parsing is the declared stub)."""
-    from ..functions.codecs import (encode_bmp, encode_gif, encode_png,
-                                    encode_ppm, encode_wav_pcm16)
+    yields a lossless color table), audio rows are valid PCM-16 WAV
+    sine clips, and video rows are 4-frame uncompressed RIFF/AVI clips
+    — all decodable by the stdlib codecs, so every fake=False pipeline
+    (decode_images, decode_audio, sample_frames) runs end-to-end on
+    real bytes."""
+    from ..functions.codecs import (encode_avi_raw, encode_bmp, encode_gif,
+                                    encode_png, encode_ppm, encode_wav_pcm16)
 
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     rows = {k.name: [] for k in MEDIA_SCHEMA}
     for i in range(n):
         kind = kinds[i % 3]
-        if not real or kind == "video":
+        if not real:
             payload = rng.integers(0, 256, size=64 + (i % 5) * 32, dtype=np.uint8).tobytes()
             mime = {"image": "image/png", "audio": "audio/wav",
                     "video": "video/mp4"}[kind]
             w = h = 64 if kind != "audio" else 0
+        elif kind == "video":  # real video: 4-frame 8x8 uncompressed AVI
+            frames = rng.integers(0, 256, size=(4, 8, 8, 3), dtype=np.uint8)
+            payload, mime = encode_avi_raw(frames, fps=8), "video/x-msvideo"
+            w = h = 8
         elif kind == "image":
             img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
             img[:, :, 0] = np.linspace(0, 255, 16, dtype=np.uint8)[None, :]
@@ -92,7 +97,13 @@ def synthesize_media_table(n: int, seed: int = 42, real: bool = False) -> pa.Tab
         rows["mime"].append(mime)
         rows["width"].append(w)
         rows["height"].append(h)
-        rows["duration_ms"].append(0 if kind == "image" else (50 if real else 1000 + i))
+        if kind == "image":
+            dur = 0
+        elif not real:
+            dur = 1000 + i
+        else:  # 50 ms audio clips; 4-frame @ 8 fps video = 500 ms
+            dur = 50 if kind == "audio" else 500
+        rows["duration_ms"].append(dur)
     return pa.table(
         {f.name: pa.array(rows[f.name], f.type) for f in MEDIA_SCHEMA}
     )
@@ -216,24 +227,45 @@ class AudioDecoder:
 
 
 class FrameSampler:
-    """Video frame sampling stub: emits frame indices (deterministic
-    stride) per video row; payload decode is stubbed like ImageDecoder."""
+    """Video frame sampling.  fake=True emits deterministic stride
+    indices derived from duration_ms (the plumbing-only path for opaque
+    payloads).  fake=False REALLY decodes the payload — uncompressed
+    RIFF/AVI via codecs.decode_avi_raw — samples frames at `fps`
+    against the container's own frame rate, and emits each sampled
+    frame's mean luminance (mean_lum in [0, 1]) as decode evidence.
+    Compressed fourccs raise with the handler named (the ffmpeg/PyAV
+    drop-in point)."""
 
     def __init__(self, fps: float = 1.0, fake: bool = False):
         self.fps = fps
-        if not fake:
-            raise NotImplementedError("video decoding unavailable; use fake=True")
+        self.fake = fake
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids, frames = [], []
-        for mid, dur in zip(t["media_id"].to_pylist(), t["duration_ms"].to_pylist()):
-            n_frames = max(int((dur or 0) / 1000.0 * self.fps), 1)
-            for k in range(n_frames):
+        if self.fake:
+            ids, frames = [], []
+            for mid, dur in zip(t["media_id"].to_pylist(), t["duration_ms"].to_pylist()):
+                n_frames = max(int((dur or 0) / 1000.0 * self.fps), 1)
+                for k in range(n_frames):
+                    ids.append(mid)
+                    frames.append(k)
+            return pa.table(
+                {"media_id": pa.array(ids, pa.int64()), "frame_idx": pa.array(frames, pa.int32())}
+            )
+        from ..functions.codecs import decode_avi_raw
+
+        ids, frames, lums = [], [], []
+        for mid, payload in zip(t["media_id"].to_pylist(), t["payload"].to_pylist()):
+            arr, src_fps = decode_avi_raw(payload)
+            step = max(int(round(src_fps / self.fps)), 1) if self.fps > 0 else 1
+            for k in range(0, arr.shape[0], step):
                 ids.append(mid)
                 frames.append(k)
-        return pa.table(
-            {"media_id": pa.array(ids, pa.int64()), "frame_idx": pa.array(frames, pa.int32())}
-        )
+                lums.append(float(arr[k].astype(np.float64).mean()) / 255.0)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(frames, pa.int32()),
+            "mean_lum": pa.array(lums, pa.float64()),
+        })
 
 
 def decode_images(media_ds, fake: bool = False, batch_size: int = 64, concurrency=None):

@@ -776,3 +776,40 @@ def test_jpeg_codec_property():
         assert np.abs(out.astype(int) - img.astype(int)).max() <= 48
 
     run()
+
+
+def test_avi_codec_and_real_frame_sampling():
+    """Uncompressed AVI round-trips byte-exact; sample_frames(fake=False)
+    decodes the corpus's real video rows end-to-end through the actor
+    pool, sampling against the container's own frame rate; compressed
+    fourccs raise with the handler named."""
+    import numpy as np
+    import pytest
+
+    from fora_ray.functions.codecs import decode_avi_raw, encode_avi_raw
+    from fora_ray.pipelines.multimodal import sample_frames, synthesize_media_table
+
+    rng = np.random.default_rng(9)
+    for (n, h, w, fps) in ((1, 1, 1, 1), (4, 8, 8, 10), (3, 9, 7, 25)):
+        f = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+        g, got_fps = decode_avi_raw(encode_avi_raw(f, fps=fps))
+        assert (g == f).all() and got_fps == fps
+    # compressed stream rejected by handler name
+    good = bytearray(encode_avi_raw(rng.integers(0, 256, (2, 4, 4, 3), dtype=np.uint8)))
+    strf = bytes(good).find(b"strf")
+    comp = bytearray(good)
+    comp[strf + 8 + 16] = 1  # biCompression = BI_RLE8
+    with pytest.raises(ValueError, match="uncompressed"):
+        decode_avi_raw(bytes(comp))
+    with pytest.raises(ValueError, match="not a RIFF/AVI"):
+        decode_avi_raw(b"RIFX" + bytes(good[4:]))
+    # end-to-end: real corpus video rows through the sampling actor pool
+    media = ray.data.from_arrow(synthesize_media_table(30, real=True))
+    frames = sample_frames(media, fps=8.0, fake=False).to_pandas()
+    # 10 video rows x 4 frames @ 8 fps sampled at 8 fps = every frame
+    assert len(frames) == 40
+    assert set(frames["frame_idx"]) == {0, 1, 2, 3}
+    assert ((frames["mean_lum"] > 0.3) & (frames["mean_lum"] < 0.7)).all()
+    # sampling at half the source rate takes every other frame
+    half = sample_frames(media, fps=4.0, fake=False).to_pandas()
+    assert len(half) == 20 and set(half["frame_idx"]) == {0, 2}
