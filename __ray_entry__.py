@@ -341,6 +341,24 @@ def _queries_documents():
             widen("audio"), batch_format="pyarrow")
         return imgs.union(auds).sort("media_id")
 
+    def video_frames_q(sf_dir):
+        """REAL video decode end-to-end: the corpus's uncompressed-AVI
+        rows flow payload -> actor-pool decode_avi_raw -> per-frame
+        mean luminance (FrameSampler at the container's own rate).  The
+        golden regenerates the SOURCE frame arrays from the same RNG
+        stream without the codec (goldens.video_frames_golden)."""
+        import ray
+
+        from fora_ray.goldens import ROUND
+        from fora_ray.pipelines.multimodal import (
+            sample_frames, synthesize_media_table)
+
+        media = ray.data.from_arrow(synthesize_media_table(60, seed=7, real=True))
+        df = (sample_frames(media, fps=8.0, fake=False).to_pandas()
+              .sort_values(["media_id", "frame_idx"]).reset_index(drop=True))
+        df["mean_lum"] = df["mean_lum"].round(ROUND)
+        return df
+
     def dup_clusters_q(sf_dir):
         from fora_ray.pipelines.dedup import dup_clusters
 
@@ -382,6 +400,7 @@ def _queries_documents():
         "dup_clusters": dup_clusters_q,
         "multimodal_features": multimodal_features_q,
         "multimodal_decode": multimodal_decode_q,
+        "video_frames": video_frames_q,
         "docs_exact_dedup": lambda sf: exact_dedup(_docs(sf)),
         "chunk_dedup": lambda sf: (
             __import__("fora_ray.pipelines.dedup", fromlist=["chunk_dedup_stats"])
@@ -1505,6 +1524,11 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": (
             f"SELECT * FROM read_parquet('{gold['multimodal_features']}') "
             "ORDER BY media_id"
+        ),
+        "video_frames": (
+            f"SELECT media_id, frame_idx, mean_lum "
+            f"FROM read_parquet('{gold['video_frames']}') "
+            "ORDER BY media_id, frame_idx"
         ),
         "multimodal_decode": (
             f"SELECT * FROM read_parquet('{gold['multimodal_decode']}') "

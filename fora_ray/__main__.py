@@ -17,7 +17,7 @@
                                 [--p P] [--phi X] [--quantiles 0.25,0.5] [--bins N]
     python -m fora_ray walks    --graph DIR --out DIR [--nwalks N] [--walk-len L] [--window W] [--p P --q Q]
                                 [--sample-seeds 0,1,2 --fanouts 10,5]
-    python -m fora_ray analyze  --graph DIR --out DIR --op scc|hits|kcore|bfs|harmonic|diameter|betweenness|mis|color|ktruss
+    python -m fora_ray analyze  --graph DIR --out DIR --op scc|hits|kcore|bfs|harmonic|diameter|betweenness|mis|color|ktruss|trussness|eigenvector|katz|assortativity|modularity
 
 --graph DIR is a shard dir written by `ingest` (csr/ + meta.json).
 Every command writes its result as partitioned Parquet plus a
@@ -444,7 +444,46 @@ def cmd_analyze(args):
     t0 = time.time()
     os.makedirs(args.out, exist_ok=True)
     stats: dict = {}
-    if op in ("scc", "hits", "betweenness"):
+    if op in ("eigenvector", "katz"):
+        h = _load_graph(args.graph)
+        try:
+            if op == "eigenvector":
+                ds, stats = alg.eigenvector_centrality(h, max_iters=args.iters)
+            else:
+                ds, stats = alg.katz_centrality(h, max_iters=args.iters)
+            ds.write_parquet(os.path.join(args.out, op))
+        finally:
+            h.close()
+    elif op == "assortativity":
+        from .pipelines.graphstats import degree_assortativity
+
+        edges = ray.data.read_parquet(os.path.join(args.graph, "edges"))
+        degrees = ray.data.read_parquet(os.path.join(args.graph, "degrees"))
+        n = degrees.count()
+        tab = degree_assortativity(edges, degrees, n)
+        ray.data.from_arrow(tab).write_parquet(os.path.join(args.out, op))
+        stats = {"edges": int(tab["edges"][0].as_py()),
+                 "assortativity": float(tab["assortativity"][0].as_py())}
+    elif op == "modularity":
+        from .pipelines.graphstats import modularity as _modularity
+
+        h = _load_graph(args.graph, sym=True)
+        try:
+            labels, stats = alg.label_propagation(h, max_rounds=args.iters)
+            import pyarrow as pa
+
+            sym_edges = ray.data.read_parquet(
+                os.path.join(args.graph, "edges")).map_batches(
+                lambda t: pa.concat_tables([
+                    t, t.select(["dst", "src"]).rename_columns(["src", "dst"])]),
+                batch_format="pyarrow")
+            tab = _modularity(sym_edges, labels, h.n)
+            ray.data.from_arrow(tab).write_parquet(os.path.join(args.out, op))
+            stats = {**stats, "communities": tab.num_rows,
+                     "Q": float(__import__("numpy").asarray(tab["q_contrib"]).sum())}
+        finally:
+            h.close()
+    elif op in ("scc", "hits", "betweenness"):
         h = _load_graph(args.graph)
         edges = ray.data.read_parquet(os.path.join(args.graph, "edges"))
         rev = edges.map_batches(
@@ -479,10 +518,11 @@ def cmd_analyze(args):
             elif op == "color":
                 ds, stats = alg.greedy_color(h, seed=args.seed)
                 ds.write_parquet(os.path.join(args.out, op))
-            elif op == "ktruss":
+            elif op in ("ktruss", "trussness"):
                 import pyarrow as pa
 
                 from .graph.triangles import ktruss as _ktruss
+                from .graph.triangles import trussness as _trussness
 
                 def _both_dirs(t: "pa.Table") -> "pa.Table":
                     return pa.concat_tables([
@@ -492,7 +532,10 @@ def cmd_analyze(args):
                 sym_edges = ray.data.read_parquet(
                     os.path.join(args.graph, "edges")).map_batches(
                     _both_dirs, batch_format="pyarrow")
-                ds, stats = _ktruss(sym_edges, h.n, k=args.k)
+                if op == "ktruss":
+                    ds, stats = _ktruss(sym_edges, h.n, k=args.k)
+                else:
+                    ds, stats = _trussness(sym_edges, h.n)
                 ds.write_parquet(os.path.join(args.out, op))
             elif op == "harmonic":
                 ds, stats = alg.harmonic_centrality(
@@ -593,7 +636,8 @@ def main(argv=None):
     p.add_argument("--out", required=True)
     p.add_argument("--op", default="scc",
                    choices=["scc", "hits", "kcore", "bfs", "harmonic", "diameter",
-                            "betweenness", "mis", "color", "ktruss"])
+                            "betweenness", "mis", "color", "ktruss", "trussness",
+                            "eigenvector", "katz", "assortativity", "modularity"])
     p.add_argument("--sources", default="0")
     p.add_argument("--n-pivots", type=int, default=8)
     p.add_argument("--iters", type=int, default=40)

@@ -41,7 +41,7 @@ from .oracle import lpa_oracle, ppr_column_oracle, ppr_power_iteration
 
 ROUND = 9
 _WORD = re.compile(r"\w+")
-_VERSION = 27  # v27: real-AVI video rows in the media corpus RNG stream
+_VERSION = 28  # v28: + video_frames golden (real-AVI corpus rows, v27)
 
 
 def _round_col(x: np.ndarray) -> np.ndarray:
@@ -1250,8 +1250,36 @@ def value_quantiles_golden(sf_dir: str, qs=(0.1, 0.5, 0.9), bins: int = 4096) ->
     })
 
 
+def video_frames_golden(sf_dir: str, n: int = 60, seed: int = 7) -> pa.Table:
+    """Frame-sampling oracle computed WITHOUT the AVI codec: replays
+    synthesize_media_table(real=True)'s RNG stream to regenerate the
+    SOURCE frame arrays and emits each frame's mean luminance — the
+    engine path goes frames -> encode_avi_raw -> binary column ->
+    actor-pool decode_avi_raw -> per-frame stats (FrameSampler)."""
+    rng = np.random.default_rng(seed)
+    ids, fidx, lums = [], [], []
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        if kind == "image":
+            rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        elif kind == "audio":
+            rng.integers(0, 800)
+        else:
+            frames = rng.integers(0, 256, size=(4, 8, 8, 3), dtype=np.uint8)
+            for k in range(4):
+                ids.append(i)
+                fidx.append(k)
+                lums.append(float(frames[k].astype(np.float64).mean()) / 255.0)
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "frame_idx": pa.array(fidx, pa.int32()),
+        "mean_lum": pa.array(np.round(np.array(lums), ROUND), pa.float64()),
+    })
+
+
 _DOC_GOLDENS = {
     "events_distinct_users": distinct_users_hll_golden,
+    "video_frames": video_frames_golden,
     "events_value_quantiles": value_quantiles_golden,
     "langid": langid_golden,
     "doc_fingerprints": fingerprints_golden,
