@@ -742,6 +742,16 @@ def _queries_graph():
         return (tab.to_pandas()
                 .sort_values(["hop", "src", "dst"]).reset_index(drop=True))
 
+    def local_cluster_q(sf_dir):
+        from fora_ray.goldens import ROUND
+
+        g = _graph(sf_dir)
+        tab, _stats = alg.local_cluster(g["handle_sym"], g["sym"],
+                                        seed_node=0, rmax=1e-4)
+        df = tab.to_pandas().sort_values("node_id").reset_index(drop=True)
+        df["ppr"] = df["ppr"].round(ROUND)
+        return df
+
     def assortativity_q(sf_dir):
         from fora_ray.pipelines.graphstats import degree_assortativity
 
@@ -783,6 +793,7 @@ def _queries_graph():
         "katz": katz_q,
         "assortativity": assortativity_q,
         "modularity": modularity_q,
+        "local_cluster": local_cluster_q,
         "ppr_exact": ppr_exact,
         "fora_ppr": fora_ppr,
         "ppr_batch": ppr_batch_q,
@@ -1343,6 +1354,10 @@ def oracle_sql() -> dict[str, str]:
         "katz": (
             f"SELECT node_id, katz FROM read_parquet('{gold['katz']}') "
             "ORDER BY node_id"
+        ),
+        "local_cluster": (
+            f"SELECT node_id, sweep_rank, ppr, deg, in_cluster "
+            f"FROM read_parquet('{gold['local_cluster']}') ORDER BY node_id"
         ),
         "diameter_est": (
             "SELECT diameter_lb, far_a, far_b, n_reached "

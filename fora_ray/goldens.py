@@ -41,7 +41,7 @@ from .oracle import lpa_oracle, ppr_column_oracle, ppr_power_iteration
 
 ROUND = 9
 _WORD = re.compile(r"\w+")
-_VERSION = 28  # v28: + video_frames golden (real-AVI corpus rows, v27)
+_VERSION = 29  # v29: + local_cluster (ACL sweep) golden
 
 
 def _round_col(x: np.ndarray) -> np.ndarray:
@@ -1126,6 +1126,65 @@ def betweenness_golden(fix_dir: str, n_pivots: int = 8,
                      "betweenness": pa.array(np.round(bc, 6))})
 
 
+def local_cluster_golden(fix_dir: str, rmax: float = 1e-4,
+                         seed_node: int = 0) -> pa.Table:
+    """ACL PPR-Nibble oracle: the push phase replays the P-shard
+    protocol bit-exactly (ProtocolSim), the sweep is an INDEPENDENT
+    python implementation (set-membership adjacency walk instead of
+    the engine's vectorized rank-bincount prefix)."""
+    import math as _math
+
+    from .protocol_ref import ProtocolSim
+
+    e, n = _fixture_graph(fix_dir)
+    sym = np.unique(np.vstack([e, e[:, ::-1]]), axis=0)
+    sym = sym[sym[:, 0] != sym[:, 1]]
+    sim = ProtocolSim(sym, n, P=4)
+    for sh in sim.shards:
+        sh.init_single(seed_node)
+    sim._push_loop(seed_node, rmax)
+    reserve = sim._reserve_dense()
+    sup = np.flatnonzero(reserve).astype(np.int64)
+    ppr = reserve[sup]
+    deg_all = np.bincount(sym[:, 0], minlength=n)
+    deg = deg_all[sup]
+    S = len(sup)
+    if S and deg.max(initial=0) == 0:
+        return pa.table({"node_id": pa.array(sup),
+                         "sweep_rank": pa.array(np.zeros(S, np.int64)),
+                         "ppr": pa.array(_round_col(ppr)),
+                         "deg": pa.array(deg),
+                         "in_cluster": pa.array(np.ones(S, bool))})
+    key = np.where(deg > 0, ppr / np.maximum(deg, 1), -1.0)
+    order = np.lexsort((sup, -key))
+    supset = set(sup.tolist())
+    nbrs: dict[int, list[int]] = {int(u): [] for u in sup}
+    for u, v in sym:
+        if int(u) in supset and int(v) in supset:
+            nbrs[int(u)].append(int(v))
+    M = len(sym)
+    members: set[int] = set()
+    vol = internal = 0
+    best_phi, best_k = _math.inf, S - 1
+    for k in range(S):
+        v = int(sup[order[k]])
+        vol += int(deg_all[v])
+        internal += sum(1 for w in nbrs[v] if w in members)
+        members.add(v)
+        denom = min(vol, M - vol)
+        if denom > 0:
+            phi = (vol - 2 * internal) / denom
+            if phi < best_phi:
+                best_phi, best_k = phi, k
+    rank = np.empty(S, np.int64)
+    rank[order] = np.arange(S)
+    return pa.table({"node_id": pa.array(sup),
+                     "sweep_rank": pa.array(rank),
+                     "ppr": pa.array(_round_col(ppr)),
+                     "deg": pa.array(deg),
+                     "in_cluster": pa.array(rank <= best_k)})
+
+
 def eigenvector_golden(fix_dir: str, max_iters: int = 30) -> pa.Table:
     """Shifted power iteration x <- normalize(A^T x + x), fixed
     iterations — single-process numpy replay of the engine's sweep
@@ -1186,6 +1245,7 @@ _GRAPH_GOLDENS = {
     "neighbor_sample": neighbor_sample_golden,
     "eigenvector": eigenvector_golden,
     "katz": katz_golden,
+    "local_cluster": local_cluster_golden,
 }
 def distinct_users_hll_golden(sf_dir: str, p: int = 12) -> pa.Table:
     """Pure-python HyperLogLog replay over events.user_id — independent

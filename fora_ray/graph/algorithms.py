@@ -1169,6 +1169,120 @@ def hits(handle_fwd, handle_rev, max_iters: int = 40, tol: float = 0.0):
     return ray.data.from_arrow_refs(tables), {"iters": iters, "delta": delta}
 
 
+def local_cluster(handle, edges_sym_ds, seed_node: int, rmax: float = 1e-4):
+    """PPR-Nibble local clustering — the canonical application of
+    approximate PPR (Andersen-Chung-Lang, FOCS'06: "Local Graph
+    Partitioning using PageRank Vectors").  `handle` and
+    `edges_sym_ds` must describe the SAME symmetrized graph.
+
+    Phase 1: deterministic thresholded forward push (G1) from the seed
+    at `rmax` — no walk phase, so the APPR vector is reproducible and
+    the support volume is bounded by 1/(alpha*rmax) (ACL Lemma 2).
+    That bound is what makes the driver-side sweep legitimate at 100 TB
+    scale: the sweep set is a LOCAL neighborhood sized by rmax, never
+    the graph.
+
+    Phase 2: ONE membership-filtered streaming pass over the edge
+    table gathers the support's global degrees and induced adjacency
+    (<= vol(support) rows by the same bound), then the classic sweep:
+    order the support by reserve/degree, take the prefix of minimum
+    conductance phi(S) = cut(S) / min(vol(S), vol(V)-vol(S)).  cut,
+    vol and the internal-edge counts are integers, so the sweep is
+    bit-deterministic.
+
+    Returns (pa.Table (node_id, sweep_rank, ppr, deg, in_cluster),
+    stats {conductance, cluster_size, support_size, rounds}).
+    """
+    import pyarrow as pa
+
+    src_e = handle.to_engine(seed_node)
+    handle.call_all("ppr_init", src_e)
+    pstats = _push_loop(handle, src_e, rmax=rmax, sweep_all=False)
+    sc = handle.scores_dataset().to_pandas()
+    sup = np.sort(sc["node_id"].to_numpy().astype(np.int64))
+    S = len(sup)
+    ppr = np.zeros(S)
+    ppr[np.searchsorted(sup, sc["node_id"].to_numpy().astype(np.int64))] = \
+        sc["ppr"].to_numpy()
+
+    class _SupportEdges:
+        """Keep edge rows whose src is in the support; flag dst
+        membership.  The support array rides once via ray.put."""
+
+        def __init__(self, sup_ref):
+            self.sup = ray.get(sup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            empty = pa.table({"src": pa.array([], pa.int64()),
+                              "dst": pa.array([], pa.int64()),
+                              "dst_in": pa.array([], pa.int8())})
+            if t.num_rows == 0 or "src" not in t.schema.names:
+                return empty
+            s = t["src"].to_numpy(zero_copy_only=False)
+            d = t["dst"].to_numpy(zero_copy_only=False)
+            si = np.searchsorted(self.sup, s)
+            keep = (si < len(self.sup)) & (self.sup[np.minimum(si, len(self.sup) - 1)] == s)
+            if not keep.any():
+                return empty
+            s, d = s[keep], d[keep]
+            di = np.searchsorted(self.sup, d)
+            din = (di < len(self.sup)) & (self.sup[np.minimum(di, len(self.sup) - 1)] == d)
+            return pa.table({"src": pa.array(s), "dst": pa.array(d),
+                             "dst_in": pa.array(din.astype(np.int8))})
+
+    rows = edges_sym_ds.map_batches(
+        _SupportEdges(ray.put(sup)), batch_format="pyarrow", batch_size=None)
+    deg = np.zeros(S, np.int64)
+    int_src, int_dst = [], []
+    for ref in rows.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0 or "src" not in t.schema.names:
+            continue
+        s = np.searchsorted(sup, t["src"].to_numpy(zero_copy_only=False))
+        deg += np.bincount(s, minlength=S)
+        din = t["dst"].to_numpy(zero_copy_only=False)[
+            t["dst_in"].to_numpy(zero_copy_only=False).astype(bool)]
+        int_src.append(s[t["dst_in"].to_numpy(zero_copy_only=False).astype(bool)])
+        int_dst.append(np.searchsorted(sup, din))
+    if deg.max(initial=0) == 0:  # isolated seed: trivial singleton
+        tab = pa.table({"node_id": pa.array(sup), "sweep_rank": pa.array(
+            np.zeros(S, np.int64)), "ppr": pa.array(ppr),
+            "deg": pa.array(deg), "in_cluster": pa.array(np.ones(S, bool))})
+        return tab, {"conductance": float("nan"), "cluster_size": S,
+                     "support_size": S, "rounds": pstats["rounds"]}
+    # sweep order: reserve/degree descending, node id ascending
+    key = np.where(deg > 0, ppr / np.maximum(deg, 1), -1.0)
+    order = np.lexsort((sup, -key))
+    rank = np.empty(S, np.int64)
+    rank[order] = np.arange(S)
+    iu = np.concatenate(int_src) if int_src else np.empty(0, np.int64)
+    iv = np.concatenate(int_dst) if int_dst else np.empty(0, np.int64)
+    ru, rv = rank[iu], rank[iv]
+    late = np.maximum(ru, rv)[ru > rv]  # each undirected internal edge once
+    internal = np.cumsum(np.bincount(late, minlength=S))
+    vol = np.cumsum(deg[order])
+    cut = vol - 2 * internal
+    M = handle.m
+    denom = np.minimum(vol, M - vol)
+    valid = denom > 0
+    if not valid.any():
+        best_k, best_phi = S - 1, float("nan")
+    else:
+        phi = np.where(valid, cut / np.maximum(denom, 1), np.inf)
+        best_k = int(np.argmin(phi))
+        best_phi = float(phi[best_k])
+    in_cluster = rank <= best_k
+    tab = pa.table({
+        "node_id": pa.array(sup),
+        "sweep_rank": pa.array(rank),
+        "ppr": pa.array(ppr),
+        "deg": pa.array(deg),
+        "in_cluster": pa.array(in_cluster),
+    })
+    return tab, {"conductance": best_phi, "cluster_size": int(best_k + 1),
+                 "support_size": S, "rounds": pstats["rounds"]}
+
+
 def eigenvector_centrality(handle, max_iters: int = 30, tol: float = 0.0):
     """Eigenvector centrality (Bonacich '72) of the DIRECTED graph —
     in-edge based like the classic formulation: x_v ∝ Σ_{u→v} x_u, i.e.

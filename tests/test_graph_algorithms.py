@@ -573,3 +573,42 @@ def test_eigenvector_degree_balanced_parity(graph600):
     got = np.zeros(n)
     got[sp["node_id"]] = sp["ev"]
     assert np.allclose(got, _np_eigenvector(edges, n), atol=1e-9)
+
+
+# ---- PPR-Nibble local clustering (ACL sweep) -------------------------------
+
+def test_local_cluster_bridge8():
+    """Seed inside one K4 of BRIDGE8: the min-conductance sweep prefix
+    must be exactly that clique (one bridge edge out of volume 13)."""
+    sym = symmetrized(BRIDGE8)
+    with GraphHandle.from_edges(to_dataset(sym), 8, P=2) as h:
+        tab, stats = alg.local_cluster(h, to_dataset(sym), seed_node=0,
+                                       rmax=1e-6)
+    df = tab.to_pandas()
+    cluster = set(df[df["in_cluster"]]["node_id"])
+    assert cluster == {0, 1, 2, 3}
+    assert stats["cluster_size"] == 4
+    # K4 + bridge: cut 1, vol 3*4+1 = 13, phi = 1/13
+    assert abs(stats["conductance"] - 1 / 13) < 1e-12
+    # support degrees are the GLOBAL symmetrized degrees
+    assert df.set_index("node_id")["deg"][3] == 4  # 3 clique edges + bridge
+
+
+def test_local_cluster_matches_golden(fix600):
+    """Engine sweep == the golden's independent set-walk sweep on the
+    600-node fixture (support, ranks, membership, conductance)."""
+    from fora_ray.goldens import local_cluster_golden
+    from fora_ray.pipelines.ingest import ingest_fixture
+    from fora_ray.stages.shuffle import coalesce_blocks
+
+    t = ingest_fixture(fix600)
+    sym = coalesce_blocks(t["edges_undirected"])
+    with GraphHandle.from_edges(sym, t["n_nodes"], P=4) as h:
+        tab, stats = alg.local_cluster(h, sym, seed_node=0, rmax=1e-4)
+    got = tab.to_pandas().sort_values("node_id").reset_index(drop=True)
+    want = local_cluster_golden(fix600).to_pandas()
+    assert got["node_id"].tolist() == want["node_id"].tolist()
+    assert got["sweep_rank"].tolist() == want["sweep_rank"].tolist()
+    assert got["in_cluster"].tolist() == want["in_cluster"].tolist()
+    assert got["deg"].tolist() == want["deg"].tolist()
+    assert np.allclose(got["ppr"].round(9), want["ppr"])
