@@ -930,11 +930,18 @@ def _queries_events():
             ["user_id", "session_start", "n_events"]
         )
 
+    def events_funnel(sf_dir):
+        from fora_ray.pipelines.events import funnel
+
+        return funnel(_ev(sf_dir), ["view", "click", "purchase"],
+                      window_s=86400)
+
     return {
         "events_tumbling": events_tumbling,
         "events_sliding": events_sliding,
         "events_top_users": events_top_users,
         "events_sessions": events_sessions,
+        "events_funnel": events_funnel,
         "events_props": events_props,
         "events_distinct_users": events_distinct_users,
         "events_heavy_hitters": events_heavy_hitters,
@@ -1520,6 +1527,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events
             FROM sess GROUP BY user_id, sid
             ORDER BY user_id, session_start
+        """,
+        "events_funnel": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t2
+              FROM events e JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'click' AND e.ts >= s1.t1
+                AND e.ts <= s1.t1 + INTERVAL 1 DAY
+              GROUP BY e.user_id
+            ),
+            s3 AS (
+              SELECT e.user_id, min(e.ts) AS t3
+              FROM events e JOIN s2 ON e.user_id = s2.user_id
+                            JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+                AND e.ts <= s1.t1 + INTERVAL 1 DAY
+              GROUP BY e.user_id
+            )
+            SELECT * FROM (
+              SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+                     CAST(count(*) AS BIGINT) AS users FROM s1
+              UNION ALL
+              SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+              UNION ALL
+              SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3
+            ) ORDER BY step
         """,
         "ann_ivf": (
             f"SELECT query_id, rank, vec_id FROM read_parquet('{gold['ann_ivf']}') "

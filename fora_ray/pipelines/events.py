@@ -137,3 +137,86 @@ def top_users_by_value(events_ds, k: int = 10):
         Sum("value", alias_name="sum_value"), Count(alias_name="n_events")
     )
     return agg.sort(["sum_value", "user_id"], descending=[True, False]).limit(k)
+
+
+def funnel(events_ds, steps: list[str], window_s: int = 86400):
+    """Strict-sequence funnel analysis: how many users complete step 1
+    (first event of type steps[0]), then step 2 (first steps[1] event
+    at-or-after their step-1 time), ... all within `window_s` of the
+    user's FUNNEL START (the step-1 timestamp).  The standard product
+    conversion query.
+
+    Shuffle shape: one column-pruned filter pass (only funnel-step
+    rows survive), users hash-bucketed like session_windows, one
+    vectorized kernel per bucket (lexsort + per-step minimum.at over
+    dense user indices — K tiny passes, no per-user Python), then a
+    K-row groupby sum.  Output: (step:int64 1-based, event_type,
+    users:int64) sorted by step — users is monotone non-increasing.
+    """
+    from ..stages.shuffle import bucket_apply, drop_empty_blocks
+
+    if not steps or len(set(steps)) != len(steps):
+        raise ValueError("funnel: steps must be non-empty and distinct")
+    win_us = int(window_s) * 1_000_000
+    K = len(steps)
+    _empty = pa.table({
+        "step": pa.array([], pa.int64()),
+        "event_type": pa.array([], pa.string()),
+        "users": pa.array([], pa.int64()),
+    })
+
+    def keep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_type" not in t.schema.names:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "ts": pa.array([], pa.timestamp("us")),
+                             "event_type": pa.array([], pa.string())})
+        m = pc.is_in(t["event_type"], value_set=pa.array(steps))
+        return t.select(["user_id", "ts", "event_type"]).filter(m)
+
+    step_of = {s: i for i, s in enumerate(steps)}
+
+    def kern(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "user_id" not in g.schema.names:
+            return _empty
+        user = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        sid = np.array([step_of[x] for x in g["event_type"].to_pylist()],
+                       dtype=np.int64)
+        order = np.lexsort((ts, user))
+        user, ts, sid = user[order], ts[order], sid[order]
+        new = np.empty(user.size, dtype=bool)
+        new[0] = True
+        new[1:] = user[1:] != user[:-1]
+        uidx = np.cumsum(new) - 1
+        U = int(uidx[-1]) + 1
+        big = np.iinfo(np.int64).max
+        counts = np.zeros(K, np.int64)
+        prev = np.full(U, big)
+        deadline = np.full(U, big)
+        for s in range(K):
+            m = sid == s
+            if s == 0:
+                cur = np.full(U, big)
+                np.minimum.at(cur, uidx[m], ts[m])
+                deadline = np.where(cur < big, cur + win_us, big)
+            else:
+                ok = m & (prev[uidx] < big) & (ts >= prev[uidx]) & (ts <= deadline[uidx])
+                cur = np.full(U, big)
+                np.minimum.at(cur, uidx[ok], ts[ok])
+            counts[s] = int((cur < big).sum())
+            prev = cur
+        return pa.table({
+            "step": pa.array(np.arange(1, K + 1, dtype=np.int64)),
+            "event_type": pa.array(steps, pa.string()),
+            "users": pa.array(counts),
+        })
+
+    partials = bucket_apply(
+        events_ds.map_batches(keep, batch_format="pyarrow"), "user_id", kern)
+    return (
+        drop_empty_blocks(partials)
+        .groupby(["step", "event_type"])
+        .sum("users")
+        .rename_columns({"sum(users)": "users"})
+        .sort("step")
+    )

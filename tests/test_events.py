@@ -79,3 +79,46 @@ def test_top_users_matches_duckdb():
     ).df()
     assert got["user_id"].tolist() == want["user_id"].tolist()
     assert np.allclose(got["sum_value"], want["sum_value"])
+
+
+def test_funnel_hand_case():
+    """Hand-built users: one completes all 3 steps in order, one clicks
+    BEFORE viewing (step 2 not counted), one views only, one converts
+    outside the window."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray
+
+    from fora_ray.pipelines.events import funnel
+
+    us = 1_000_000
+
+    def ts(sec):
+        return np.datetime64("2026-01-01T00:00:00", "us") + np.timedelta64(sec * us, "us")
+
+    rows = [
+        # user 1: view @0, click @10, purchase @20 -> completes all
+        (1, ts(0), "view"), (1, ts(10), "click"), (1, ts(20), "purchase"),
+        # user 2: click @0 BEFORE view @10 -> stops at step 1
+        (2, ts(0), "click"), (2, ts(10), "view"),
+        # user 3: view only
+        (3, ts(0), "view"),
+        # user 4: view @0, click past the 60 s window
+        (4, ts(0), "view"), (4, ts(120), "click"),
+        # user 5: never views; clicks/purchases don't count
+        (5, ts(0), "click"), (5, ts(1), "purchase"),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+    })
+    out = funnel(ray.data.from_arrow(t), ["view", "click", "purchase"],
+                 window_s=60).to_pandas()
+    assert out["step"].tolist() == [1, 2, 3]
+    assert out["event_type"].tolist() == ["view", "click", "purchase"]
+    assert out["users"].tolist() == [4, 1, 1]
+    with pytest.raises(ValueError, match="distinct"):
+        funnel(ray.data.from_arrow(t), ["view", "view"])
