@@ -742,6 +742,12 @@ def _queries_graph():
         return (tab.to_pandas()
                 .sort_values(["hop", "src", "dst"]).reset_index(drop=True))
 
+    def ego_network_q(sf_dir):
+        g = _graph(sf_dir)
+        ds, _stats = alg.ego_network(g["handle_sym"], g["sym"],
+                                     seed_node=0, k=2)
+        return ds.to_pandas().reset_index(drop=True)
+
     def local_cluster_q(sf_dir):
         from fora_ray.goldens import ROUND
 
@@ -794,6 +800,7 @@ def _queries_graph():
         "assortativity": assortativity_q,
         "modularity": modularity_q,
         "local_cluster": local_cluster_q,
+        "ego_network": ego_network_q,
         "ppr_exact": ppr_exact,
         "fora_ppr": fora_ppr,
         "ppr_batch": ppr_batch_q,
@@ -1366,6 +1373,26 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT node_id, sweep_rank, ppr, deg, in_cluster "
             f"FROM read_parquet('{gold['local_cluster']}') ORDER BY node_id"
         ),
+        "ego_network": f"""
+            WITH RECURSIVE
+                 e AS (SELECT src, dst FROM read_parquet('{golden_edges}')),
+                 und AS (SELECT src AS u, dst AS v FROM e
+                         UNION SELECT dst, src FROM e),
+                 reach(node_id, dist) AS (
+                   SELECT CAST(0 AS BIGINT), 0
+                   UNION
+                   SELECT und.v, reach.dist + 1
+                   FROM reach JOIN und ON und.u = reach.node_id
+                   WHERE reach.dist < 2
+                 ),
+                 mem AS (SELECT node_id FROM reach GROUP BY node_id),
+                 canon AS (SELECT DISTINCT least(u, v) AS lo, greatest(u, v) AS hi
+                           FROM und WHERE u <> v)
+            SELECT canon.lo, canon.hi
+            FROM canon JOIN mem m1 ON canon.lo = m1.node_id
+                       JOIN mem m2 ON canon.hi = m2.node_id
+            ORDER BY lo, hi
+        """,
         "diameter_est": (
             "SELECT diameter_lb, far_a, far_b, n_reached "
             f"FROM read_parquet('{gold['diameter_est']}')"

@@ -1045,6 +1045,60 @@ def bfs_hops(handle, sources, max_rounds: int = 10_000):
     return _ray.data.from_arrow_refs(refs), {"rounds": rounds}
 
 
+def ego_network(handle, edges_sym_ds, seed_node: int, k: int = 2):
+    """k-hop ego-network extraction: the induced undirected subgraph on
+    all nodes within `k` hops of the seed — the debugging/visualization
+    primitive behind GNN neighborhood inspection.  `handle` and
+    `edges_sym_ds` must describe the SAME symmetrized graph.
+
+    Distribution: k BFS supersteps (level-synchronous, so every node at
+    dist <= k is settled after exactly k rounds — the frontier never
+    expands past the ego radius), then ONE membership-filtered
+    streaming pass over the edge table keeps canonical (lo < hi) edges
+    with BOTH endpoints inside the ego set.  The member list rides to
+    the filter tasks as one sorted int64 array via ray.put — ego sets
+    are local by construction, which is what bounds the broadcast.
+
+    Returns ((lo, hi) Dataset of induced edges, stats {members, rounds}).
+    """
+    import pyarrow as pa
+
+    if k < 0:
+        raise ValueError("ego_network: k must be >= 0")
+    dists, stats = bfs_hops(handle, [seed_node], max_rounds=max(k, 1))
+    dp = dists.to_pandas()
+    members = np.sort(dp.loc[dp["dist"] <= k, "node_id"].to_numpy().astype(np.int64))
+
+    class _EgoFilter:
+        def __init__(self, mem_ref):
+            self.mem = ray.get(mem_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            empty = pa.table({"lo": pa.array([], pa.int64()),
+                              "hi": pa.array([], pa.int64())})
+            if t.num_rows == 0 or "src" not in t.schema.names:
+                return empty
+            s = t["src"].to_numpy(zero_copy_only=False)
+            d = t["dst"].to_numpy(zero_copy_only=False)
+            keep = s < d  # canonical: each undirected edge once
+            s, d = s[keep], d[keep]
+            m = self.mem
+
+            def _isin(x):
+                i = np.searchsorted(m, x)
+                return (i < len(m)) & (m[np.minimum(i, len(m) - 1)] == x)
+
+            both = _isin(s) & _isin(d)
+            return pa.table({"lo": pa.array(s[both]), "hi": pa.array(d[both])})
+
+    out = edges_sym_ds.map_batches(
+        _EgoFilter(ray.put(members)), batch_format="pyarrow", batch_size=None)
+    from ..stages.shuffle import clean_sort
+
+    return clean_sort(out, ["lo", "hi"]), {
+        "members": int(len(members)), "rounds": stats["rounds"]}
+
+
 def label_propagation(handle, max_rounds: int = 20):
     """G10 — synchronous LPA, most-frequent neighbor label, smallest-label
     tie-break (matches fora_ray.oracle.lpa_oracle exactly)."""

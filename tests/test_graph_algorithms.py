@@ -612,3 +612,20 @@ def test_local_cluster_matches_golden(fix600):
     assert got["in_cluster"].tolist() == want["in_cluster"].tolist()
     assert got["deg"].tolist() == want["deg"].tolist()
     assert np.allclose(got["ppr"].round(9), want["ppr"])
+
+
+def test_ego_network_bridge8():
+    """BRIDGE8 from node 0: k=1 ego is its K4 (6 induced edges, no
+    bridge); k=2 adds node 4 via the bridge (7 edges, K4b still out)."""
+    sym = symmetrized(BRIDGE8)
+    with GraphHandle.from_edges(to_dataset(sym), 8, P=2) as h:
+        e1, s1 = alg.ego_network(h, to_dataset(sym), seed_node=0, k=1)
+        d1 = e1.to_pandas()
+        e2, s2 = alg.ego_network(h, to_dataset(sym), seed_node=0, k=2)
+        d2 = e2.to_pandas()
+    assert s1["members"] == 4
+    assert set(map(tuple, d1.to_numpy())) == {
+        (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)}
+    assert s2["members"] == 5
+    assert set(map(tuple, d2.to_numpy())) == {
+        (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4)}
