@@ -857,6 +857,23 @@ def run_ops_bench(num_cpus: int = 32, n: int = 1_000_000,
                          "Q": round(float(
                              np.asarray(mod["q_contrib"]).sum()), 6)}
 
+    hs2 = GraphHandle.from_edges(sym, n, P=P)
+    try:
+        t0 = time.perf_counter()
+        lc, stl = alg.local_cluster(hs2, sym, seed_node=0, rmax=1e-6)
+        out["local_cluster"] = {"sec": round(time.perf_counter() - t0, 2),
+                                "support": stl["support_size"],
+                                "cluster": stl["cluster_size"],
+                                "push_rounds": stl["rounds"]}
+        t0 = time.perf_counter()
+        eg, ste = alg.ego_network(hs2, sym, seed_node=0, k=2)
+        rows_e = eg.count()
+        out["ego_network"] = {"sec": round(time.perf_counter() - t0, 2),
+                              "members": ste["members"],
+                              "edges": int(rows_e)}
+    finally:
+        hs2.close()
+
     from fora_ray.graph.triangles import ktruss
 
     t0 = time.perf_counter()
