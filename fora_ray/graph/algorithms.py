@@ -1253,8 +1253,23 @@ def local_cluster(handle, edges_sym_ds, seed_node: int, rmax: float = 1e-4):
     handle.call_all("ppr_init", src_e)
     pstats = _push_loop(handle, src_e, rmax=rmax, sweep_all=False)
     sc = handle.scores_dataset().to_pandas()
-    sup = np.sort(sc["node_id"].to_numpy().astype(np.int64))
+    if "node_id" in sc.columns:  # empty nonzero-only blocks drop schema
+        sup = np.sort(sc["node_id"].to_numpy().astype(np.int64))
+    else:
+        sup = np.empty(0, np.int64)
     S = len(sup)
+    if S == 0:
+        # rmax * deg(seed) >= 1: the push threshold was never crossed,
+        # nothing drained into reserve — no local cluster at this rmax
+        import pyarrow as pa
+
+        tab = pa.table({"node_id": pa.array([], pa.int64()),
+                        "sweep_rank": pa.array([], pa.int64()),
+                        "ppr": pa.array([], pa.float64()),
+                        "deg": pa.array([], pa.int64()),
+                        "in_cluster": pa.array([], pa.bool_())})
+        return tab, {"conductance": float("nan"), "cluster_size": 0,
+                     "support_size": 0, "rounds": pstats["rounds"]}
     ppr = np.zeros(S)
     ppr[np.searchsorted(sup, sc["node_id"].to_numpy().astype(np.int64))] = \
         sc["ppr"].to_numpy()

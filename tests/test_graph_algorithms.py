@@ -629,3 +629,15 @@ def test_ego_network_bridge8():
     assert s2["members"] == 5
     assert set(map(tuple, d2.to_numpy())) == {
         (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4)}
+
+
+def test_local_cluster_empty_support():
+    """rmax so large the seed never crosses the push threshold: empty
+    support, no crash, NaN conductance."""
+    sym = symmetrized(BRIDGE8)
+    with GraphHandle.from_edges(to_dataset(sym), 8, P=2) as h:
+        tab, stats = alg.local_cluster(h, to_dataset(sym), seed_node=0,
+                                       rmax=10.0)
+    assert tab.num_rows == 0
+    assert stats["support_size"] == 0 and stats["cluster_size"] == 0
+    assert np.isnan(stats["conductance"])
