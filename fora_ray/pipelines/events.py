@@ -150,8 +150,10 @@ def funnel(events_ds, steps: list[str], window_s: int = 86400):
     rows survive), users hash-bucketed like session_windows, one
     vectorized kernel per bucket (lexsort + per-step minimum.at over
     dense user indices — K tiny passes, no per-user Python), then a
-    K-row groupby sum.  Output: (step:int64 1-based, event_type,
-    users:int64) sorted by step — users is monotone non-increasing.
+    driver-side reduce of the (buckets x K)-row partials —
+    scale-independent.  Returns a pa.Table (step:int64 1-based,
+    event_type, users:int64) sorted by step — users is monotone
+    non-increasing.
     """
     from ..stages.shuffle import bucket_apply, drop_empty_blocks
 
@@ -211,12 +213,25 @@ def funnel(events_ds, steps: list[str], window_s: int = 86400):
             "users": pa.array(counts),
         })
 
+    import ray
+
     partials = bucket_apply(
         events_ds.map_batches(keep, batch_format="pyarrow"), "user_id", kern)
-    return (
-        drop_empty_blocks(partials)
-        .groupby(["step", "event_type"])
-        .sum("users")
-        .rename_columns({"sum(users)": "users"})
-        .sort("step")
-    )
+    # each bucket emits exactly K rows -> the reduce input is (buckets x
+    # K) rows, scale-independent: sum on the driver (also keeps the
+    # zero-matching-events case schema-stable, where a Dataset groupby
+    # would see only schema-less empty blocks)
+    counts = np.zeros(K, np.int64)
+    for ref in drop_empty_blocks(partials, schema=_empty.schema).to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0 or "users" not in t.schema.names:
+            continue
+        # np.add.at: a block concatenates many buckets' K-row outputs,
+        # so step indices repeat — fancy-index += would drop duplicates
+        np.add.at(counts, t["step"].to_numpy(zero_copy_only=False) - 1,
+                  t["users"].to_numpy(zero_copy_only=False))
+    return pa.table({
+        "step": pa.array(np.arange(1, K + 1, dtype=np.int64)),
+        "event_type": pa.array(steps, pa.string()),
+        "users": pa.array(counts),
+    })

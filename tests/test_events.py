@@ -122,3 +122,7 @@ def test_funnel_hand_case():
     assert out["users"].tolist() == [4, 1, 1]
     with pytest.raises(ValueError, match="distinct"):
         funnel(ray.data.from_arrow(t), ["view", "view"])
+    # zero matching events: K rows of 0, not a schema crash
+    zero = funnel(ray.data.from_arrow(t), ["signup", "error"],
+                  window_s=60).to_pandas()
+    assert zero["users"].tolist() == [0, 0]
