@@ -122,8 +122,14 @@ def degree_assortativity(edges_ds, degrees_ds, n: int,
                                 batch_size=None)
     else:
         partials = _moment_partials_join(edges_ds, degrees_ds, num_partitions)
-    agg = drop_empty_blocks(partials).sum(
-        ["m", "sx", "sy", "sxy", "sxx", "syy"])
+    # explicit schema: on an EMPTY edge table map operators skip every
+    # block, leaving no schema for the fully-empty rebuild
+    agg = drop_empty_blocks(
+        partials, schema=_moment_row(0, 0, 0, 0, 0, 0).schema
+    ).sum(["m", "sx", "sy", "sxy", "sxx", "syy"])
+    if agg is None or agg.get("sum(m)") is None:  # zero edges
+        return pa.table({"edges": pa.array([0], pa.int64()),
+                         "assortativity": pa.array([float("nan")], pa.float64())})
     m = int(agg["sum(m)"])
     sx, sy = agg["sum(sx)"], agg["sum(sy)"]
     sxy, sxx, syy = agg["sum(sxy)"], agg["sum(sxx)"], agg["sum(syy)"]
@@ -228,12 +234,20 @@ def modularity(edges_sym_ds, labels_ds, n: int, strategy: str = "auto",
         partials = ej2.map_batches(block, batch_format="pyarrow",
                                    batch_size=None)
 
+    part_schema = pa.schema([("label", pa.int64()),
+                             ("deg_cnt", pa.int64()),
+                             ("within2", pa.int64())])
     summed = (
-        drop_empty_blocks(partials)
+        drop_empty_blocks(partials, schema=part_schema)
         .groupby("label")
         .sum(["deg_cnt", "within2"])
         .to_pandas()
     )  # one row per community — metadata-sized
+    for c in ("sum(deg_cnt)", "sum(within2)"):
+        if c not in summed.columns:  # zero-edge graph: empty aggregate
+            summed[c] = np.zeros(0, np.int64)
+    if "label" not in summed.columns:
+        summed["label"] = np.zeros(0, np.int64)
     if sizes is None:
         from ray.data.aggregate import Count
 

@@ -106,3 +106,23 @@ def test_modularity_strategy_parity(graph600):
     a = modularity(to_dataset(sym), lab_ds, n, strategy="broadcast").to_pandas()
     b = modularity(to_dataset(sym), lab_ds, n, strategy="join").to_pandas()
     assert a.equals(b)
+
+
+def test_graphstats_empty_graph():
+    """Zero-edge input: NaN assortativity, all-zero modularity — no
+    schema crash (map operators skip empty blocks entirely)."""
+    empty = ray.data.from_arrow(pa.table({"src": pa.array([], pa.int64()),
+                                          "dst": pa.array([], pa.int64())}))
+    degs = ray.data.from_arrow(pa.table({
+        "node_id": pa.array([0, 1, 2], pa.int64()),
+        "out_deg": pa.array([0, 0, 0], pa.int64()),
+        "in_deg": pa.array([0, 0, 0], pa.int64())}))
+    a = degree_assortativity(empty, degs, 3).to_pandas()
+    assert int(a["edges"][0]) == 0 and np.isnan(a["assortativity"][0])
+    labs = ray.data.from_arrow(pa.table({
+        "node_id": pa.array([0, 1, 2], pa.int64()),
+        "label": pa.array([0, 0, 1], pa.int64())}))
+    m = modularity(empty, labs, 3).to_pandas()
+    assert m["n_nodes"].tolist() == [2, 1]
+    assert m["within_edges"].tolist() == [0, 0]
+    assert m["q_contrib"].tolist() == [0.0, 0.0]
